@@ -1,0 +1,48 @@
+"""Build a reference profile from a blessed run (FIXTURES F4).
+
+Runs only the column-stats scan over the input and merges the per-
+partition ProfileStates into one global ``ReferenceProfile`` — the drift
+baseline consumed by DriftChi2/DriftKSValidator on later runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import ray
+from ray.data import Dataset
+
+from bigdime_ray.sources.tokens import read_tokens
+from bigdime_ray.spi import ValidationContext
+from bigdime_ray.stages.scan import ScanWorker
+from bigdime_ray.state.profile import ReferenceProfile
+from bigdime_ray.state.sketches import PartialState
+
+
+def build_profile(input_dir: Optional[str] = None, ds: Optional[Dataset] = None,
+                  vocab: int = 32000, concurrency="auto",
+                  save_path: Optional[str] = None) -> ReferenceProfile:
+    if ds is None:
+        ds = read_tokens(input_dir)
+    ctx = ValidationContext(vocab=vocab)
+    ctx_ref = ray.put(ctx)
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    from bigdime_ray.stages.scan import resolve_concurrency
+    concurrency = resolve_concurrency(concurrency)
+    if concurrency:
+        union = ds.map_batches(ScanWorker,
+                               fn_constructor_args=(["column_stats"], ctx_ref),
+                               concurrency=concurrency, num_cpus=1, **kwargs)
+    else:
+        union = ds.map_batches(ScanWorker(["column_stats"], ctx), **kwargs)
+    rows = union.filter(expr="kind == 'state'").take_all()
+    states = [PartialState.from_bytes(r["payload"]) for r in rows]
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.merge(s)
+    prof = ReferenceProfile(column_stats=acc.column_stats,
+                            token_histogram=acc.token_histogram,
+                            ntok_digest=acc.ntok_digest)
+    if save_path:
+        prof.save(save_path)
+    return prof

@@ -1,0 +1,389 @@
+"""End-to-end validation run — the adaptor/ValidationHandler analog.
+
+Orchestrates the lifecycle from SURVEY.md §3.2:
+
+  Phase 0  schema gate        (parquet footers only, driver)
+  Phase 1  scan pass          (ONE map_batches actor-pool stage over
+                               zero-copy Arrow; violations + partials)
+  Phase 2  shuffle pass       (uniqueness, per-source skew stats,
+                               row-equality audit — narrow projections only)
+  Phase 3  finalize           (merge partials → per-partition
+                               ValidationResponses, drift statistics)
+  Phase 4  emit               (verdicts + violations + profile parquet,
+                               checkpoint-manifest update)
+
+Reproduces the reference flow: sink marks unit ready → ValidationHandler
+resolves configured validator ids → runs each → ValidationResponse per
+(unit, validator) → RuntimeInfo status VALIDATED / not
+(SURVEY.md §3.1 EP-2; ``BASELINE.json:6``). Resume: partitions VALIDATED
+with unchanged lineage are skipped (``BASELINE.json:14``); the global
+validators run over the included partitions of the current run.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+import bigdime_ray
+from bigdime_ray.functions.hashing import i64_to_u64
+from bigdime_ray.schema import TOKENS_SCHEMA, VERDICT_SCHEMA, VIOLATION_SCHEMA
+from bigdime_ray.sources.tokens import discover_partitions, read_tokens
+from bigdime_ray.spi import (ValidationContext, ValidationResponse,
+                             ValidationResult, get_validator)
+from bigdime_ray.stages.scan import ScanWorker, resolve_concurrency
+from bigdime_ray.state.manifest import (RunManifest, STATUS_FAILED,
+                                        STATUS_NOT_READY, STATUS_STARTED,
+                                        STATUS_VALIDATED, config_hash,
+                                        fingerprint_files)
+from bigdime_ray.state.profile import ReferenceProfile
+from bigdime_ray.state.sketches import PartialState
+from bigdime_ray.validators import DEFAULT_SUITE
+from bigdime_ray.validators.stats_profile import ProfileState
+
+
+@dataclass
+class ValidationRunConfig:
+    input_dir: str                       # contains data/ + side-input files
+    run_dir: str
+    suite: list[str] = field(default_factory=lambda: list(DEFAULT_SUITE))
+    catalog_path: Optional[str] = None   # default: input_dir/source_catalog.parquet
+    ingest_manifest_path: Optional[str] = None  # default: input_dir/ingest_manifest.parquet
+    profile_path: Optional[str] = None   # reference profile JSON (drift baseline)
+    reference_path: Optional[str] = None  # reference ingest dir (row equality)
+    vocab: int = 32000
+    thresholds: dict = field(default_factory=dict)
+    chi2_pvalue_min: float = 0.001
+    ks_d_max: float = 0.15
+    scan_concurrency: object = "auto"    # actor pool size; "auto" → ~80% CPUs; None → tasks
+    resume: bool = True
+    collect_violations: bool = True      # gather into the report (capped)
+    max_collected_violations: int = 1_000_000
+
+    def _default(self, attr: str, name: str) -> Optional[str]:
+        v = getattr(self, attr)
+        if v is not None:
+            return v
+        cand = os.path.join(self.input_dir, name)
+        return cand if os.path.exists(cand) else None
+
+
+@dataclass
+class RunReport:
+    responses: list[ValidationResponse]
+    verdicts: pa.Table
+    violations: Optional[pa.Table]
+    profile: Optional[ReferenceProfile]
+    partitions_run: list[str]
+    partitions_skipped: list[str]
+    artifacts: dict = field(default_factory=dict)
+
+    def result_for(self, partition_id: str, validator_id: str) -> Optional[str]:
+        for r in self.responses:
+            if r.partition_id == partition_id and r.validator_id == validator_id:
+                return r.result.value
+        return None
+
+    def overall(self, partition_id: str) -> str:
+        results = [r.result for r in self.responses
+                   if r.partition_id == partition_id]
+        return _fold_results(results).value
+
+
+def _fold_results(results: list[ValidationResult]) -> ValidationResult:
+    """Per-partition verdict AND (reference: all PASSED → VALIDATED)."""
+    if any(r == ValidationResult.FAILED for r in results):
+        return ValidationResult.FAILED
+    if any(r == ValidationResult.NOT_READY for r in results):
+        return ValidationResult.NOT_READY
+    if any(r == ValidationResult.INCOMPLETE_SETUP for r in results):
+        return ValidationResult.INCOMPLETE_SETUP
+    return ValidationResult.PASSED if results else ValidationResult.NOT_READY
+
+
+def _load_side_inputs(cfg: ValidationRunConfig, ctx: ValidationContext) -> None:
+    """Missing/unreadable side inputs leave the ctx field None — the
+    requiring validators then report INCOMPLETE_SETUP (the reference's
+    missing-metadata branch) instead of crashing the run."""
+    cat_path = cfg._default("catalog_path", "source_catalog.parquet")
+    if cat_path and os.path.exists(cat_path):
+        cat = pq.read_table(cat_path)
+        ctx.catalog = frozenset(cat["source"].to_pylist())
+        if "max_n_tok" in cat.column_names:
+            ctx.catalog_max_n_tok = dict(zip(cat["source"].to_pylist(),
+                                             cat["max_n_tok"].to_pylist()))
+    man_path = cfg._default("ingest_manifest_path", "ingest_manifest.parquet")
+    if man_path and os.path.exists(man_path):
+        man = pq.read_table(man_path)
+        ctx.manifest = {
+            r["partition_id"]: {"expected_rows": r["expected_rows"],
+                                "raw_checksum": r["raw_checksum"]}
+            for r in man.to_pylist()}
+    prof_path = cfg._default("profile_path", "reference_profile.json")
+    if prof_path and os.path.exists(prof_path):
+        ctx.profile = ReferenceProfile.load(prof_path)
+    ref_path = cfg._default("reference_path", "reference_ingest")
+    if ref_path and os.path.isdir(ref_path):
+        ctx.reference_path = ref_path
+
+
+def _merge_scan_states(states_ds: Dataset) -> dict:
+    """(partition_id, validator_id) -> merged PartialState.
+
+    Distributed tree-merge: groupby the small state stream, unpickle +
+    associative merge per group, ship back one state per key.
+    """
+    import pandas as pd
+
+    def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+        states = [PartialState.from_bytes(b) for b in df["payload"]]
+        acc = states[0]
+        for s in states[1:]:
+            acc = acc.merge(s)
+        return pd.DataFrame({
+            "partition_id": [df["partition_id"].iloc[0]],
+            "validator_id": [df["validator_id"].iloc[0]],
+            "payload": [acc.to_bytes()],
+        })
+
+    merged_rows = (states_ds.select_columns(["partition_id", "validator_id",
+                                             "payload"])
+                   .groupby(["partition_id", "validator_id"])
+                   .map_groups(merge_group, batch_format="pandas")
+                   .take_all())
+    return {(r["partition_id"], r["validator_id"]):
+            PartialState.from_bytes(r["payload"]) for r in merged_rows}
+
+
+def run_validation(cfg: ValidationRunConfig) -> RunReport:
+    data_dir = os.path.join(cfg.input_dir, "data")
+    if not os.path.isdir(data_dir):
+        data_dir = cfg.input_dir
+
+    ctx = ValidationContext(declared_schema=TOKENS_SCHEMA, vocab=cfg.vocab,
+                            chi2_pvalue_min=cfg.chi2_pvalue_min,
+                            ks_d_max=cfg.ks_d_max, thresholds=dict(cfg.thresholds))
+    _load_side_inputs(cfg, ctx)
+
+    discovered = discover_partitions(data_dir)
+    manifest_only = sorted(set(ctx.manifest or {}) - set(discovered))
+    all_partitions = sorted(set(discovered) | set(manifest_only))
+
+    cfg_hash = config_hash({"suite": cfg.suite, "vocab": cfg.vocab,
+                            "thresholds": cfg.thresholds,
+                            "chi2": cfg.chi2_pvalue_min, "ks": cfg.ks_d_max})
+    run_manifest = RunManifest.load(os.path.join(cfg.run_dir, "manifest.json"))
+    fingerprints = {p: fingerprint_files(files)
+                    for p, files in discovered.items()}
+
+    to_run, skipped = [], []
+    for p in all_partitions:
+        if cfg.resume and not run_manifest.needs_run(
+                p, fingerprints.get(p, ""), cfg_hash):
+            skipped.append(p)
+        else:
+            to_run.append(p)
+
+    responses: list[ValidationResponse] = []
+    artifacts: dict = {}
+
+    # --- NOT_READY: in manifest but no data files (reference BACKOFF path) ---
+    not_ready = [p for p in to_run if p in manifest_only or not discovered.get(p)]
+    content_suite = [v for v in cfg.suite if v != "schema"]
+    for p in not_ready:
+        for vid in cfg.suite:
+            responses.append(ValidationResponse(
+                vid, p, ValidationResult.NOT_READY,
+                "partition listed in ingest manifest but data files missing"))
+        run_manifest.mark(p, STATUS_NOT_READY, input_files=[],
+                          cfg_hash=cfg_hash,
+                          engine_version=bigdime_ray.__version__)
+
+    runnable = [p for p in to_run if p not in not_ready]
+
+    # --- Phase 0: schema gate (footers only) ---
+    schema_ok = list(runnable)
+    if "schema" in cfg.suite:
+        gate = get_validator("schema")()
+        problem = gate.check_setup(ctx)
+        if problem:
+            for p in runnable:
+                responses.append(ValidationResponse(
+                    "schema", p, ValidationResult.INCOMPLETE_SETUP, problem))
+        else:
+            schema_ok = []
+            for p in runnable:
+                resp = gate.check_partition_files(p, discovered[p], ctx)
+                responses.append(resp)
+                if resp.result == ValidationResult.PASSED:
+                    schema_ok.append(p)
+                else:
+                    for vid in content_suite:
+                        responses.append(ValidationResponse(
+                            vid, p, ValidationResult.INCOMPLETE_SETUP,
+                            "schema gate failed for partition"))
+
+    ctx.partitions = schema_ok
+
+    # --- setup gate per validator (reference INCOMPLETE_SETUP branch) ---
+    scan_vids, final_vids, global_vids = [], [], []
+    for vid in content_suite:
+        v = get_validator(vid)()
+        problem = v.check_setup(ctx)
+        if problem:
+            for p in schema_ok:
+                responses.append(ValidationResponse(
+                    vid, p, ValidationResult.INCOMPLETE_SETUP, problem))
+            continue
+        if v.scans:
+            scan_vids.append(vid)
+        if _overrides_run_global(type(v)):
+            global_vids.append(vid)
+        else:
+            final_vids.append(vid)
+
+    verdump_dir = cfg.run_dir
+    os.makedirs(verdump_dir, exist_ok=True)
+
+    violations_parts: list = []
+    merged_states: dict = {}
+    profile: Optional[ReferenceProfile] = None
+
+    if schema_ok:
+        for p in schema_ok:
+            run_manifest.mark(p, STATUS_STARTED,
+                              input_files=discovered[p],
+                              fingerprint=fingerprints[p], cfg_hash=cfg_hash,
+                              engine_version=bigdime_ray.__version__,
+                              bump_attempt=True)
+        run_manifest.save()
+
+        ds = read_tokens(data_dir, partitions=schema_ok)
+
+        # --- Phase 1: single scan pass (actor pool, broadcast side inputs) ---
+        if scan_vids:
+            ctx_ref = ray.put(ctx)
+            scan_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+            concurrency = resolve_concurrency(cfg.scan_concurrency)
+            if concurrency:
+                union = ds.map_batches(
+                    ScanWorker,
+                    fn_constructor_args=(scan_vids, ctx_ref),
+                    concurrency=concurrency, num_cpus=1, **scan_kwargs)
+            else:
+                union = ds.map_batches(
+                    ScanWorker(scan_vids, ctx), **scan_kwargs)
+            union = union.materialize()  # small: capped violations + states
+            states_ds = union.filter(expr="kind == 'state'")
+            viol_ds = (union.filter(expr="kind == 'violation'")
+                       .drop_columns(["kind", "payload"]))
+            violations_parts.append(viol_ds)
+            merged_states = _merge_scan_states(states_ds)
+
+        # --- Phase 3a: finalize scan validators ---
+        for vid in final_vids:
+            v = get_validator(vid)()
+            src = getattr(v, "state_source", None) or vid
+            for p in schema_ok:
+                resp = v.finalize(p, merged_states.get((p, src)), ctx)
+                if resp is not None:
+                    responses.append(resp)
+
+        # --- merged global profile (drift baseline artifact, FIXTURES F4) ---
+        prof_states = [merged_states[k] for k in merged_states
+                       if k[1] == "column_stats"]
+        if prof_states:
+            acc = prof_states[0]
+            for s in prof_states[1:]:
+                acc = acc.merge(s)
+            if isinstance(acc, ProfileState):
+                profile = ReferenceProfile(
+                    column_stats=acc.column_stats,
+                    token_histogram=acc.token_histogram,
+                    ntok_digest=acc.ntok_digest)
+                profile.save(os.path.join(cfg.run_dir, "profile.json"))
+
+        # --- Phase 2: shuffle-phase validators ---
+        for vid in global_vids:
+            v = get_validator(vid)()
+            viol, resp_list = v.run_global(ds, ctx)
+            responses.extend(resp_list)
+            if viol is not None:
+                violations_parts.append(viol)
+            for r in resp_list:
+                art = getattr(r, "artifact", None)
+                if art is not None:
+                    artifacts[vid] = art
+
+    # --- Phase 4: emit ---
+    verdict_rows = [r.to_row() for r in responses]
+    by_part: dict[str, list[ValidationResult]] = {}
+    for r in responses:
+        by_part.setdefault(r.partition_id, []).append(r.result)
+    for p, results in sorted(by_part.items()):
+        verdict_rows.append(ValidationResponse(
+            "__overall__", p, _fold_results(results),
+            f"{sum(1 for r in results if r == ValidationResult.PASSED)}"
+            f"/{len(results)} validators passed").to_row())
+    verdicts = pa.Table.from_pylist(verdict_rows, schema=VERDICT_SCHEMA)
+    pq.write_table(verdicts, os.path.join(cfg.run_dir, "verdicts.parquet"))
+
+    violations_tbl: Optional[pa.Table] = None
+    viol_dir = os.path.join(cfg.run_dir, "violations")
+    collected: list[pa.Table] = []
+    for part in violations_parts:
+        if isinstance(part, pa.Table):
+            collected.append(part.cast(VIOLATION_SCHEMA))
+        else:  # Dataset
+            pdf = part.limit(cfg.max_collected_violations).to_pandas()
+            if len(pdf) == 0:
+                continue
+            tbl = pa.Table.from_pandas(pdf, schema=VIOLATION_SCHEMA,
+                                       preserve_index=False)
+            collected.append(tbl)
+    if collected:
+        violations_tbl = pa.concat_tables(collected)
+        os.makedirs(viol_dir, exist_ok=True)
+        pq.write_table(violations_tbl,
+                       os.path.join(viol_dir, "violations.parquet"))
+
+    # --- checkpoint manifest update (RuntimeInfoStore semantics) ---
+    for p in schema_ok:
+        overall = _fold_results(by_part.get(p, []))
+        status = (STATUS_VALIDATED if overall == ValidationResult.PASSED
+                  else STATUS_FAILED if overall == ValidationResult.FAILED
+                  else STATUS_NOT_READY)
+        per_validator = {r.validator_id: r.result.value
+                         for r in responses if r.partition_id == p}
+        rows_metric = None
+        st = merged_states.get((p, "record_count"))
+        if st is not None:
+            rows_metric = st.n
+        run_manifest.mark(p, status, metrics={
+            "rows": rows_metric, "validators": per_validator})
+    for p in runnable:
+        if p not in schema_ok and p not in not_ready:
+            run_manifest.mark(p, STATUS_FAILED,
+                              input_files=discovered.get(p, []),
+                              fingerprint=fingerprints.get(p, ""),
+                              cfg_hash=cfg_hash,
+                              metrics={"schema_gate": "FAILED"})
+    run_manifest.save()
+
+    return RunReport(responses=responses, verdicts=verdicts,
+                     violations=violations_tbl, profile=profile,
+                     partitions_run=to_run, partitions_skipped=skipped,
+                     artifacts=artifacts)
+
+
+def _overrides_run_global(cls) -> bool:
+    from bigdime_ray.spi import Validator
+    return cls.run_global is not Validator.run_global

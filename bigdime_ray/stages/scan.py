@@ -1,0 +1,116 @@
+"""The shared scan pass — ONE ``map_batches`` over zero-copy Arrow blocks.
+
+All scan-phase validators (record count, checksum, n_tok, token range,
+referential, column stats) run inside a single actor-pool stage
+(``BASELINE.json:6`` "stateful actor-pool validators"): side inputs
+(catalog / profile / manifest) are broadcast once via ``ray.put`` and
+resolved in ``__init__`` — once per actor, not per batch — mirroring the
+reference's validator singletons holding JDBC connections per JVM
+(SURVEY.md §3.1 EP-2).
+
+Output is a tagged union table (violation rows + pickled mergeable
+partial states). Violations are capped per block; states are one small
+object per (block, partition, validator). The union stream is tiny
+relative to the input, so materializing it lets the pipeline split it
+into violations/states without re-scanning the input (single-pass scan
+phase, SURVEY.md §3.2 Phase 1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from bigdime_ray.spi import ValidationContext, get_validator
+
+def resolve_concurrency(requested) -> Optional[int]:
+    """Actor-pool size for the scan stage.
+
+    ``"auto"``/negative → ~80% of cluster CPUs, leaving headroom so a
+    non-fused upstream ReadParquet task pool can still schedule (a pool
+    that reserves every CPU deadlocks the streaming executor on a small
+    cluster). ``None`` → stateless tasks. An int is passed through.
+    """
+    if requested is None:
+        return None
+    if requested == "auto" or (isinstance(requested, int) and requested < 0):
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return max(1, int(cpus * 0.8))
+    return requested
+
+
+SCAN_UNION_SCHEMA = pa.schema([
+    pa.field("kind", pa.string()),            # 'violation' | 'state'
+    pa.field("partition_id", pa.string()),
+    pa.field("validator_id", pa.string()),
+    pa.field("doc_id", pa.string()),
+    pa.field("reason", pa.string()),
+    pa.field("detail", pa.string()),
+    pa.field("payload", pa.binary()),
+])
+
+
+class ScanWorker:
+    """Callable class → Ray actor pool. One instance per actor."""
+
+    def __init__(self, validator_ids: list[str],
+                 ctx: Union[ValidationContext, "ray.ObjectRef"]):
+        if isinstance(ctx, ray.ObjectRef):
+            ctx = ray.get(ctx)  # zero-copy read from the local object store
+        self.ctx = ctx
+        self.validators = [get_validator(v)() for v in validator_ids]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds: list = []
+        pids: list = []
+        vids: list = []
+        doc_ids: list = []
+        reasons: list = []
+        details: list = []
+        payloads: list = []
+
+        part_col = batch["partition_id"]
+        uniq = pc.unique(part_col).to_pylist()
+        for pid in uniq:
+            if len(uniq) == 1:
+                tbl = batch
+            else:
+                tbl = batch.filter(pc.equal(part_col, pid))
+            for v in self.validators:
+                res = v.scan_partition(tbl, pid, self.ctx)
+                n_v = len(res.viol_doc_ids)
+                if n_v:
+                    kinds.extend(["violation"] * n_v)
+                    pids.extend([pid] * n_v)
+                    vids.extend([v.id] * n_v)
+                    doc_ids.extend(list(res.viol_doc_ids))
+                    reasons.extend([res.viol_reason] * n_v)
+                    dets = (list(res.viol_details) if res.viol_details is not None
+                            else [None] * n_v)
+                    details.extend(dets)
+                    payloads.extend([None] * n_v)
+                if res.state is not None:
+                    kinds.append("state")
+                    pids.append(pid)
+                    vids.append(v.id)
+                    doc_ids.append(None)
+                    reasons.append(None)
+                    details.append(None)
+                    payloads.append(res.state.to_bytes())
+
+        return pa.table({
+            "kind": pa.array(kinds, type=pa.string()),
+            "partition_id": pa.array(pids, type=pa.string()),
+            "validator_id": pa.array(vids, type=pa.string()),
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=object),
+                               type=pa.string()),
+            "reason": pa.array(reasons, type=pa.string()),
+            "detail": pa.array(np.asarray(details, dtype=object),
+                               type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }, schema=SCAN_UNION_SCHEMA)

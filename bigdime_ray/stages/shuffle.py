@@ -1,0 +1,127 @@
+"""Skew-aware shuffle helpers (SURVEY.md B-V8, §4 "Skew").
+
+``BASELINE.json:6,14``: "explicit salt-based skew splitting on hot
+`source` keys" / "partitioning / shuffle / skew handled explicitly".
+
+Two complementary strategies, picked per call site:
+
+1. ``block_preagg_counts`` — combine inside ``map_batches`` (one row per
+   key per block) then a tiny ``groupby`` over partials. This is the
+   default for mergeable aggregates: skew vanishes because at most
+   ``num_blocks`` rows per key reach the shuffle. Strictly cheaper than
+   salting when the aggregate is associative.
+2. ``salted_aggregate`` — for aggregations that cannot be block-combined
+   (or when key cardinality ≈ row count), split hot keys into ``salt_k``
+   sub-keys with a deterministic hash salt (hash(doc_id) % k — stable
+   across retries, no RNG), aggregate partials per (key, salt), strip the
+   salt with a second, tiny aggregate. A metamorphic test asserts the
+   salted result equals the unsalted one.
+
+Hot keys are detected from a cheap sample (``ds.random_sample``), the
+scale-safe analog of collecting exact counts first.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from bigdime_ray.functions.hashing import hash_string_column
+
+
+def block_preagg_counts(ds: Dataset, keys: list[str],
+                        ntok_col: Optional[str] = "n_tok") -> Dataset:
+    """Per-``keys`` counts (+ n_tok sum/min/max) via block-local combine.
+
+    Stage 1 (map_batches): pandas groupby inside each block → one partial
+    row per key per block.  Stage 2: small shuffle over partials.
+    Returns columns: keys + [cnt, ntok_sum, ntok_min, ntok_max].
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + ([ntok_col] if ntok_col else [])).to_pandas()
+        if ntok_col:
+            g = df.groupby(keys, observed=True, sort=False)[ntok_col].agg(
+                cnt="size", ntok_sum="sum", ntok_min="min", ntok_max="max")
+            out = g.reset_index()
+        else:
+            out = (df.groupby(keys, observed=True, sort=False).size()
+                   .rename("cnt").reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("cnt", alias_name="cnt")]
+    if ntok_col:
+        aggs += [Sum("ntok_sum", alias_name="ntok_sum"),
+                 Min("ntok_min", alias_name="ntok_min"),
+                 Max("ntok_max", alias_name="ntok_max")]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def detect_hot_keys(ds: Dataset, key: str, sample_frac: float = 0.01,
+                    hot_share: float = 0.05, target_rows_per_group: int = 1_000_000,
+                    seed: int = 7) -> dict[str, int]:
+    """Estimate hot keys from a sample; return {key_value: salt_k}.
+
+    A key is hot if its sampled share exceeds ``hot_share``; its salt
+    factor is ceil(estimated_rows / target_rows_per_group), ≥ 2.
+    """
+    sample = ds.select_columns([key]).random_sample(sample_frac, seed=seed)
+    counts = sample.groupby(key).aggregate(Count(alias_name="cnt")).to_pandas()
+    total = counts["cnt"].sum()
+    if total == 0:
+        return {}
+    est_total_rows = total / sample_frac
+    hot = counts[counts["cnt"] / total > hot_share]
+    out = {}
+    for _, row in hot.iterrows():
+        est_rows = row["cnt"] / total * est_total_rows
+        out[row[key]] = max(2, int(np.ceil(est_rows / target_rows_per_group)))
+    return out
+
+
+def add_salt(batch: pa.Table, key: str, hot_keys: dict[str, int],
+             salt_source: str = "doc_id") -> pa.Table:
+    """Append a deterministic ``__salt`` column: hash(salt_source) % k for
+    hot keys, 0 otherwise. Deterministic → safe under Ray task retries."""
+    n = batch.num_rows
+    salts = np.zeros(n, dtype=np.int32)
+    if hot_keys:
+        key_np = batch[key].to_numpy(zero_copy_only=False)
+        h = hash_string_column(batch[salt_source])
+        for kv, k_factor in hot_keys.items():
+            mask = key_np == kv
+            if mask.any():
+                salts[mask] = (h[mask] % np.uint64(k_factor)).astype(np.int32)
+    return batch.append_column("__salt", pa.array(salts))
+
+
+def salted_aggregate(ds: Dataset, key: str, value_col: str,
+                     hot_keys: dict[str, int],
+                     salt_source: str = "doc_id") -> Dataset:
+    """Two-stage salted aggregate: count + sum/min/max of ``value_col``.
+
+    Stage 1 groups by (key, __salt) — hot keys split across salt_k
+    reducers; stage 2 strips the salt with a tiny re-aggregate. Results
+    are provably identical to the unsalted groupby (metamorphic test in
+    tests/test_shuffle.py).
+    """
+    salted = ds.map_batches(lambda b: add_salt(b, key, hot_keys, salt_source),
+                            batch_format="pyarrow")
+    stage1 = salted.groupby([key, "__salt"]).aggregate(
+        Count(alias_name="cnt"),
+        Sum(value_col, alias_name="vsum"),
+        Min(value_col, alias_name="vmin"),
+        Max(value_col, alias_name="vmax"))
+    return stage1.groupby(key).aggregate(
+        Sum("cnt", alias_name="cnt"),
+        Sum("vsum", alias_name="vsum"),
+        Min("vmin", alias_name="vmin"),
+        Max("vmax", alias_name="vmax"))

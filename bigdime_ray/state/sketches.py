@@ -1,0 +1,303 @@
+"""Mergeable partial-aggregate states (block-local → tree merge).
+
+Every scan-pass validator produces one small state object per
+(block, partition); states are associative+commutative under ``merge`` so
+Ray Data can combine them in any order (property-tested). They serialize
+with pickle into a binary Arrow column, keeping the shuffle narrow — only
+states move, never the ``tokens`` payload (SURVEY.md §4 "shuffle narrow
+columns only").
+
+- ``CountState``        — record count (B-V1, BigDime RecordCountValidator semantics)
+- ``ChecksumState``     — order-insensitive uint64 content-hash fold (B-V2,
+                          RawChecksumValidator semantics)
+- ``ColumnStatsState``  — min/max/null-count/count/sum/sumsq per column (B-S1)
+- ``HistogramState``    — bounded-vocab token-id counts, sparse-encoded (B-S1, drift χ²)
+- ``TDigestState``      — mergeable t-digest over n_tok (B-S1, drift KS).
+                          Arrow's ``tdigest`` kernel is terminal (returns
+                          quantiles, not a mergeable state) so this is a
+                          hand-rolled Dunning-style merging digest in numpy.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+class PartialState:
+    """Base: mergeable, picklable block-local aggregate."""
+
+    def merge(self, other: "PartialState") -> "PartialState":
+        raise NotImplementedError
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "PartialState":
+        return pickle.loads(b)
+
+
+def merge_states(states: list[PartialState]) -> PartialState:
+    it = iter(states)
+    acc = next(it)
+    for s in it:
+        acc = acc.merge(s)
+    return acc
+
+
+@dataclass
+class CountState(PartialState):
+    n: int = 0
+
+    def merge(self, other: "CountState") -> "CountState":
+        return CountState(self.n + other.n)
+
+
+@dataclass
+class ChecksumState(PartialState):
+    """Wrap-around uint64 sum of per-row content hashes + row count."""
+
+    checksum: int = 0  # uint64 value held as python int
+    n: int = 0
+
+    def merge(self, other: "ChecksumState") -> "ChecksumState":
+        return ChecksumState((self.checksum + other.checksum) & 0xFFFFFFFFFFFFFFFF,
+                             self.n + other.n)
+
+
+@dataclass
+class ColumnStatsState(PartialState):
+    """Numeric column stats; min/max also defined for strings (lexicographic)."""
+
+    count: int = 0
+    null_count: int = 0
+    minimum: Any = None
+    maximum: Any = None
+    total: float = 0.0
+    total_sq: float = 0.0
+
+    @staticmethod
+    def from_numpy(values: np.ndarray, null_count: int = 0,
+                   numeric: bool = True) -> "ColumnStatsState":
+        """values = non-null values of the block."""
+        st = ColumnStatsState(count=len(values) + null_count, null_count=null_count)
+        if len(values):
+            st.minimum = values.min()
+            st.maximum = values.max()
+            if numeric:
+                v = values.astype(np.float64, copy=False)
+                st.total = float(v.sum())
+                st.total_sq = float((v * v).sum())
+        return st
+
+    def merge(self, other: "ColumnStatsState") -> "ColumnStatsState":
+        def _min(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return min(a, b)
+
+        def _max(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return max(a, b)
+
+        return ColumnStatsState(
+            count=self.count + other.count,
+            null_count=self.null_count + other.null_count,
+            minimum=_min(self.minimum, other.minimum),
+            maximum=_max(self.maximum, other.maximum),
+            total=self.total + other.total,
+            total_sq=self.total_sq + other.total_sq,
+        )
+
+    @property
+    def valid_count(self) -> int:
+        return self.count - self.null_count
+
+    @property
+    def null_rate(self) -> float:
+        return self.null_count / self.count if self.count else 0.0
+
+    @property
+    def mean(self) -> float:
+        return self.total / self.valid_count if self.valid_count else float("nan")
+
+    @property
+    def std(self) -> float:
+        n = self.valid_count
+        if n < 1:
+            return float("nan")
+        var = max(0.0, self.total_sq / n - self.mean ** 2)
+        return float(np.sqrt(var))
+
+    def to_dict(self) -> dict:
+        def _py(x):
+            return x.item() if isinstance(x, np.generic) else x
+
+        return {
+            "count": self.count,
+            "null_count": self.null_count,
+            "null_rate": self.null_rate,
+            "min": _py(self.minimum),
+            "max": _py(self.maximum),
+            "mean": self.mean if self.valid_count else None,
+            "std": self.std if self.valid_count else None,
+        }
+
+
+@dataclass
+class HistogramState(PartialState):
+    """Counts over integer ids in [0, size). Stored sparse (ids, counts).
+
+    Out-of-range ids are NOT counted here (the token-range validator owns
+    them); callers clip before calling ``add``.
+    """
+
+    size: int = 0
+    ids: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+    counts: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.int64))
+
+    @staticmethod
+    def from_values(values: np.ndarray, size: int) -> "HistogramState":
+        v = values[(values >= 0) & (values < size)]
+        if len(v) == 0:
+            return HistogramState(size=size)
+        dense = np.bincount(v, minlength=0)
+        ids = np.nonzero(dense)[0]
+        return HistogramState(size=size, ids=ids.astype(np.int64),
+                              counts=dense[ids].astype(np.int64))
+
+    def merge(self, other: "HistogramState") -> "HistogramState":
+        size = max(self.size, other.size)
+        if len(self.ids) == 0:
+            return HistogramState(size, other.ids.copy(), other.counts.copy())
+        if len(other.ids) == 0:
+            return HistogramState(size, self.ids.copy(), self.counts.copy())
+        ids = np.concatenate([self.ids, other.ids])
+        cts = np.concatenate([self.counts, other.counts])
+        uniq, inv = np.unique(ids, return_inverse=True)
+        merged = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(merged, inv, cts)
+        return HistogramState(size, uniq, merged)
+
+    def dense(self) -> np.ndarray:
+        out = np.zeros(self.size, dtype=np.int64)
+        if len(self.ids):
+            out[self.ids] = self.counts
+        return out
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum()) if len(self.counts) else 0
+
+
+@dataclass
+class TDigestState(PartialState):
+    """Merging t-digest (Dunning). Mergeable, numpy-backed.
+
+    ``means``/``weights`` are the compressed centroids; ``compression``
+    bounds the centroid count (~2*compression). Quantile error is
+    O(q(1-q)/compression) — documented ε for the oracle checks.
+    """
+
+    compression: float = 200.0
+    means: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.float64))
+    weights: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.float64))
+    minimum: float = float("inf")
+    maximum: float = float("-inf")
+
+    @staticmethod
+    def from_values(values: np.ndarray, compression: float = 200.0) -> "TDigestState":
+        st = TDigestState(compression=compression)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            st.means = v.copy()
+            st.weights = np.ones(len(v), dtype=np.float64)
+            st.minimum = float(v.min())
+            st.maximum = float(v.max())
+            st._compress()
+        return st
+
+    def _compress(self) -> None:
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        # k1 scale function: k(q) = (δ / 2π) asin(2q - 1)
+        delta = self.compression
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        acc_mean, acc_w = means[0], weights[0]
+        w_so_far = 0.0
+
+        def k(q: float) -> float:
+            q = min(1.0, max(0.0, q))
+            return delta / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+
+        k_lo = k(0.0)
+        for i in range(1, len(means)):
+            q_new = (w_so_far + acc_w + weights[i]) / total
+            if k(q_new) - k_lo <= 1.0:
+                acc_mean = (acc_mean * acc_w + means[i] * weights[i]) / (acc_w + weights[i])
+                acc_w += weights[i]
+            else:
+                out_means.append(acc_mean)
+                out_weights.append(acc_w)
+                w_so_far += acc_w
+                k_lo = k(w_so_far / total)
+                acc_mean, acc_w = means[i], weights[i]
+        out_means.append(acc_mean)
+        out_weights.append(acc_w)
+        self.means = np.asarray(out_means)
+        self.weights = np.asarray(out_weights)
+
+    def merge(self, other: "TDigestState") -> "TDigestState":
+        st = TDigestState(
+            compression=max(self.compression, other.compression),
+            means=np.concatenate([self.means, other.means]),
+            weights=np.concatenate([self.weights, other.weights]),
+            minimum=min(self.minimum, other.minimum),
+            maximum=max(self.maximum, other.maximum),
+        )
+        st._compress()
+        return st
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum()) if len(self.weights) else 0.0
+
+    def cdf(self, xs: np.ndarray) -> np.ndarray:
+        """P[X <= x] interpolated across centroids."""
+        xs = np.asarray(xs, dtype=np.float64)
+        if len(self.means) == 0:
+            return np.full(len(xs), np.nan)
+        total = self.total_weight
+        # centroid cdf positions (midpoint rule)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        grid_x = np.concatenate([[self.minimum], self.means, [self.maximum]])
+        grid_y = np.concatenate([[0.0], cum / total, [1.0]])
+        # ensure monotone x for interp (duplicates ok)
+        out = np.interp(xs, grid_x, grid_y)
+        out[xs < self.minimum] = 0.0
+        out[xs >= self.maximum] = 1.0
+        return out
+
+    def quantile(self, qs) -> np.ndarray:
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full(len(qs), np.nan)
+        total = self.total_weight
+        cum = (np.cumsum(self.weights) - self.weights / 2.0) / total
+        grid_q = np.concatenate([[0.0], cum, [1.0]])
+        grid_x = np.concatenate([[self.minimum], self.means, [self.maximum]])
+        return np.interp(qs, grid_q, grid_x)

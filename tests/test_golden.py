@@ -1,0 +1,159 @@
+"""Golden end-to-end validation run (SURVEY.md §5.2 item 2).
+
+Deterministic synthetic table with planted defects → exact per-partition
+verdicts + violation rows, reproducing the reference validator-test
+semantics (the four ValidationResult branches per validator).
+"""
+
+import os
+
+import pytest
+
+from bigdime_ray.pipelines.profile import build_profile
+from bigdime_ray.pipelines.validate import (ValidationRunConfig, RunReport,
+                                            run_validation)
+from bigdime_ray.synth import DefectSpec, SynthConfig, generate_dataset
+from bigdime_ray.validators import FULL_SUITE
+
+CFG = SynthConfig(num_rows=4000, num_partitions=8, seed=42)
+DEFECTS = DefectSpec(dup_intra=2, dup_cross=2, bad_source=3, ntok_mismatch=2,
+                     token_oob=2, token_null=1, drift_partition=3,
+                     manifest_count_off=1, manifest_checksum_off=2,
+                     schema_variant=5, missing_file=6, ref_corrupt_rows=3)
+
+
+@pytest.fixture(scope="module")
+def golden(tmp_path_factory):
+    base = tmp_path_factory.mktemp("golden")
+    clean_dir = str(base / "clean")
+    generate_dataset(clean_dir, CFG)
+    prof_path = str(base / "reference_profile.json")
+    build_profile(os.path.join(clean_dir, "data"), save_path=prof_path)
+
+    dirty_dir = str(base / "dirty")
+    planted = generate_dataset(dirty_dir, CFG, DEFECTS, write_reference=True)
+    run_cfg = ValidationRunConfig(
+        input_dir=dirty_dir, run_dir=str(base / "run1"),
+        profile_path=prof_path, suite=list(FULL_SUITE))
+    report = run_validation(run_cfg)
+    return planted, report, run_cfg, clean_dir, base
+
+
+def test_schema_gate(golden):
+    planted, report, *_ = golden
+    assert report.result_for(planted.schema_variant, "schema") == "FAILED"
+    # content validators report INCOMPLETE_SETUP for the bad-schema partition
+    assert report.result_for(planted.schema_variant, "record_count") == "INCOMPLETE_SETUP"
+    # good partitions pass the gate
+    assert report.result_for("p0000", "schema") == "PASSED"
+
+
+def test_not_ready_partition(golden):
+    planted, report, *_ = golden
+    assert report.result_for(planted.missing_file, "record_count") == "NOT_READY"
+    assert report.overall(planted.missing_file) == "NOT_READY"
+
+
+def test_record_count_and_checksum(golden):
+    planted, report, *_ = golden
+    assert report.result_for(planted.manifest_count_off, "record_count") == "FAILED"
+    assert report.result_for(planted.manifest_checksum_off, "raw_checksum") == "FAILED"
+    # count-tampered partition still checksum-passes and vice versa
+    assert report.result_for(planted.manifest_count_off, "raw_checksum") == "PASSED"
+    assert report.result_for(planted.manifest_checksum_off, "record_count") == "PASSED"
+
+
+def test_drift(golden):
+    planted, report, *_ = golden
+    assert report.result_for(planted.drift_partition, "drift_chi2") == "FAILED"
+    assert report.result_for(planted.drift_partition, "drift_ks") == "FAILED"
+    # a clean partition shows no drift
+    assert report.result_for("p0000", "drift_chi2") == "PASSED"
+    assert report.result_for("p0000", "drift_ks") == "PASSED"
+
+
+def _violating_ids(report: RunReport, validator_id: str) -> set:
+    v = report.violations.to_pandas()
+    return set(v[v.validator_id == validator_id].doc_id)
+
+
+def test_row_violations_exact(golden):
+    planted, report, *_ = golden
+    excluded = {planted.schema_variant, planted.missing_file}
+    vdf = report.violations.to_pandas()
+    scanned = set(vdf[~vdf.partition_id.isin(excluded)].partition_id)
+    assert not scanned & excluded
+
+    got_ntok = _violating_ids(report, "ntok_consistency")
+    expect_ntok = {d for d in planted.ntok_mismatch_doc_ids}
+    # planted rows inside excluded partitions can't be seen by the scan
+    assert got_ntok <= expect_ntok
+    assert got_ntok == {d for d in expect_ntok
+                        if _part_of(d, planted) not in excluded}
+
+    got_range = _violating_ids(report, "token_range")
+    expect_range = set(planted.token_oob_doc_ids) | set(planted.token_null_doc_ids)
+    assert got_range <= expect_range and len(got_range) >= 1
+
+    got_ref = _violating_ids(report, "referential")
+    assert got_ref <= set(planted.bad_source_doc_ids) and len(got_ref) >= 1
+
+
+def _part_of(doc_id: str, planted) -> str:
+    # doc_id = "<source>-<seq:010d>", seq = part * 10_000_000 + row
+    seq = int(doc_id.rsplit("-", 1)[1])
+    return f"p{seq // 10_000_000:04d}"
+
+
+def test_uniqueness(golden):
+    planted, report, *_ = golden
+    got = _violating_ids(report, "uniqueness")
+    # every reported id was planted
+    assert got <= set(planted.dup_doc_ids)
+    assert len(got) >= 1
+
+
+def test_row_equality(golden):
+    planted, report, *_ = golden
+    v = report.violations.to_pandas()
+    mism = v[(v.validator_id == "row_equality") & (v.reason == "tokens_mismatch")]
+    assert set(mism.doc_id) <= set(planted.ref_corrupt_doc_ids)
+    assert len(mism) >= 1
+
+
+def test_overall_verdicts_and_outputs(golden):
+    planted, report, run_cfg, clean_dir, base = golden
+    assert report.overall(planted.drift_partition) == "FAILED"
+    assert os.path.exists(os.path.join(run_cfg.run_dir, "verdicts.parquet"))
+    assert os.path.exists(os.path.join(run_cfg.run_dir, "manifest.json"))
+    assert os.path.exists(os.path.join(run_cfg.run_dir, "profile.json"))
+    assert os.path.exists(os.path.join(run_cfg.run_dir, "violations",
+                                       "violations.parquet"))
+
+
+def test_clean_run_all_passes(golden, tmp_path):
+    planted, report, run_cfg, clean_dir, base = golden
+    cfg = ValidationRunConfig(
+        input_dir=clean_dir, run_dir=str(tmp_path / "clean_run"),
+        profile_path=str(base / "reference_profile.json"),
+        suite=[v for v in FULL_SUITE if v != "row_equality"])
+    rep = run_validation(cfg)
+    for p in [f"p{i:04d}" for i in range(8)]:
+        assert rep.overall(p) == "PASSED", (p, [
+            (r.validator_id, r.result, r.comment) for r in rep.responses
+            if r.partition_id == p and r.result.value != "PASSED"])
+    assert rep.violations is None or len(rep.violations) == 0
+
+
+def test_resume_skips_validated(golden, tmp_path):
+    planted, report, run_cfg, clean_dir, base = golden
+    run_dir = str(tmp_path / "resume_run")
+    cfg = ValidationRunConfig(
+        input_dir=clean_dir, run_dir=run_dir,
+        profile_path=str(base / "reference_profile.json"),
+        suite=["record_count", "raw_checksum", "column_stats"])
+    rep1 = run_validation(cfg)
+    assert len(rep1.partitions_run) == 8 and not rep1.partitions_skipped
+    rep2 = run_validation(cfg)
+    assert not rep2.partitions_run
+    assert sorted(rep2.partitions_skipped) == [f"p{i:04d}" for i in range(8)]
