@@ -1,0 +1,465 @@
+"""Deduplication pipelines for training-data curation.
+
+Engine-new operators (beyond the reference's validators — first-class
+requirements for a 100 TB training-data engine):
+
+- ``exact_dedup``        — content-hash partition + per-group representative
+                           (hash shuffle of narrow (hash, id) projection only)
+- ``minhash_lsh_dedup``  — word-shingle MinHash signatures → banded LSH
+                           buckets (groupby shuffle) → candidate pairs →
+                           signature-estimated Jaccard verify → connected
+                           components
+- ``simhash_dedup``      — 64-bit SimHash + 16-bit-chunk LSH for
+                           near-dup by small Hamming distance
+- ``ngram_jaccard``      — exact n-gram Jaccard verification for a
+                           candidate pair list
+- ``embedding_near_dup`` — random-hyperplane LSH buckets over an
+                           embedding column → in-bucket cosine pairs
+
+Scale notes (documented partitioning assumptions): signatures/bands are
+computed vectorized per batch (numpy ``minimum.reduceat`` over flattened
+shingle hashes — no Python loop over rows); only narrow
+(id, band, hash) rows enter the shuffles; candidate verification
+re-derives signatures for the (small) candidate set via a broadcast
+semi-join filter; connected components use driver union-find over the
+capped candidate-pair set (an iterative min-label-propagation groupby is
+the >memory path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from bigdime_ray.functions.hashing import (hash_string_column, mix64,
+                                           u64_to_i64)
+
+_ROT = np.uint64(21)
+_64 = np.uint64(64)
+
+
+def _rotl(x: np.ndarray, r: np.uint64) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (x << r) | (x >> (_64 - r))
+
+
+def _seed_hashes(k: int, seed: int = 0x5EED) -> np.ndarray:
+    return mix64(np.arange(seed, seed + k, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------- exact
+
+def add_fingerprint_column(batch: pa.Table, col: str = "text",
+                           out: str = "fingerprint") -> pa.Table:
+    norm = pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " ")
+    return batch.append_column(out, pa.array(u64_to_i64(
+        hash_string_column(norm))))
+
+
+def exact_dedup_groups(ds: Dataset, col: str = "text",
+                       id_col: str = "doc_id") -> Dataset:
+    """One row per distinct content: (keep_id = min id, cnt).
+
+    hash-partition + per-group first — only (fingerprint, id) is
+    shuffled, never the payload. 64-bit fingerprint collision odds are
+    ~n²/2⁶⁵ (negligible below ~10⁹ distinct docs; widen to 128 bits by
+    salting twice if that matters).
+    """
+    proj = ds.map_batches(lambda b: add_fingerprint_column(b, col),
+                          batch_format="pyarrow", zero_copy_batch=True
+                          ).select_columns(["fingerprint", id_col])
+    return (proj.groupby("fingerprint")
+            .aggregate(Min(id_col, alias_name="keep_id"),
+                       Count(alias_name="cnt"))
+            .drop_columns(["fingerprint"]))
+
+
+def exact_dedup(ds: Dataset, col: str = "text",
+                id_col: str = "doc_id") -> Dataset:
+    """Filter to one representative row (min id) per distinct content.
+
+    Second pass is a broadcast semi-join on the kept-id set when it fits;
+    callers at extreme scale should instead join on fingerprint.
+    """
+    keep = exact_dedup_groups(ds, col, id_col)
+    keep_ids = pa.array(
+        [r["keep_id"] for r in keep.select_columns(["keep_id"]).take_all()])
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=keep_ids))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------- minhash
+
+def _shingle_hashes(text: pa.Array | pa.ChunkedArray, w: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row word-``w``-gram shingle hashes, flattened.
+
+    Returns (flat_shingle_hashes u64, row_starts, row_counts). Rows with
+    fewer than ``w`` words contribute one whole-row shingle.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    norm = pc.utf8_lower(text)
+    words = pc.split_pattern_regex(norm, r"\s+")
+    n_words = (pc.fill_null(pc.list_value_length(words), 0)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(words)
+    wh = hash_string_column(flat)
+    n = len(text)
+    word_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_words, out=word_starts[1:])
+
+    # rolling combine: sh[i] = mix(h[i] ^ rotl(h[i+1],21) ^ rotl(h[i+2],42)...)
+    total = len(wh)
+    acc = wh.copy()
+    for j in range(1, w):
+        shifted = np.zeros(total, dtype=np.uint64)
+        if total > j:
+            shifted[:total - j] = _rotl(wh[j:], np.uint64((_ROT * j) % 63 or 1))
+        acc ^= shifted
+    sh = mix64(acc)
+
+    # valid shingle positions: window stays inside the row
+    counts = np.maximum(n_words - w + 1, 0)
+    short = (n_words > 0) & (n_words < w)
+    row_hash = hash_string_column(norm)  # whole-row fallback shingle
+    out_counts = np.where(short, 1, counts)
+    out_counts = np.where(n_words == 0, 1, out_counts)  # empty row → 1 sentinel
+    out_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_starts[1:])
+    out = np.empty(int(out_starts[-1]), dtype=np.uint64)
+    # vectorized gather of valid windows
+    full_rows = np.nonzero(counts > 0)[0]
+    if len(full_rows):
+        reps = counts[full_rows]
+        # positions within each row 0..counts-1
+        pos_in_row = (np.arange(int(reps.sum()), dtype=np.int64)
+                      - np.repeat(np.cumsum(reps) - reps, reps))
+        src = np.repeat(word_starts[full_rows], reps) + pos_in_row
+        dst_idx = np.repeat(out_starts[full_rows], reps) + pos_in_row
+        out[dst_idx] = sh[src]
+    # fallbacks
+    fb = np.nonzero(short | (n_words == 0))[0]
+    if len(fb):
+        out[out_starts[fb]] = row_hash[fb]
+    return out, out_starts, out_counts
+
+
+def minhash_signatures(text: pa.Array | pa.ChunkedArray, num_perm: int = 128,
+                       shingle_w: int = 3, seed: int = 0x5EED) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signature matrix, vectorized."""
+    sh, starts, counts = _shingle_hashes(text, shingle_w)
+    n = len(counts)
+    seeds = _seed_hashes(num_perm, seed)
+    sig = np.empty((n, num_perm), dtype=np.uint64)
+    if len(sh) == 0:
+        sig[:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        return sig
+    safe_starts = np.minimum(starts[:-1], len(sh) - 1)
+    for i in range(num_perm):
+        h = mix64(sh ^ seeds[i])
+        m = np.minimum.reduceat(h, safe_starts)
+        m[counts == 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        sig[:, i] = m
+    return sig
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 — one hash per signature band."""
+    n, k = sig.shape
+    assert k % bands == 0, "num_perm must be divisible by bands"
+    r = k // bands
+    chunk = sig.reshape(n, bands, r)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = mix64(acc ^ _rotl(chunk[:, :, j], np.uint64(17)))
+    return acc
+
+
+@dataclass
+class NearDupResult:
+    pairs: pd.DataFrame      # columns: id_a, id_b, similarity
+    clusters: pd.DataFrame   # columns: id, rep  (rep = min id of component)
+    candidate_pairs: int = 0
+    capped_buckets: int = 0
+
+
+def _union_find_clusters(pairs: list[tuple], ids: set) -> pd.DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [{"id": i, "rep": find(i)} for i in sorted(ids)]
+    return pd.DataFrame(rows, columns=["id", "rep"])
+
+
+def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 128,
+                      bands: int = 32, shingle_w: int = 3,
+                      threshold: float = 0.7,
+                      bucket_cap: int = 64) -> NearDupResult:
+    """MinHash + banded LSH near-duplicate detection.
+
+    Pass 1 (map_batches): signatures → (id, band, band_hash) rows.
+    Shuffle: groupby (band, band_hash); buckets ≥2 → candidate pairs
+    (bucket capped at ``bucket_cap`` ids; cap hits are reported, not
+    silent). Pass 2: signatures re-derived for candidate ids only
+    (broadcast semi-join) → estimated Jaccard = matching-minhash
+    fraction → pairs ≥ threshold → union-find components.
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[text_col], num_perm, shingle_w)
+        bh = _band_hashes(sig, bands)
+        n = batch.num_rows
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "bh": pa.array(u64_to_i64(bh.reshape(-1))),
+        })
+
+    band_rows = ds.map_batches(to_bands, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "capped": []})
+        ids = sorted(g[id_col].unique())
+        capped = len(ids) > bucket_cap
+        ids = ids[:bucket_cap]
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+        return pd.DataFrame({"id_a": a, "id_b": b,
+                             "capped": [capped] * len(a)})
+
+    pair_rows = (band_rows.groupby(["band", "bh"])
+                 .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
+    capped_buckets = int(pair_rows["capped"].sum()) if len(pair_rows) else 0
+    cand = (pair_rows[["id_a", "id_b"]].drop_duplicates()
+            if len(pair_rows) else pd.DataFrame({"id_a": [], "id_b": []}))
+
+    if len(cand) == 0:
+        return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
+                                           "similarity": []}),
+                             pd.DataFrame({"id": [], "rep": []}), 0, 0)
+
+    cand_ids = sorted(set(cand.id_a) | set(cand.id_b))
+    id_set = pa.array(cand_ids)
+
+    def sigs_for_candidates(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch[id_col], value_set=id_set))
+        if hit.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=batch[id_col].type),
+                             "sig": pa.array([], type=pa.binary())})
+        sig = minhash_signatures(hit[text_col], num_perm, shingle_w)
+        return pa.table({id_col: hit[id_col],
+                         "sig": pa.array([s.tobytes() for s in sig],
+                                         type=pa.binary())})
+
+    sig_rows = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    sig_by_id = {r[id_col]: np.frombuffer(r["sig"], dtype=np.uint64)
+                 for r in sig_rows}
+
+    keep = []
+    for a, b in zip(cand.id_a, cand.id_b):
+        sa, sb = sig_by_id.get(a), sig_by_id.get(b)
+        if sa is None or sb is None:
+            continue
+        est = float((sa == sb).mean())
+        if est >= threshold:
+            keep.append((a, b, est))
+    pairs = pd.DataFrame(keep, columns=["id_a", "id_b", "similarity"])
+    dup_ids = set(pairs.id_a) | set(pairs.id_b)
+    clusters = _union_find_clusters(
+        [(a, b) for a, b, _ in keep], dup_ids)
+    return NearDupResult(pairs, clusters, int(len(cand)), capped_buckets)
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash_signatures(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit SimHash per row over word hashes (bit-vote), vectorized."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    n_words = (pc.fill_null(pc.list_value_length(words), 0)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+    wh = hash_string_column(pc.list_flatten(words))
+    n = len(text)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_words, out=starts[1:])
+    total = len(wh)
+    sig = np.zeros(n, dtype=np.uint64)
+    if total == 0:
+        return sig
+    safe = np.minimum(starts[:-1], total - 1)
+    for bit in range(64):
+        votes = ((wh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        s = np.add.reduceat(votes, safe)
+        s[n_words == 0] = 0
+        sig |= (s > 0).astype(np.uint64) << np.uint64(bit)
+    return sig
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = a ^ b
+    cnt = np.zeros(len(x) if x.ndim else (), dtype=np.int64)
+    for _ in range(64):
+        cnt = cnt + (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def simhash_dedup(ds: Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3
+                  ) -> NearDupResult:
+    """Near-dup by SimHash: 4×16-bit chunk LSH (any pair within Hamming
+    distance ≤3 shares at least one exact 16-bit chunk) → verify exact
+    Hamming distance on the candidate pairs."""
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        sig = simhash_signatures(batch[text_col])
+        n = batch.num_rows
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        chunks = np.empty((n, 4), dtype=np.int64)
+        for c in range(4):
+            chunks[:, c] = ((sig >> np.uint64(16 * c)) &
+                            np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4)),
+            "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "ch": pa.array(chunks.reshape(-1)),
+            "sig": pa.array(u64_to_i64(np.repeat(sig, 4))),
+        })
+
+    rows = ds.map_batches(to_chunks, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [],
+                                 "sig_a": [], "sig_b": []})
+        g = g.drop_duplicates(id_col).sort_values(id_col).head(64)
+        recs = list(zip(g[id_col], g["sig"]))
+        out = [(a, b, sa, sb) for i, (a, sa) in enumerate(recs)
+               for (b, sb) in recs[i + 1:]]
+        return pd.DataFrame(out, columns=["id_a", "id_b", "sig_a", "sig_b"])
+
+    cand = (rows.groupby(["chunk", "ch"])
+            .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
+    if len(cand) == 0:
+        return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
+                                           "similarity": []}),
+                             pd.DataFrame({"id": [], "rep": []}), 0, 0)
+    cand = cand.drop_duplicates(["id_a", "id_b"])
+    d = hamming64(cand.sig_a.to_numpy().astype(np.int64).view(np.uint64),
+                  cand.sig_b.to_numpy().astype(np.int64).view(np.uint64))
+    keep = cand[d <= max_hamming]
+    sim = 1.0 - d[d <= max_hamming] / 64.0
+    pairs = pd.DataFrame({"id_a": keep.id_a.to_numpy(),
+                          "id_b": keep.id_b.to_numpy(),
+                          "similarity": sim})
+    dup_ids = set(pairs.id_a) | set(pairs.id_b)
+    clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)), dup_ids)
+    return NearDupResult(pairs, clusters, int(len(cand)), 0)
+
+
+# ------------------------------------------------------------- n-gram
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard for a verified pair (driver-side)."""
+    def grams(t: str) -> set:
+        ws = t.lower().split()
+        if len(ws) < n:
+            return {tuple(ws)}
+        return {tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / len(ga | gb)
+
+
+# ---------------------------------------------------------- embeddings
+
+def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
+                       id_col: str = "vec_id", threshold: float = 0.98,
+                       planes: int = 12, seed: int = 77,
+                       bucket_cap: int = 256) -> NearDupResult:
+    """Near-dup vectors: random-hyperplane LSH bucket → in-bucket cosine.
+
+    One shuffle of (id, bucket, vec) rows; pairwise cosine only inside
+    buckets (capped). Vectors with cosine ≥ threshold almost surely share
+    a bucket when ``planes`` is small relative to the angle margin.
+    """
+    first = ds.take(1)[0]
+    dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes_m = rng.normal(size=(dim, planes))
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        emb = batch[emb_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+        x = flat.reshape(-1, dim).astype(np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.maximum(norms, 1e-12)
+        bits = (x @ planes_m) > 0
+        bucket = np.zeros(len(x), dtype=np.int64)
+        for p in range(planes):
+            bucket |= bits[:, p].astype(np.int64) << p
+        return pa.table({
+            id_col: batch[id_col],
+            "bucket": pa.array(bucket),
+            "vec": pa.array(list(x.astype(np.float32))),
+        })
+
+    rows = ds.map_batches(to_buckets, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
+        g = g.sort_values(id_col).head(bucket_cap)
+        ids = g[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        sims = m @ m.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][mask]],
+                             "id_b": ids[iu[1][mask]],
+                             "similarity": sims[iu][mask]})
+
+    pairs = (rows.groupby("bucket")
+             .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
+    if len(pairs) == 0:
+        return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
+                                           "similarity": []}),
+                             pd.DataFrame({"id": [], "rep": []}), 0, 0)
+    pairs = pairs.drop_duplicates(["id_a", "id_b"])
+    dup_ids = set(pairs.id_a) | set(pairs.id_b)
+    clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)),
+                                    dup_ids)
+    return NearDupResult(pairs.reset_index(drop=True), clusters,
+                         int(len(pairs)), 0)

@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Engine-new operators for training-data curation at scale:
+
+- ``brute_force_topk`` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put`` → read per actor/task), each batch does one
+  numpy matmul and keeps its local top-k (argpartition), then the tiny
+  (num_blocks × k × q) candidate stream is reduced to the global top-k.
+  Per-batch work is O(batch × dim × q); nothing but (query_id, id, score)
+  rows leave the tasks.
+- ``ivf_topk`` — IVF-style scale path: numpy k-means (Lloyd, seeded) on a
+  driver-side sample builds ``nlist`` centroids (broadcast); batches
+  assign rows to their nearest centroid and only rows in the ``nprobe``
+  closest clusters to each query are scored. Approximate; recall
+  controlled by nprobe/nlist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+
+def _to_matrix(emb: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, dim).astype(np.float64)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
+                     emb_col: str = "embedding", id_col: str = "vec_id"
+                     ) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns
+    (query_id, vec_id, cosine, rank) with deterministic tie-break by id."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(queries)
+    dim = queries.shape[1]
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        x = _normalize(_to_matrix(batch[emb_col], dim))
+        sims = x @ q.T  # (n, nq)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n, nq = sims.shape
+        kk = min(k, n)
+        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        out_ids, out_q, out_s = [], [], []
+        for qi in range(nq):
+            sel = idx[:, qi]
+            out_ids.append(ids[sel])
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_s.append(sims[sel, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_ids)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        })
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top
+
+
+def kmeans_fit(x: np.ndarray, nlist: int, iters: int = 10,
+               seed: int = 11) -> np.ndarray:
+    """Plain Lloyd k-means on normalized vectors (driver-side sample)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(x)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, emb_col: str = "embedding",
+             id_col: str = "vec_id", sample_size: int = 10_000,
+             seed: int = 11) -> pd.DataFrame:
+    """IVF-bucketed approximate cosine top-k (scale path).
+
+    Centroids are fit on a sample and broadcast; each batch scores only
+    rows whose assigned cluster is probed by some query.
+    """
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(queries)
+    dim = queries.shape[1]
+
+    sample_rows = ds.limit(sample_size).select_columns([emb_col]).take_all()
+    sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+    cent = kmeans_fit(sample, nlist, seed=seed)
+
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_clusters = np.unique(probe)
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(qn)
+    probe_ref = ray.put(probe)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = ray.get(q_ref)
+        pr = ray.get(probe_ref)
+        x = _normalize(_to_matrix(batch[emb_col], dim))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign = (x @ c.T).argmax(axis=1)
+        mask = np.isin(assign, probed_clusters)
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        x, ids, assign = x[mask], ids[mask], assign[mask]
+        sims = x @ q.T
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(q)):
+            qmask = np.isin(assign, pr[qi])
+            if not qmask.any():
+                continue
+            s = sims[qmask, qi]
+            sel_ids = ids[qmask]
+            kk = min(k, len(s))
+            sel = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_i.append(sel_ids[sel])
+            out_s.append(s[sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_i)),
+                         "cosine": pa.array(np.concatenate(out_s))})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"query_id": [], id_col: [], "cosine": [],
+                             "rank": []})
+    cand = cand.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top

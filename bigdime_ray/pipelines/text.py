@@ -1,0 +1,124 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Engine-new operators (not in the reference — required additions for a
+100 TB training-data pipeline): language-ID (stopword heuristic),
+quality scoring, token counting (whitespace + word/punct regex),
+document fingerprinting. All are vectorized Arrow kernels
+(``pc.count_substring_regex`` / ``pc.utf8_length`` — no Python loop over
+rows); the stateful variant (``TextAnalyzer``) is an actor-pool callable
+class whose regex/stopword tables are built once per actor in
+``__init__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from bigdime_ray.functions.hashing import hash_string_column, u64_to_i64
+
+# whitespace tokenization — SQL parity:
+#   array_length(string_split_regex(trim(text), '\s+'))
+WS_TOKEN_RE = r"\S+"
+# BPE-ish word/punctuation tokenization
+WORD_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+# tiny per-language stopword marker sets (heuristic lang-id)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def count_tokens(text: pa.ChunkedArray | pa.Array,
+                 pattern: str = WS_TOKEN_RE) -> pa.Array:
+    """Vectorized token count (number of regex matches per row)."""
+    return pc.count_substring_regex(text, pattern)
+
+
+def add_token_counts(batch: pa.Table, col: str = "text") -> pa.Table:
+    t = batch[col]
+    batch = batch.append_column("n_ws_tokens",
+                                pc.cast(count_tokens(t, WS_TOKEN_RE), pa.int64()))
+    return batch.append_column("n_word_tokens",
+                               pc.cast(count_tokens(t, WORD_TOKEN_RE), pa.int64()))
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
+    """64-bit content fingerprint of the normalized text (case-folded,
+    whitespace-collapsed) — exact-dup key for dedup pipelines."""
+    norm = pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " ")
+    fp = u64_to_i64(hash_string_column(norm))
+    return batch.append_column("fingerprint", pa.array(fp))
+
+
+class TextAnalyzer:
+    """Actor-pool stage: language-ID + quality score per batch.
+
+    ``__init__`` (once per actor) precompiles the per-language marker
+    regexes; ``__call__`` (per batch) is pure vectorized Arrow compute.
+    """
+
+    def __init__(self, langs: dict[str, list[str]] | None = None):
+        langs = langs or LANG_MARKERS
+        self.lang_patterns = {
+            lang: r"(?i)\b(" + "|".join(words) + r")\b" if lang != "zh"
+            else "(" + "|".join(words) + ")"
+            for lang, words in langs.items()}
+        self.lang_names = list(self.lang_patterns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n = batch.num_rows
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_ws = count_tokens(text, WS_TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_punct = (pc.count_substring_regex(text, r"[^\w\s]")
+                   .to_numpy(zero_copy_only=False).astype(np.float64))
+        n_digit = (pc.count_substring_regex(text, r"\d")
+                   .to_numpy(zero_copy_only=False).astype(np.float64))
+
+        # language id: argmax of per-language marker hit-rate
+        scores = np.zeros((len(self.lang_names), n))
+        for i, lang in enumerate(self.lang_names):
+            hits = pc.count_substring_regex(text, self.lang_patterns[lang])
+            scores[i] = hits.to_numpy(zero_copy_only=False)
+        scores = scores / np.maximum(n_ws, 1.0)
+        best = scores.argmax(axis=0)
+        confident = scores.max(axis=0) > 0.0
+        langs = np.where(confident,
+                         np.asarray(self.lang_names, dtype=object)[best],
+                         "unknown")
+
+        # quality: penalize extreme length, high punct/digit ratios,
+        # very short average words
+        safe_chars = np.maximum(n_chars, 1.0)
+        punct_ratio = n_punct / safe_chars
+        digit_ratio = n_digit / safe_chars
+        mean_word_len = safe_chars / np.maximum(n_ws, 1.0)
+        length_score = np.clip(n_ws / 20.0, 0.0, 1.0) * np.clip(
+            2.0 - n_ws / 20000.0, 0.0, 1.0).clip(0, 1)
+        quality = np.clip(
+            length_score
+            * (1.0 - np.clip(punct_ratio * 3.0, 0.0, 0.8))
+            * (1.0 - np.clip(digit_ratio * 2.0, 0.0, 0.8))
+            * np.clip(mean_word_len / 3.0, 0.2, 1.0), 0.0, 1.0)
+
+        batch = batch.append_column("lang_pred",
+                                    pa.array(langs, type=pa.string()))
+        batch = batch.append_column("lang_score",
+                                    pa.array(scores.max(axis=0)))
+        return batch.append_column("quality", pa.array(quality))
+
+
+def analyze_text(ds, concurrency: int | None = 4, batch_size: int = 4096):
+    """documents-style Dataset → + lang_pred/lang_score/quality columns."""
+    if concurrency:
+        return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency,
+                              num_cpus=1)
+    return ds.map_batches(TextAnalyzer(), batch_format="pyarrow",
+                          batch_size=batch_size)

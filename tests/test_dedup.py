@@ -1,0 +1,98 @@
+"""Dedup pipelines: exact, MinHash-LSH, SimHash, embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.pipelines.dedup import (embedding_near_dup, exact_dedup,
+                                         exact_dedup_groups, minhash_lsh_dedup,
+                                         minhash_signatures, ngram_jaccard,
+                                         simhash_dedup, simhash_signatures)
+
+
+@pytest.fixture(scope="module")
+def doc_ds():
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 40)) for _ in range(50)]
+    texts = list(base)
+    # exact dup
+    texts.append(base[0])
+    # near dup: change 2 of 40 words
+    nd = base[1].split()
+    nd[5], nd[20] = "XX", "YY"
+    texts.append(" ".join(nd))
+    ids = list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts)}))
+
+
+def test_exact_dedup(doc_ds):
+    groups = exact_dedup_groups(doc_ds).to_pandas()
+    assert len(groups) == 51  # 52 rows, one exact dup
+    assert groups.cnt.sum() == 52
+    dup_group = groups[groups.cnt > 1]
+    assert len(dup_group) == 1 and dup_group.iloc[0].keep_id == 0
+    kept = exact_dedup(doc_ds).to_pandas()
+    assert len(kept) == 51
+    assert 50 not in set(kept.doc_id)  # the exact dup of id 0 is dropped
+    assert 51 in set(kept.doc_id)      # the near-dup survives exact dedup
+
+
+def test_minhash_signature_properties():
+    texts = pa.array([
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tomorrow",
+        "completely different words entirely unrelated content here now",
+    ])
+    sig = minhash_signatures(texts, num_perm=128)
+    assert sig.shape == (3, 128)
+    sim01 = (sig[0] == sig[1]).mean()
+    sim02 = (sig[0] == sig[2]).mean()
+    assert sim01 > 0.5 > sim02
+
+
+def test_minhash_lsh_dedup(doc_ds):
+    res = minhash_lsh_dedup(doc_ds, threshold=0.5)
+    found = {frozenset((a, b)) for a, b in zip(res.pairs.id_a, res.pairs.id_b)}
+    assert frozenset((0, 50)) in found    # exact dup pair
+    assert frozenset((1, 51)) in found    # near dup pair
+    # nothing else similar
+    assert len(found) == 2
+    reps = dict(zip(res.clusters.id, res.clusters.rep))
+    assert reps[50] == 0 and reps[51] == 1
+
+
+def test_simhash(doc_ds):
+    s = simhash_signatures(pa.array(["a b c d e f g h", "a b c d e f g h",
+                                     "q r s t u v w x"]))
+    assert s[0] == s[1] and s[0] != s[2]
+    res = simhash_dedup(doc_ds, max_hamming=3)
+    found = {frozenset((a, b)) for a, b in zip(res.pairs.id_a, res.pairs.id_b)}
+    assert frozenset((0, 50)) in found
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    mid = ngram_jaccard("a b c d e f", "a b c d e g")
+    assert 0.0 < mid < 1.0
+
+
+def test_embedding_near_dup():
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 16))
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    near = vecs[0] + rng.normal(scale=0.01, size=16)  # ~same direction
+    all_vecs = np.vstack([vecs, near[None, :]])
+    tbl = pa.table({
+        "vec_id": pa.array(range(41), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in all_vecs],
+                              type=pa.list_(pa.float32()))})
+    res = embedding_near_dup(ray.data.from_arrow(tbl), threshold=0.98,
+                             planes=8)
+    found = {frozenset((a, b)) for a, b in zip(res.pairs.id_a, res.pairs.id_b)}
+    assert frozenset((0, 40)) in found

@@ -1,0 +1,67 @@
+"""Skew-aware shuffle helpers: salting is invisible (metamorphic)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from bigdime_ray.stages.shuffle import (add_salt, block_preagg_counts,
+                                        detect_hot_keys, salted_aggregate)
+
+
+@pytest.fixture(scope="module")
+def skewed_ds():
+    rng = np.random.default_rng(13)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, "hot",
+                    rng.choice([f"k{i}" for i in range(10)], n))
+    ntok = rng.integers(1, 500, n)
+    ids = np.array([f"d{i:07d}" for i in range(n)], dtype=object)
+    tbl = pa.table({"source": pa.array(keys.astype(object), type=pa.string()),
+                    "n_tok": pa.array(ntok, type=pa.int32()),
+                    "doc_id": pa.array(ids, type=pa.string())})
+    return ray.data.from_arrow(tbl).repartition(8)
+
+
+def test_detect_hot_keys(skewed_ds):
+    hot = detect_hot_keys(skewed_ds, "source", sample_frac=0.2,
+                          hot_share=0.2, target_rows_per_group=1000)
+    assert "hot" in hot and hot["hot"] >= 2
+
+
+def test_salted_equals_unsalted(skewed_ds):
+    unsalted = (skewed_ds.groupby("source")
+                .aggregate(Count(alias_name="cnt"),
+                           Sum("n_tok", alias_name="vsum"),
+                           Min("n_tok", alias_name="vmin"),
+                           Max("n_tok", alias_name="vmax"))
+                .to_pandas().sort_values("source").reset_index(drop=True))
+    salted = (salted_aggregate(skewed_ds, "source", "n_tok",
+                               {"hot": 7})
+              .to_pandas().sort_values("source").reset_index(drop=True))
+    assert list(salted.columns[0:1]) == ["source"]
+    for col in ["cnt", "vsum", "vmin", "vmax"]:
+        assert list(salted[col]) == list(unsalted[col]), col
+
+
+def test_preagg_counts_match_exact(skewed_ds):
+    got = (block_preagg_counts(skewed_ds.select_columns(["source", "n_tok"]),
+                               ["source"])
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    exact = (skewed_ds.groupby("source")
+             .aggregate(Count(alias_name="cnt"),
+                        Sum("n_tok", alias_name="ntok_sum"))
+             .to_pandas().sort_values("source").reset_index(drop=True))
+    assert list(got.cnt) == list(exact.cnt)
+    assert list(got.ntok_sum) == list(exact.ntok_sum)
+
+
+def test_add_salt_deterministic(skewed_ds):
+    tbl = pa.table({"source": pa.array(["hot", "cold", "hot"]),
+                    "doc_id": pa.array(["a", "b", "c"]),
+                    "n_tok": pa.array([1, 2, 3], type=pa.int32())})
+    s1 = add_salt(tbl, "source", {"hot": 5})["__salt"].to_pylist()
+    s2 = add_salt(tbl, "source", {"hot": 5})["__salt"].to_pylist()
+    assert s1 == s2
+    assert s1[1] == 0  # non-hot key unsalted

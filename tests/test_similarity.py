@@ -1,0 +1,70 @@
+"""Similarity search: brute-force exact vs numpy ground truth; IVF recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.pipelines.similarity import (brute_force_topk, ivf_topk,
+                                              kmeans_fit)
+
+
+@pytest.fixture(scope="module")
+def emb_ds():
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(500, 32))
+    tbl = pa.table({
+        "vec_id": pa.array(range(500), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in x],
+                              type=pa.list_(pa.float32()))})
+    # float32 storage → recompute ground truth from the stored values
+    stored = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    return ray.data.from_arrow(tbl).repartition(4), stored
+
+
+def _exact_topk(stored, q, k):
+    xn = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = xn @ qn
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return list(order[:k])
+
+
+def test_brute_force_matches_numpy(emb_ds):
+    ds, stored = emb_ds
+    q = stored[7]
+    top = brute_force_topk(ds, q[None, :], k=10)
+    assert list(top.vec_id) == _exact_topk(stored, q, 10)
+    assert top.iloc[0].vec_id == 7 and top.iloc[0].cosine == pytest.approx(1.0)
+    assert (top["rank"] == np.arange(1, 11)).all()
+
+
+def test_brute_force_multi_query(emb_ds):
+    ds, stored = emb_ds
+    qs = stored[[3, 11]]
+    top = brute_force_topk(ds, qs, k=5)
+    assert set(top.query_id) == {0, 1}
+    for qi, qrow in [(0, stored[3]), (1, stored[11])]:
+        got = list(top[top.query_id == qi].vec_id)
+        assert got == _exact_topk(stored, qrow, 5)
+
+
+def test_ivf_recall(emb_ds):
+    ds, stored = emb_ds
+    q = stored[42]
+    exact = set(_exact_topk(stored, q, 10))
+    approx = ivf_topk(ds, q[None, :], k=10, nlist=8, nprobe=4)
+    got = set(approx.vec_id)
+    # recall@10 with half the lists probed should be high
+    assert len(got & exact) >= 6
+    assert 42 in got  # the vector itself lives in a probed cluster
+
+
+def test_kmeans_partitions_space():
+    rng = np.random.default_rng(5)
+    a = rng.normal(loc=(5, 0), scale=0.1, size=(50, 2))
+    b = rng.normal(loc=(-5, 0), scale=0.1, size=(50, 2))
+    cent = kmeans_fit(np.vstack([a, b]), nlist=2, iters=10)
+    # two clusters roughly ±x
+    signs = sorted(np.sign(cent[:, 0]))
+    assert signs == [-1.0, 1.0]

@@ -1,0 +1,49 @@
+"""Text-analysis stages over the driver documents table + synthetic rows."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.pipelines.text import (TextAnalyzer, add_fingerprint,
+                                        add_token_counts, analyze_text,
+                                        count_tokens)
+
+
+def test_token_counts_match_python_split():
+    texts = ["a b  c", "", "one", "x y z w", "  lead trail  "]
+    arr = pa.array(texts)
+    got = count_tokens(arr).to_pylist()
+    assert got == [len(t.split()) for t in texts]
+
+
+def test_add_token_counts_and_fingerprint():
+    t = pa.table({"text": pa.array(["Hello World", "hello   world", "bye"])})
+    out = add_token_counts(t)
+    assert out["n_ws_tokens"].to_pylist() == [2, 2, 1]
+    fp = add_fingerprint(t)["fingerprint"].to_pylist()
+    # normalization: case + whitespace collapse → same fingerprint
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+def test_analyzer_lang_and_quality():
+    an = TextAnalyzer()
+    t = pa.table({"text": pa.array([
+        "the cat and the dog sat in the house with the mouse and the bird",
+        "el perro y el gato que viven en la casa por los campos de una villa",
+        "zz qq xx",
+    ])})
+    out = an(t)
+    langs = out["lang_pred"].to_pylist()
+    assert langs[0] == "en" and langs[1] == "es"
+    q = out["quality"].to_pylist()
+    assert all(0.0 <= x <= 1.0 for x in q)
+    assert q[0] > q[2]  # real-ish sentence beats 3-token junk
+
+
+def test_analyze_text_on_documents(sf001_dir):
+    ds = ray.data.read_parquet(f"{sf001_dir}/documents.parquet")
+    out = analyze_text(ds, concurrency=2).to_pandas()
+    assert len(out) == 500
+    assert {"lang_pred", "lang_score", "quality"} <= set(out.columns)
+    assert out.quality.between(0, 1).all()
