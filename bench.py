@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline metric: wall-clock of the FULL validation suite (the engine's
+north-star workload, ``BASELINE.json:2``) over a deterministic synthetic
+tokenized table (~BENCH_ROWS rows, FIXTURES F1 shape), plus per-query
+timings of representative operators over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``).
+
+Session ownership: this script (and only scripts like it) calls
+``ray.init`` / ``ray.shutdown``. ``RAY_GRAFT_CPUS`` sets parallelism
+(default 32).
+
+``--scaling``: runs the benchmark twice in FRESH processes at
+``num_cpus=8`` and ``num_cpus=32`` on identical, pre-generated input and
+reports throughputs + scaling efficiency — the sandbox protocol for the
+N→4N-node criterion (``BASELINE.json:14``; cluster sizes are emulated by
+parallelism level, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ROWS = int(os.environ.get("BIGDIME_BENCH_ROWS", 2_000_000))
+BENCH_PARTS = int(os.environ.get("BIGDIME_BENCH_PARTS", 64))
+BENCH_DATA = os.environ.get("BIGDIME_BENCH_DATA",
+                            f"/tmp/bigdime_bench_{BENCH_ROWS}_{BENCH_PARTS}")
+
+
+def _ensure_bench_data() -> str:
+    from bigdime_ray.synth import SynthConfig, generate_dataset_parallel
+    from bigdime_ray.pipelines.profile import build_profile
+
+    marker = os.path.join(BENCH_DATA, ".complete")
+    if not os.path.exists(marker):
+        cfg = SynthConfig(num_rows=BENCH_ROWS, num_partitions=BENCH_PARTS,
+                          seed=42)
+        generate_dataset_parallel(BENCH_DATA, cfg)
+        build_profile(os.path.join(BENCH_DATA, "data"),
+                      save_path=os.path.join(BENCH_DATA,
+                                             "reference_profile.json"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return BENCH_DATA
+
+
+def _warm_page_cache(paths: list[str]) -> None:
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                for f in files:
+                    with open(os.path.join(root, f), "rb") as fh:
+                        while fh.read(1 << 22):
+                            pass
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entry_mod
+    from bigdime_ray.pipelines.validate import (ValidationRunConfig,
+                                                run_validation)
+    from bigdime_ray.validators import DEFAULT_SUITE
+
+    bench_dir = _ensure_bench_data()
+    _warm_page_cache([os.path.join(bench_dir, "data"), sf_dir])
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full validation suite over the synthetic tokens table
+    import shutil
+    run_dir = os.path.join(bench_dir, f"run_cpus{num_cpus}")
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    report = run_validation(ValidationRunConfig(
+        input_dir=bench_dir, run_dir=run_dir,
+        profile_path=os.path.join(bench_dir, "reference_profile.json"),
+        suite=list(DEFAULT_SUITE), resume=False))
+    headline = time.perf_counter() - t0
+    timings["validation_suite"] = round(headline, 3)
+    n_resp = len(report.responses)
+
+    # --- representative operator queries over the driver testdata
+    queries = entry_mod.queries()
+    for name in ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
+                 "token_count", "events_hourly_window", "knn_cosine_top10",
+                 "per_source_stats_salted"]:
+        t0 = time.perf_counter()
+        res = queries[name](sf_dir)
+        # force execution
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "full validation suite wall-clock over "
+                  f"{BENCH_ROWS} synthetic tokenized rows",
+        "value": timings["validation_suite"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": BENCH_ROWS,
+        "rows_per_sec": round(BENCH_ROWS / timings["validation_suite"], 1),
+        "responses": n_resp,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Fresh process per parallelism level, identical input."""
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (fresh ray.init at "
+                  f"{lo} vs {hi} cpus, identical input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": results[lo]["rows_per_sec"],
+        f"rows_per_sec_{hi}": results[hi]["rows_per_sec"],
+        "speedup": round(t_lo / t_hi, 2),
+        "queries": {f"cpus_{lo}": results[lo]["queries"],
+                    f"cpus_{hi}": results[hi]["queries"]},
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

