@@ -303,6 +303,14 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                 resp = v.finalize(p, merged_states.get((p, src)), ctx)
                 if resp is not None:
                     responses.append(resp)
+            glob = v.finalize_global(
+                {p: merged_states[(p, src)] for p in schema_ok
+                 if (p, src) in merged_states}, ctx)
+            for r in glob:
+                responses.append(r)
+                art = getattr(r, "artifact", None)
+                if art is not None:
+                    artifacts[vid] = art
 
         # --- merged global profile (drift baseline artifact, FIXTURES F4) ---
         prof_states = [merged_states[k] for k in merged_states

@@ -114,6 +114,13 @@ class Validator:
                  ctx: ValidationContext) -> Optional[ValidationResponse]:
         return None
 
+    def finalize_global(self, states: dict,
+                        ctx: ValidationContext) -> list:
+        """Cross-partition finalize: ``states`` maps partition_id → merged
+        state for this validator. Return extra ValidationResponses (e.g.
+        a "__global__" row). Default: none."""
+        return []
+
     # ---- shuffle-phase validators override this instead ----
     def run_global(self, ds, ctx: ValidationContext):
         """Return (violations: pa.Table | Dataset | None,
