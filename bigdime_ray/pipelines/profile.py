@@ -16,7 +16,7 @@ from bigdime_ray.sources.tokens import read_tokens
 from bigdime_ray.spi import ValidationContext
 from bigdime_ray.stages.scan import ScanWorker
 from bigdime_ray.state.profile import ReferenceProfile
-from bigdime_ray.state.sketches import PartialState
+from bigdime_ray.state.sketches import PartialState, merge_states
 
 
 def build_profile(input_dir: Optional[str] = None, ds: Optional[Dataset] = None,
@@ -35,11 +35,10 @@ def build_profile(input_dir: Optional[str] = None, ds: Optional[Dataset] = None,
                                concurrency=concurrency, num_cpus=1, **kwargs)
     else:
         union = ds.map_batches(ScanWorker(["column_stats"], ctx), **kwargs)
-    rows = union.filter(expr="kind == 'state'").take_all()
-    states = [PartialState.from_bytes(r["payload"]) for r in rows]
-    acc = states[0]
-    for s in states[1:]:
-        acc = acc.merge(s)
+    rows = union.take_all()
+    states = [PartialState.from_bytes(r["payload"]) for r in rows
+              if r["kind"] == "state"]
+    acc = merge_states(states)
     prof = ReferenceProfile(column_stats=acc.column_stats,
                             token_histogram=acc.token_histogram,
                             ntok_digest=acc.ntok_digest)

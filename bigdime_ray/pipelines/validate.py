@@ -45,7 +45,7 @@ from bigdime_ray.state.manifest import (RunManifest, STATUS_FAILED,
                                         STATUS_VALIDATED, config_hash,
                                         fingerprint_files)
 from bigdime_ray.state.profile import ReferenceProfile
-from bigdime_ray.state.sketches import PartialState
+from bigdime_ray.state.sketches import PartialState, merge_states
 from bigdime_ray.validators import DEFAULT_SUITE
 from bigdime_ray.validators.stats_profile import ProfileState
 
@@ -64,6 +64,10 @@ class ValidationRunConfig:
     chi2_pvalue_min: float = 0.001
     ks_d_max: float = 0.15
     scan_concurrency: object = "auto"    # actor pool size; "auto" → ~80% CPUs; None → tasks
+    #: "driver": ONE take_all of the scan union, states merged on the
+    #: driver (fastest; fine while Σ state bytes ≲ 1 GB). "combine":
+    #: block-local combine stage first (the >10⁵-block scale path).
+    state_merge: str = "driver"
     resume: bool = True
     collect_violations: bool = True      # gather into the report (capped)
     max_collected_violations: int = 1_000_000
@@ -85,6 +89,7 @@ class RunReport:
     partitions_run: list[str]
     partitions_skipped: list[str]
     artifacts: dict = field(default_factory=dict)
+    phase_seconds: dict = field(default_factory=dict)  # wall-clock per phase
 
     def result_for(self, partition_id: str, validator_id: str) -> Optional[str]:
         for r in self.responses:
@@ -163,15 +168,24 @@ def _merge_scan_states(states_ds: Dataset) -> dict:
 
     rows = (states_ds.map_batches(combine_block, batch_format="pandas")
             .take_all())
-    merged: dict = {}
+    by_key: dict = {}
     for r in rows:
-        key = (r["partition_id"], r["validator_id"])
-        st = PartialState.from_bytes(r["payload"])
-        merged[key] = merged[key].merge(st) if key in merged else st
-    return merged
+        by_key.setdefault((r["partition_id"], r["validator_id"]),
+                          []).append(r["payload"])
+    return {key: merge_states([PartialState.from_bytes(b) for b in payloads])
+            for key, payloads in by_key.items()}
 
 
 def run_validation(cfg: ValidationRunConfig) -> RunReport:
+    import time as _time
+    _t = {"start": _time.perf_counter()}
+    phase_seconds: dict = {}
+
+    def _mark(name):
+        now = _time.perf_counter()
+        phase_seconds[name] = round(now - _t["start"], 3)
+        _t["start"] = now
+
     data_dir = os.path.join(cfg.input_dir, "data")
     if not os.path.isdir(data_dir):
         data_dir = cfg.input_dir
@@ -240,6 +254,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                             "schema gate failed for partition"))
 
     ctx.partitions = schema_ok
+    _mark("setup_and_schema_gate")
 
     # --- setup gate per validator (reference INCOMPLETE_SETUP branch) ---
     scan_vids, final_vids, global_vids = [], [], []
@@ -289,11 +304,35 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
             else:
                 union = ds.map_batches(
                     ScanWorker(scan_vids, ctx), **scan_kwargs)
-            union = union.materialize()  # small: capped violations + states
-            viol_ds = (union.filter(expr="kind == 'violation'")
-                       .drop_columns(["kind", "payload"]))
-            violations_parts.append(viol_ds)
-            merged_states = _merge_scan_states(union)
+            if cfg.state_merge == "combine":
+                union = union.materialize()
+                viol_ds = (union.filter(expr="kind == 'violation'")
+                           .drop_columns(["kind", "payload"]))
+                violations_parts.append(viol_ds)
+                merged_states = _merge_scan_states(union)
+            else:
+                # ONE pull of the (capped-violations + states) union —
+                # no materialize, no extra filter jobs
+                rows = union.take_all()
+                viol_rows = [{k: r[k] for k in ("partition_id",
+                                                "validator_id", "doc_id",
+                                                "reason", "detail")}
+                             for r in rows if r["kind"] == "violation"]
+                if viol_rows:
+                    violations_parts.append(
+                        pa.Table.from_pylist(viol_rows,
+                                             schema=VIOLATION_SCHEMA))
+                by_key: dict = {}
+                for r in rows:
+                    if r["kind"] == "state":
+                        by_key.setdefault(
+                            (r["partition_id"], r["validator_id"]),
+                            []).append(r["payload"])
+                merged_states = {
+                    key: merge_states([PartialState.from_bytes(b)
+                                       for b in payloads])
+                    for key, payloads in by_key.items()}
+            _mark("scan_pass")
 
         # --- Phase 3a: finalize scan validators ---
         for vid in final_vids:
@@ -316,9 +355,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
         prof_states = [merged_states[k] for k in merged_states
                        if k[1] == "column_stats"]
         if prof_states:
-            acc = prof_states[0]
-            for s in prof_states[1:]:
-                acc = acc.merge(s)
+            acc = merge_states(prof_states)
             if isinstance(acc, ProfileState):
                 profile = ReferenceProfile(
                     column_stats=acc.column_stats,
@@ -326,10 +363,18 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                     ntok_digest=acc.ntok_digest)
                 profile.save(os.path.join(cfg.run_dir, "profile.json"))
 
+        _mark("finalize")
         # --- Phase 2: shuffle-phase validators ---
         for vid in global_vids:
             v = get_validator(vid)()
-            viol, resp_list = v.run_global(ds, ctx)
+            src = getattr(v, "state_source", None) or vid
+            v_states = {p: merged_states[(p, src)] for p in schema_ok
+                        if (p, src) in merged_states}
+            import inspect
+            if "states" in inspect.signature(v.run_global).parameters:
+                viol, resp_list = v.run_global(ds, ctx, states=v_states)
+            else:
+                viol, resp_list = v.run_global(ds, ctx)
             responses.extend(resp_list)
             if viol is not None:
                 violations_parts.append(viol)
@@ -338,6 +383,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                 if art is not None:
                     artifacts[vid] = art
 
+    _mark("global_validators")
     # --- Phase 4: emit ---
     verdict_rows = [r.to_row() for r in responses]
     by_part: dict[str, list[ValidationResult]] = {}
@@ -393,10 +439,11 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                               metrics={"schema_gate": "FAILED"})
     run_manifest.save()
 
+    _mark("emit")
     return RunReport(responses=responses, verdicts=verdicts,
                      violations=violations_tbl, profile=profile,
                      partitions_run=to_run, partitions_skipped=skipped,
-                     artifacts=artifacts)
+                     artifacts=artifacts, phase_seconds=phase_seconds)
 
 
 def _overrides_run_global(cls) -> bool:

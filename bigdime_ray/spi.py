@@ -107,7 +107,10 @@ class Validator:
         return None
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
+                       ctx: ValidationContext, cache=None) -> ScanResult:
+        """``cache`` is a stages.scan.ScanCache sharing per-batch derived
+        arrays (flattened tokens, lengths, hashes) across validators —
+        use it; the scan pass is memory-bandwidth-bound."""
         return ScanResult()
 
     def finalize(self, partition_id: str, state: Optional[PartialState],

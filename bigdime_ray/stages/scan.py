@@ -55,6 +55,83 @@ SCAN_UNION_SCHEMA = pa.schema([
 ])
 
 
+class ScanCache:
+    """Per-(block, partition) shared computed artifacts.
+
+    Several validators need the same derived arrays (flattened token
+    values, per-row list lengths, doc_id hashes, row content hashes).
+    Computing each once per batch instead of once per validator matters:
+    the scan pass is memory-bandwidth-bound, so every avoided pass over
+    the ~500 B/row token payload is wall-clock (measured via bench.py).
+    All attributes are lazy."""
+
+    def __init__(self, tbl: pa.Table):
+        self.tbl = tbl
+        self._cache: dict = {}
+
+    def _get(self, key, fn):
+        if key not in self._cache:
+            self._cache[key] = fn()
+        return self._cache[key]
+
+    @property
+    def tokens(self) -> pa.Array:
+        def mk():
+            col = self.tbl["tokens"]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+        return self._get("tokens", mk)
+
+    @property
+    def list_lengths(self) -> pa.Array:
+        """Arrow list_value_length (null for null rows)."""
+        return self._get("list_lengths",
+                         lambda: pc.list_value_length(self.tokens))
+
+    @property
+    def lengths_np(self):
+        import numpy as _np
+        return self._get("lengths_np", lambda: pc.fill_null(
+            self.list_lengths, 0).to_numpy(zero_copy_only=False)
+            .astype(_np.int64, copy=False))
+
+    @property
+    def offsets(self):
+        import numpy as _np
+
+        def mk():
+            off = _np.zeros(len(self.lengths_np) + 1, dtype=_np.int64)
+            _np.cumsum(self.lengths_np, out=off[1:])
+            return off
+        return self._get("offsets", mk)
+
+    @property
+    def flat(self) -> pa.Array:
+        return self._get("flat", lambda: pc.list_flatten(self.tokens))
+
+    @property
+    def doc_id_hash(self):
+        from bigdime_ray.functions.hashing import hash_string_column
+        return self._get("doc_id_hash",
+                         lambda: hash_string_column(self.tbl["doc_id"]))
+
+    @property
+    def tokens_hash(self):
+        from bigdime_ray.functions.hashing import hash_int_list_column
+        return self._get("tokens_hash",
+                         lambda: hash_int_list_column(self.tokens))
+
+    @property
+    def row_hash(self):
+        import numpy as _np
+        from bigdime_ray.functions.hashing import mix64, _GOLDEN
+
+        def mk():
+            with _np.errstate(over="ignore"):
+                return mix64(self.doc_id_hash ^ (self.tokens_hash * _GOLDEN))
+        return self._get("row_hash", mk)
+
+
 class ScanWorker:
     """Callable class → Ray actor pool. One instance per actor."""
 
@@ -81,8 +158,9 @@ class ScanWorker:
                 tbl = batch
             else:
                 tbl = batch.filter(pc.equal(part_col, pid))
+            cache = ScanCache(tbl)
             for v in self.validators:
-                res = v.scan_partition(tbl, pid, self.ctx)
+                res = v.scan_partition(tbl, pid, self.ctx, cache=cache)
                 n_v = len(res.viol_doc_ids)
                 if n_v:
                     kinds.extend(["violation"] * n_v)

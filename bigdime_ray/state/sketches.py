@@ -42,9 +42,18 @@ class PartialState:
 
 
 def merge_states(states: list[PartialState]) -> PartialState:
-    it = iter(states)
-    acc = next(it)
-    for s in it:
+    """Merge a list of states. Uses the class's ``merge_many`` when
+    overridden (single-pass, avoids O(n²) incremental concat for
+    array-backed states), else a sequential reduce."""
+    states = list(states)
+    if not states:
+        raise ValueError("no states to merge")
+    cls = type(states[0])
+    mm = getattr(cls, "merge_many", None)
+    if mm is not None:
+        return mm(states)
+    acc = states[0]
+    for s in states[1:]:
         acc = acc.merge(s)
     return acc
 
@@ -188,6 +197,18 @@ class HistogramState(PartialState):
         np.add.at(merged, inv, cts)
         return HistogramState(size, uniq, merged)
 
+    @staticmethod
+    def merge_many(states: list) -> "HistogramState":
+        size = max(s.size for s in states)
+        ids = np.concatenate([s.ids for s in states])
+        if len(ids) == 0:
+            return HistogramState(size=size)
+        cts = np.concatenate([s.counts for s in states])
+        uniq, inv = np.unique(ids, return_inverse=True)
+        merged = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(merged, inv, cts)
+        return HistogramState(size, uniq, merged)
+
     def dense(self) -> np.ndarray:
         out = np.zeros(self.size, dtype=np.int64)
         if len(self.ids):
@@ -262,12 +283,16 @@ class TDigestState(PartialState):
         self.weights = np.asarray(out_weights)
 
     def merge(self, other: "TDigestState") -> "TDigestState":
+        return TDigestState.merge_many([self, other])
+
+    @staticmethod
+    def merge_many(states: list) -> "TDigestState":
         st = TDigestState(
-            compression=max(self.compression, other.compression),
-            means=np.concatenate([self.means, other.means]),
-            weights=np.concatenate([self.weights, other.weights]),
-            minimum=min(self.minimum, other.minimum),
-            maximum=max(self.maximum, other.maximum),
+            compression=max(s.compression for s in states),
+            means=np.concatenate([s.means for s in states]),
+            weights=np.concatenate([s.weights for s in states]),
+            minimum=min(s.minimum for s in states),
+            maximum=max(s.maximum for s in states),
         )
         st._compress()
         return st

@@ -31,8 +31,9 @@ class RawChecksumValidator(Validator):
     requires = ("manifest",)
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
-        hashes = row_content_hash(tbl["doc_id"], tbl["tokens"])
+                       ctx: ValidationContext, cache=None) -> ScanResult:
+        hashes = (cache.row_hash if cache is not None
+                  else row_content_hash(tbl["doc_id"], tbl["tokens"]))
         return ScanResult(state=ChecksumState(fold_checksum(hashes), len(hashes)))
 
     def finalize(self, partition_id: str, state: Optional[PartialState],

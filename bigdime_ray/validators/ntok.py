@@ -28,8 +28,9 @@ class NTokConsistencyValidator(Validator):
     id = "ntok_consistency"
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
-        actual = pc.list_value_length(tbl["tokens"])
+                       ctx: ValidationContext, cache=None) -> ScanResult:
+        actual = (cache.list_lengths if cache is not None
+                  else pc.list_value_length(tbl["tokens"]))
         ok = pc.equal(tbl["n_tok"], actual)
         bad = pc.fill_null(pc.invert(ok), True)  # null n_tok or null tokens → violation
         n_bad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0

@@ -72,7 +72,7 @@ class PerSourceStatsValidator(Validator):
     requires = ("catalog",)
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
+                       ctx: ValidationContext, cache=None) -> ScanResult:
         return ScanResult(state=PerSourceState.from_table(tbl))
 
     def _over_bounds(self, state: PerSourceState,

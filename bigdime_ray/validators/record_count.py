@@ -27,7 +27,7 @@ class RecordCountValidator(Validator):
     requires = ("manifest",)
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
+                       ctx: ValidationContext, cache=None) -> ScanResult:
         return ScanResult(state=CountState(tbl.num_rows))
 
     def finalize(self, partition_id: str, state: Optional[PartialState],

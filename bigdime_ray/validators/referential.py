@@ -31,7 +31,7 @@ class ReferentialValidator(Validator):
         self._value_set: Optional[pa.Array] = None  # built once per actor
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
+                       ctx: ValidationContext, cache=None) -> ScanResult:
         if self._value_set is None:
             self._value_set = pa.array(sorted(ctx.catalog), type=pa.string())
         src = tbl["source"]

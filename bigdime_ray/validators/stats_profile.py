@@ -33,14 +33,24 @@ class ProfileState(PartialState):
     ntok_digest: TDigestState = field(default_factory=TDigestState)
 
     def merge(self, other: "ProfileState") -> "ProfileState":
+        return ProfileState.merge_many([self, other])
+
+    @staticmethod
+    def merge_many(states: list) -> "ProfileState":
         cols = {}
-        for c in set(self.column_stats) | set(other.column_stats):
-            a, b = self.column_stats.get(c), other.column_stats.get(c)
-            cols[c] = a.merge(b) if a and b else (a or b)
+        all_cols = set().union(*(s.column_stats for s in states))
+        for c in all_cols:
+            have = [s.column_stats[c] for s in states if c in s.column_stats]
+            acc = have[0]
+            for s in have[1:]:
+                acc = acc.merge(s)
+            cols[c] = acc
         return ProfileState(
             column_stats=cols,
-            token_histogram=self.token_histogram.merge(other.token_histogram),
-            ntok_digest=self.ntok_digest.merge(other.ntok_digest))
+            token_histogram=HistogramState.merge_many(
+                [s.token_histogram for s in states]),
+            ntok_digest=TDigestState.merge_many(
+                [s.ntok_digest for s in states]))
 
 
 def _col_stats(col: pa.ChunkedArray | pa.Array, numeric: bool) -> ColumnStatsState:
@@ -61,7 +71,7 @@ class ColumnStatsValidator(Validator):
     id = "column_stats"
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
+                       ctx: ValidationContext, cache=None) -> ScanResult:
         st = ProfileState()
         st.column_stats["n_tok"] = _col_stats(tbl["n_tok"], numeric=True)
         st.column_stats["doc_id"] = _col_stats(tbl["doc_id"], numeric=False)
@@ -69,9 +79,11 @@ class ColumnStatsValidator(Validator):
         tok = tbl["tokens"]
         st.column_stats["tokens"] = ColumnStatsState(
             count=len(tok), null_count=pc.count(tok, mode="only_null").as_py())
-        flat = pc.list_flatten(tok if not isinstance(tok, pa.ChunkedArray)
-                               else tok.combine_chunks())
-        vals = pc.drop_null(flat).to_numpy(zero_copy_only=False)
+        flat = (cache.flat if cache is not None else
+                pc.list_flatten(tok if not isinstance(tok, pa.ChunkedArray)
+                                else tok.combine_chunks()))
+        vals = (flat.to_numpy(zero_copy_only=False) if flat.null_count == 0
+                else pc.drop_null(flat).to_numpy(zero_copy_only=False))
         st.token_histogram = HistogramState.from_values(vals, ctx.vocab)
         ntok = pc.drop_null(tbl["n_tok"]).to_numpy(zero_copy_only=False)
         st.ntok_digest = TDigestState.from_values(ntok.astype(np.float64))

@@ -26,17 +26,24 @@ class TokenRangeValidator(Validator):
     id = "token_range"
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
-                       ctx: ValidationContext) -> ScanResult:
-        col = tbl["tokens"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lengths = (pc.fill_null(pc.list_value_length(col), 0)
-                   .to_numpy(zero_copy_only=False).astype(np.int64))
-        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
-        flat = pc.list_flatten(col)
-        inner_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
-        vals = pc.fill_null(flat, 0).to_numpy(zero_copy_only=False)
+                       ctx: ValidationContext, cache=None) -> ScanResult:
+        if cache is not None:
+            col, offsets, flat = cache.tokens, cache.offsets, cache.flat
+        else:
+            col = tbl["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lengths = (pc.fill_null(pc.list_value_length(col), 0)
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+            offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offsets[1:])
+            flat = pc.list_flatten(col)
+        if flat.null_count:
+            inner_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            vals = pc.fill_null(flat, 0).to_numpy(zero_copy_only=False)
+        else:
+            inner_null = np.zeros(len(flat), dtype=bool)
+            vals = flat.to_numpy(zero_copy_only=False)
         bad_elem = inner_null | (vals < 0) | (vals >= ctx.vocab)
         null_rows = pc.is_null(col).to_numpy(zero_copy_only=False)
         n_bad_elems = int(bad_elem.sum())

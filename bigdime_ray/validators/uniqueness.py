@@ -1,62 +1,104 @@
 """doc_id uniqueness (SURVEY.md B-V6).
 
 ``BASELINE.json:6``: "doc_id uniqueness via groupby-aggregate hash
-shuffle". Exact, global (cross-partition) duplicate detection:
+shuffle" — re-expressed exchange-optimized:
 
-1. project each block to 8-byte doc_id hashes — the ``tokens`` payload
-   and even the id strings never enter the exchange (SURVEY.md §7 hard
-   part c);
-2. ``stages.shuffle.find_duplicate_hashes`` — per-block sorted packed
-   hash arrays, merged per bucket (the exchange-optimized replacement
-   for ``groupby(doc_id).count()``; doc_id is a uniform key so no
-   salting is needed — the skew-prone key is ``source``);
-3. duplicate hashes are broadcast back (capped) and the member rows are
-   collected with a vectorized ``pc.is_in`` filter — a broadcast
-   semi-join instead of a second shuffle; hash-collision false positives
-   are removed by re-grouping the (small) member set by real doc_id.
+- **"scan" strategy (default):** each block contributes a sorted packed
+  array of 8-byte doc_id hashes as a mergeable scan state
+  (``PackedHashState``) — uniqueness piggybacks on the single shared
+  scan pass, costing zero extra reads; cross-partition duplicate
+  detection is a numpy sorted-merge over the per-partition arrays
+  (8 B/row on the driver — fine to ~10⁸ rows).
+- **"bucketed" strategy (``ctx.thresholds["uniqueness_strategy"]``):**
+  the 10¹²-row path — a separate narrow pass through
+  ``stages.shuffle.find_duplicate_hashes`` with hash-range buckets so
+  each merge task handles a bounded slice. Same result, no driver
+  bottleneck.
 
-Per-partition verdict: FAILED iff the partition contains any member of a
-duplicated doc_id; exact per-partition duplicate-row counts in metrics.
+Either way the ``tokens`` payload and even the id strings never enter
+an exchange (SURVEY.md §7 hard part c). doc_id is a uniform key, so no
+salting is needed (the skew-prone key is ``source``). Duplicate hashes
+are broadcast back (capped) and member rows fetched with a vectorized
+``pc.is_in`` semi-join — only when duplicates exist, so the clean-data
+fast path is free; hash-collision false positives are removed by
+re-grouping the (small) member set by real doc_id.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from bigdime_ray.spi import (ValidationContext, ValidationResponse,
+from bigdime_ray.functions.hashing import hash_string_column, u64_to_i64
+from bigdime_ray.spi import (ScanResult, ValidationContext, ValidationResponse,
                              ValidationResult, Validator, register_validator)
+from bigdime_ray.state.sketches import PartialState
 
 MAX_REPORTED_DUP_IDS = 100_000
+
+
+@dataclass
+class PackedHashState(PartialState):
+    """Sorted uint64 hash array (stored as raw bytes for cheap pickle)."""
+
+    packed: bytes = b""
+    n: int = 0
+
+    @staticmethod
+    def from_hashes(h: np.ndarray) -> "PackedHashState":
+        arr = np.sort(h.view(np.int64))
+        return PackedHashState(arr.tobytes(), len(arr))
+
+    def array(self) -> np.ndarray:
+        return np.frombuffer(self.packed, dtype=np.int64)
+
+    def merge(self, other: "PackedHashState") -> "PackedHashState":
+        return PackedHashState.merge_many([self, other])
+
+    @staticmethod
+    def merge_many(states: list) -> "PackedHashState":
+        """Single concat + one sort — incremental pairwise merging of k
+        states is O(k²·n) memcpy; this is O(k·n log)."""
+        a = np.concatenate([s.array() for s in states])
+        a.sort()
+        return PackedHashState(a.tobytes(), len(a))
 
 
 @register_validator
 class UniquenessValidator(Validator):
     id = "uniqueness"
-    scans = False
+    scans = True
 
-    def run_global(self, ds: Dataset, ctx: ValidationContext):
-        # Exchange 8-byte doc_id hashes as per-block SORTED PACKED arrays
-        # (stages.shuffle.find_duplicate_hashes) instead of a row-level
-        # groupby — identical bytes, ~#blocks exchange cells instead of N
-        # rows (measured 25× faster at 2M rows). A 64-bit collision only
-        # produces a false dup candidate; the member-fetch pass below
-        # filters those out by real doc_id. num_buckets scales the merge
-        # out for >10⁸-row tables.
-        import numpy as np
-        from bigdime_ray.functions.hashing import (hash_string_column,
-                                                   u64_to_i64)
-        from bigdime_ray.stages.shuffle import find_duplicate_hashes
+    def scan_partition(self, tbl: pa.Table, partition_id: str,
+                       ctx: ValidationContext, cache=None) -> ScanResult:
+        if ctx.thresholds.get("uniqueness_strategy") == "bucketed":
+            return ScanResult()  # separate bucketed pass does the work
+        h = (cache.doc_id_hash if cache is not None
+             else hash_string_column(tbl["doc_id"]))
+        return ScanResult(state=PackedHashState.from_hashes(h))
 
-        num_buckets = int(ctx.thresholds.get("uniqueness_buckets", 1))
+    def run_global(self, ds: Dataset, ctx: ValidationContext, states=None):
+        strategy = ctx.thresholds.get("uniqueness_strategy", "scan")
+        if strategy == "scan" and states:
+            arrays = [st.array() for st in states.values()]
+            allh = np.concatenate(arrays) if arrays else np.empty(0, np.int64)
+            allh.sort()
+            dup_hashes = np.unique(allh[:-1][allh[1:] == allh[:-1]])
+        else:
+            from bigdime_ray.stages.shuffle import find_duplicate_hashes
+            num_buckets = int(ctx.thresholds.get("uniqueness_buckets", 1))
 
-        def hash_batch(batch: pa.Table) -> np.ndarray:
-            return u64_to_i64(hash_string_column(batch["doc_id"]))
+            def hash_batch(batch: pa.Table) -> np.ndarray:
+                return u64_to_i64(hash_string_column(batch["doc_id"]))
 
-        dup_hashes = find_duplicate_hashes(ds.select_columns(["doc_id"]),
-                                           hash_batch, num_buckets)
+            dup_hashes = find_duplicate_hashes(
+                ds.select_columns(["doc_id"]), hash_batch, num_buckets)
+
         n_dup_ids = len(dup_hashes)
         partitions = ctx.partitions
         if n_dup_ids == 0:

@@ -145,6 +145,27 @@ def test_clean_run_all_passes(golden, tmp_path):
     assert rep.violations is None or len(rep.violations) == 0
 
 
+def test_scale_strategies_equal_default(golden, tmp_path):
+    """state_merge='combine' + bucketed uniqueness (the >10⁵-block /
+    10¹²-row paths) produce identical verdicts to the default paths."""
+    planted, report, run_cfg, clean_dir, base = golden
+    cfg = ValidationRunConfig(
+        input_dir=str(base / "dirty"), run_dir=str(tmp_path / "scale_run"),
+        profile_path=str(base / "reference_profile.json"),
+        suite=list(FULL_SUITE), state_merge="combine",
+        thresholds={"uniqueness_strategy": "bucketed",
+                    "uniqueness_buckets": 4})
+    rep2 = run_validation(cfg)
+    key = lambda rs: sorted((r.partition_id, r.validator_id, r.result.value)
+                            for r in rs)
+    assert key(rep2.responses) == key(report.responses)
+    a = report.violations.to_pandas().sort_values(
+        ["validator_id", "doc_id"]).reset_index(drop=True)
+    b = rep2.violations.to_pandas().sort_values(
+        ["validator_id", "doc_id"]).reset_index(drop=True)
+    assert list(a.doc_id) == list(b.doc_id)
+
+
 def test_resume_skips_validated(golden, tmp_path):
     planted, report, run_cfg, clean_dir, base = golden
     run_dir = str(tmp_path / "resume_run")
