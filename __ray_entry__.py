@@ -399,6 +399,41 @@ def _q_tdigest_quantiles(sf_dir: str):
     return pa.table({"q": pa.array(qs), "value": pa.array(np.round(vals, 3))})
 
 
+def _q_grouped_topk(sf_dir: str):
+    """B-T1-shaped grouped top-k: first 2 lines per order (deterministic)."""
+    from bigdime_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    return grouped_topk(ds, ["l_orderkey"], ["l_linenumber"], k=2)
+
+
+def _q_running_sum(sf_dir: str):
+    """Window-function shape: per-user ordered cumulative sum."""
+    from bigdime_ray.pipelines.stream import running_aggregate
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+    out = running_aggregate(ds, "user_id", "ts", "value",
+                            order_tiebreak="event_id")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "running_total": pc.round(batch["running_total"], ndigits=4)})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute gap) per user."""
+    from bigdime_ray.pipelines.stream import session_windows
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_windows(ds, "user_id", "ts", gap_seconds=1800.0)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "session_id", "n_events",
+                            "session_start", "session_end"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -421,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": _q_top_orders,
         "validation_suite_synthetic": _q_validation_suite,
         "tdigest_quantiles": _q_tdigest_quantiles,
+        "grouped_topk": _q_grouped_topk,
+        "events_running_sum": _q_running_sum,
+        "events_sessions": _q_sessions,
     }
 
 
@@ -482,6 +520,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount))"
             ", 3) AS revenue FROM lineitem GROUP BY l_orderkey "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "grouped_topk":
+            "SELECT l_orderkey, l_linenumber FROM ("
+            "SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER ("
+            "PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn "
+            "FROM lineitem) WHERE rn <= 2",
+        "events_running_sum":
+            "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id), 4) "
+            "AS running_total FROM events",
+        "events_sessions":
+            "WITH g AS (SELECT user_id, ts, CASE WHEN "
+            "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "
+            "INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
+            "SELECT user_id, session_id, COUNT(*) AS n_events, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end "
+            "FROM s GROUP BY 1, 2",
         # minhash/simhash/embedding near-dup, text_analysis,
         # validation_suite_synthetic, tdigest_quantiles: intentionally no
         # oracle (sketch/heuristic/non-SQL ops) → rows-only check.

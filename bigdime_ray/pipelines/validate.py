@@ -71,6 +71,11 @@ class ValidationRunConfig:
     resume: bool = True
     collect_violations: bool = True      # gather into the report (capped)
     max_collected_violations: int = 1_000_000
+    #: B-T1 deterministic sampling: keep first-k violation rows per
+    #: (partition, validator) ordered by doc_id; None = no cap
+    max_violations_per_group: Optional[int] = None
+    #: write partition-granular verdicts/ + violations/ dirs (§4.3 layout)
+    partitioned_output: bool = True
 
     def _default(self, attr: str, name: str) -> Optional[str]:
         v = getattr(self, attr)
@@ -412,9 +417,32 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
             collected.append(tbl)
     if collected:
         violations_tbl = pa.concat_tables(collected)
+        if cfg.max_violations_per_group:
+            from bigdime_ray.stages.topk import cap_violations
+            violations_tbl = cap_violations(violations_tbl,
+                                            cfg.max_violations_per_group)
         os.makedirs(viol_dir, exist_ok=True)
         pq.write_table(violations_tbl,
                        os.path.join(viol_dir, "violations.parquet"))
+
+    if cfg.partitioned_output:
+        # §4.3 resumable layout: one file per partition, idempotent
+        # overwrites so retried runs are safe
+        vdir = os.path.join(cfg.run_dir, "verdicts")
+        os.makedirs(vdir, exist_ok=True)
+        import pyarrow.compute as _pc
+        for p in sorted(by_part):
+            sel = verdicts.filter(_pc.equal(verdicts["partition_id"], p))
+            safe = p.replace("/", "_")
+            pq.write_table(sel, os.path.join(vdir, f"part={safe}.parquet"))
+        if violations_tbl is not None and violations_tbl.num_rows:
+            for p in sorted(set(violations_tbl["partition_id"].to_pylist())):
+                sel = violations_tbl.filter(
+                    _pc.equal(violations_tbl["partition_id"], p))
+                safe = (p or "unattributed").replace("/", "_")
+                pdir = os.path.join(viol_dir, f"part={safe}")
+                os.makedirs(pdir, exist_ok=True)
+                pq.write_table(sel, os.path.join(pdir, "violations.parquet"))
 
     # --- checkpoint manifest update (RuntimeInfoStore semantics) ---
     for p in schema_ok:

@@ -1,0 +1,67 @@
+"""Grouped top-k (SURVEY.md B-T1 — violation sampling, and a general
+operator: first-k rows per group by sort key).
+
+Two-level: a block-local prune inside ``map_batches`` first keeps at most
+k rows per group per block (Arrow-native sort + cumcount), so the global
+``groupby().map_groups`` shuffle only ever sees ≤ #blocks × k rows per
+group — deterministic, and the shuffle is bounded regardless of group
+skew. Oracle shape: ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY s) <= k``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _topk_table(tbl: pa.Table, group_cols: list[str], sort_cols: list[str],
+                k: int) -> pa.Table:
+    if tbl.num_rows == 0:
+        return tbl
+    order = [(c, "ascending") for c in group_cols + sort_cols]
+    tbl = tbl.sort_by(order)
+    df_keys = tbl.select(group_cols).to_pandas()
+    codes = (pd.MultiIndex.from_frame(df_keys).factorize()[0]
+             if len(group_cols) > 1
+             else df_keys[group_cols[0]].factorize()[0])
+    # cumcount per contiguous group over the sorted table, vectorized
+    pos = np.arange(len(codes), dtype=np.int64)
+    group_start = np.zeros(len(codes), dtype=np.int64)
+    change = np.nonzero(np.diff(codes) != 0)[0] + 1
+    group_start[change] = change
+    np.maximum.accumulate(group_start, out=group_start)
+    rank = pos - group_start
+    return tbl.filter(pa.array(rank < k))
+
+
+def grouped_topk(ds: Dataset, group_cols: list[str], sort_cols: list[str],
+                 k: int) -> Dataset:
+    """Deterministic first-k rows per group ordered by ``sort_cols``."""
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return _topk_table(batch, group_cols, sort_cols, k)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(group_cols + sort_cols).head(k)
+
+    return pruned.groupby(group_cols).map_groups(final, batch_format="pandas")
+
+
+def cap_violations(violations: pa.Table, k: int) -> pa.Table:
+    """B-T1: keep the deterministic first-k violation rows per
+    (partition_id, validator_id), ordered by doc_id."""
+    if violations.num_rows == 0:
+        return violations
+    df = violations.to_pandas()
+    df = (df.sort_values(["partition_id", "validator_id", "doc_id"],
+                         na_position="last")
+          .groupby(["partition_id", "validator_id"], sort=False)
+          .head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False,
+                                schema=violations.schema)

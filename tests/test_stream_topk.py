@@ -1,0 +1,89 @@
+"""Grouped top-k and stream-shaped window operators."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.stages.topk import cap_violations, grouped_topk
+from bigdime_ray.pipelines.stream import (running_aggregate, session_windows,
+                                          tumbling_window)
+
+
+@pytest.fixture(scope="module")
+def events_ds():
+    rng = np.random.default_rng(17)
+    n = 5000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 7 * 86400, n)), unit="s")
+    tbl = pa.table({
+        "user_id": pa.array(rng.integers(0, 20, n), type=pa.int64()),
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(ts),
+        "value": pa.array(rng.random(n)),
+    })
+    return ray.data.from_arrow(tbl).repartition(4), tbl.to_pandas()
+
+
+def test_grouped_topk_matches_pandas(events_ds):
+    ds, pdf = events_ds
+    got = (grouped_topk(ds, ["user_id"], ["event_id"], 3)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    want = (pdf.sort_values(["user_id", "event_id"])
+            .groupby("user_id").head(3)
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    assert list(got.event_id) == list(want.event_id)
+
+
+def test_tumbling_window(events_ds):
+    ds, pdf = events_ds
+    got = tumbling_window(ds, "user_id", "ts", "value", unit="day").to_pandas()
+    want = (pdf.assign(window_start=pdf.ts.dt.floor("D"))
+            .groupby(["user_id", "window_start"])
+            .agg(cnt=("value", "size"), total=("value", "sum")).reset_index())
+    m = got.merge(want, on=["user_id", "window_start"],
+                  suffixes=("_g", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m.cnt_g == m.cnt_w).all()
+    assert np.allclose(m.total_g, m.total_w)
+
+
+def test_running_aggregate(events_ds):
+    ds, pdf = events_ds
+    got = (running_aggregate(ds, "user_id", "ts", "value", "event_id")
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    want = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    want["running_total"] = want.groupby("user_id").value.cumsum()
+    assert np.allclose(got.running_total, want.running_total)
+
+
+def test_session_windows(events_ds):
+    ds, pdf = events_ds
+    got = session_windows(ds, "user_id", "ts", gap_seconds=3600.0,
+                          value_col="value").to_pandas()
+    # total events conserved, session bounds ordered
+    assert got.n_events.sum() == len(pdf)
+    assert (got.session_end >= got.session_start).all()
+    # sessions for one user don't overlap and respect the gap
+    for uid, g in got.groupby("user_id"):
+        g = g.sort_values("session_id")
+        gaps = (g.session_start.iloc[1:].to_numpy()
+                - g.session_end.iloc[:-1].to_numpy())
+        assert (gaps.astype("timedelta64[s]").astype(float) > 3600.0).all()
+
+
+def test_cap_violations():
+    tbl = pa.table({
+        "partition_id": pa.array(["p0"] * 5 + ["p1"] * 2),
+        "validator_id": pa.array(["v"] * 7),
+        "doc_id": pa.array([f"d{i}" for i in [4, 2, 0, 3, 1, 9, 8]]),
+        "reason": pa.array(["r"] * 7),
+        "detail": pa.nulls(7, pa.string()),
+    })
+    capped = cap_violations(tbl, 2)
+    assert capped.num_rows == 4
+    p0 = capped.filter(pa.compute.equal(capped["partition_id"], "p0"))
+    assert sorted(p0["doc_id"].to_pylist()) == ["d0", "d1"]  # first-k by doc_id
