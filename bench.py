@@ -28,8 +28,13 @@ import time
 
 BENCH_ROWS = int(os.environ.get("BIGDIME_BENCH_ROWS", 2_000_000))
 BENCH_PARTS = int(os.environ.get("BIGDIME_BENCH_PARTS", 64))
-BENCH_DATA = os.environ.get("BIGDIME_BENCH_DATA",
-                            f"/tmp/bigdime_bench_{BENCH_ROWS}_{BENCH_PARTS}")
+# FIXTURES.md F1 sequence-length distribution: lognormal(μ=6, σ=0.6)
+# clipped [1, 8192] ≈ 480 tokens/row (tests use μ=4 for speed; the bench
+# measures the spec shape ≈ 1 GB tokens per 0.5M rows)
+BENCH_MU = float(os.environ.get("BIGDIME_BENCH_MU", 6.0))
+BENCH_DATA = os.environ.get(
+    "BIGDIME_BENCH_DATA",
+    f"/tmp/bigdime_bench_{BENCH_ROWS}_{BENCH_PARTS}_mu{BENCH_MU:g}")
 
 
 def _ensure_bench_data() -> str:
@@ -39,7 +44,7 @@ def _ensure_bench_data() -> str:
     marker = os.path.join(BENCH_DATA, ".complete")
     if not os.path.exists(marker):
         cfg = SynthConfig(num_rows=BENCH_ROWS, num_partitions=BENCH_PARTS,
-                          seed=42)
+                          seed=42, len_mu=BENCH_MU)
         generate_dataset_parallel(BENCH_DATA, cfg)
         build_profile(os.path.join(BENCH_DATA, "data"),
                       save_path=os.path.join(BENCH_DATA,
@@ -91,10 +96,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_resp = len(report.responses)
 
     # --- representative operator queries over the driver testdata
+    # (skippable for scaling legs: the headline is the suite)
+    query_names = ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
+                   "token_count", "events_hourly_window", "knn_cosine_top10",
+                   "per_source_stats_salted"]
+    if os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "0":
+        query_names = []
     queries = entry_mod.queries()
-    for name in ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
-                 "token_count", "events_hourly_window", "knn_cosine_top10",
-                 "per_source_stats_salted"]:
+    for name in query_names:
         t0 = time.perf_counter()
         res = queries[name](sf_dir)
         # force execution

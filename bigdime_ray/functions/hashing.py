@@ -40,6 +40,19 @@ with np.errstate(over="ignore"):
     np.cumprod(np.full(8191, _POLY_A, dtype=np.uint64), out=_POW_CACHE[1:])
 
 
+_ARANGE_CACHE = np.empty(0, dtype=np.int64)
+
+
+def _arange(n: int) -> np.ndarray:
+    """Cached 0..n-1 view (the per-batch arange alloc showed up in
+    profiles; per-process buffer grows on demand, slices are views)."""
+    global _ARANGE_CACHE
+    if n > len(_ARANGE_CACHE):
+        _ARANGE_CACHE = np.arange(max(n, 2 * len(_ARANGE_CACHE)),
+                                  dtype=np.int64)
+    return _ARANGE_CACHE[:n]
+
+
 def _powers(n: int) -> np.ndarray:
     """A^0..A^(n-1) mod 2^64."""
     global _POW_CACHE
@@ -97,7 +110,7 @@ def hash_int_list_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if flat.null_count:
         # sentinel outside int32 range → widen only when inner nulls exist
         flat = pc.fill_null(pc.cast(flat, pa.int64()), -(2**31) - 7)
-    values = flat.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    flat_np = flat.to_numpy(zero_copy_only=False)
 
     offsets = np.empty(n + 1, dtype=np.int64)
     offsets[0] = 0
@@ -106,14 +119,18 @@ def hash_int_list_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
     sums = np.zeros(n, dtype=np.uint64)
     if total > 0:
-        pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        # single widening cast; negatives (the null sentinel) wrap mod 2^64
+        # deterministically. In-place arithmetic: the pass is bandwidth-bound.
         with np.errstate(over="ignore"):
-            terms = (values.astype(np.uint64) + _GOLDEN) * _powers(int(lengths.max()))[pos]
-        starts = np.minimum(offsets[:-1], total - 1)
-        with np.errstate(over="ignore"):
-            seg = np.add.reduceat(terms, starts)
+            vals = flat_np.astype(np.uint64)
+            vals += _GOLDEN
+            pos = np.repeat(offsets[:-1], lengths)
+            np.subtract(_arange(total), pos, out=pos)
+            vals *= _powers(int(lengths.max()))[pos]
+            starts = np.minimum(offsets[:-1], total - 1)
+            seg = np.add.reduceat(vals, starts)
         seg[lengths == 0] = 0
-        sums = seg.astype(np.uint64, copy=False)
+        sums = seg
     with np.errstate(over="ignore"):
         out = mix64(sums + _GOLDEN * lengths.astype(np.uint64))
     out[null_rows] = _NULL_ROW

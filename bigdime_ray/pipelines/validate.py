@@ -63,7 +63,12 @@ class ValidationRunConfig:
     thresholds: dict = field(default_factory=dict)
     chi2_pvalue_min: float = 0.001
     ks_d_max: float = 0.15
-    scan_concurrency: object = "auto"    # actor pool size; "auto" → ~80% CPUs; None → tasks
+    #: None (default) → stateless fused tasks: the read fuses into the
+    #: scan, no object-store hop (measured 3-4× faster; per-worker UDF
+    #: caching still amortizes validator state like the referential
+    #: value-set). An int or "auto" → actor pool of that size — for
+    #: validator suites with expensive per-actor init (model loads).
+    scan_concurrency: object = None
     #: "driver": ONE take_all of the scan union, states merged on the
     #: driver (fastest; fine while Σ state bytes ≲ 1 GB). "combine":
     #: block-local combine stage first (the >10⁵-block scale path).
@@ -337,6 +342,12 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                     key: merge_states([PartialState.from_bytes(b)
                                        for b in payloads])
                     for key, payloads in by_key.items()}
+            try:  # per-stage wall/cpu breakdown → run_dir (perf forensics)
+                with open(os.path.join(cfg.run_dir, "scan_stats.txt"),
+                          "w") as f:
+                    f.write(union.stats())
+            except Exception:
+                pass
             _mark("scan_pass")
 
         # --- Phase 3a: finalize scan validators ---

