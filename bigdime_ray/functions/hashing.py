@@ -127,10 +127,12 @@ def hash_int_list_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
             pos = np.repeat(offsets[:-1], lengths)
             np.subtract(_arange(total), pos, out=pos)
             vals *= _powers(int(lengths.max()))[pos]
-            starts = np.minimum(offsets[:-1], total - 1)
-            seg = np.add.reduceat(vals, starts)
-        seg[lengths == 0] = 0
-        sums = seg
+            # reduceat over NON-EMPTY rows only: clipping an empty row's
+            # start to total-1 would truncate the preceding segment
+            # (found by hypothesis: [None, [1,None,3]] reversed)
+            nz = lengths > 0
+            seg = np.add.reduceat(vals, offsets[:-1][nz])
+        sums[nz] = seg
     with np.errstate(over="ignore"):
         out = mix64(sums + _GOLDEN * lengths.astype(np.uint64))
     out[null_rows] = _NULL_ROW

@@ -312,11 +312,12 @@ def simhash_signatures(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
     sig = np.zeros(n, dtype=np.uint64)
     if total == 0:
         return sig
-    safe = np.minimum(starts[:-1], total - 1)
+    nz = n_words > 0
+    starts_nz = starts[:-1][nz]
     for bit in range(64):
         votes = ((wh >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
-        s = np.add.reduceat(votes, safe)
-        s[n_words == 0] = 0
+        s = np.zeros(n, dtype=np.int64)
+        s[nz] = np.add.reduceat(votes, starts_nz)
         sig |= (s > 0).astype(np.uint64) << np.uint64(bit)
     return sig
 
