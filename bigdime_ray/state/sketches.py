@@ -328,11 +328,20 @@ class TDigestState(PartialState):
         return out
 
     def quantile(self, qs) -> np.ndarray:
+        """Step quantile over cumulative centroid mass.
+
+        Midpoint interpolation badly overshoots on discrete-heavy data
+        (hypothesis: [0.0]×49 + [1.0] put the median at 0.64); the step
+        function is exact there and its error on continuous data is
+        bounded by one centroid's mass (≈ 4·q(1-q)/compression)."""
         qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
         if len(self.means) == 0:
             return np.full(len(qs), np.nan)
         total = self.total_weight
-        cum = (np.cumsum(self.weights) - self.weights / 2.0) / total
-        grid_q = np.concatenate([[0.0], cum, [1.0]])
-        grid_x = np.concatenate([[self.minimum], self.means, [self.maximum]])
-        return np.interp(qs, grid_q, grid_x)
+        cum = np.cumsum(self.weights)
+        idx = np.searchsorted(cum, np.clip(qs, 0, 1) * total, side="left")
+        idx = np.clip(idx, 0, len(self.means) - 1)
+        out = self.means[idx]
+        out[qs <= 0.0] = self.minimum
+        out[qs >= 1.0] = self.maximum
+        return out
