@@ -285,6 +285,23 @@ def _q_knn_top10(sf_dir: str):
                      "rnk": pa.array(top["rank"].to_numpy(), type=pa.int64())})
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (scale path; rows-only — approx by
+    design, recall asserted in tests/test_similarity.py)."""
+    from bigdime_ray.pipelines.similarity import ivf_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = None
+    for r in ds.iter_rows():
+        if r["vec_id"] == 0:
+            q = np.asarray(r["embedding"], dtype=np.float64)
+            break
+    top = ivf_topk(ds, q[None, :], k=10, nlist=8, nprobe=4)
+    return pa.table({"vec_id": pa.array(top.vec_id.to_numpy(),
+                                        type=pa.int64()),
+                     "rnk": pa.array(top["rank"].to_numpy(),
+                                     type=pa.int64())})
+
+
 def _q_token_count(sf_dir: str):
     """Whitespace token counting per document (vectorized regex count)."""
     from bigdime_ray.pipelines.text import count_tokens
@@ -449,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_pairs": _q_simhash_dedup,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "knn_cosine_top10": _q_knn_top10,
+        "knn_cosine_ivf": _q_knn_ivf,
         "token_count": _q_token_count,
         "text_analysis": _q_text_analysis,
         "events_hourly_window": _q_events_hourly,

@@ -166,6 +166,48 @@ def test_scale_strategies_equal_default(golden, tmp_path):
     assert list(a.doc_id) == list(b.doc_id)
 
 
+def test_interrupted_run_converges(golden, tmp_path):
+    """FIXTURES §5.2 item 5: a run that only saw half the partitions
+    (simulated interruption), later resumed over the full input, ends
+    with the same per-partition verdicts as one uninterrupted run."""
+    import shutil
+    planted, report, run_cfg, clean_dir, base = golden
+    work = str(tmp_path / "interrupt_input")
+    shutil.copytree(clean_dir, work)
+    suite = ["record_count", "raw_checksum", "ntok_consistency",
+             "referential", "column_stats", "uniqueness"]
+    run_dir = str(tmp_path / "interrupt_run")
+
+    # full reference run
+    ref_rep = run_validation(ValidationRunConfig(
+        input_dir=work, run_dir=str(tmp_path / "ref_run"), suite=suite))
+
+    # "crash" after 4 partitions: hide the rest, run, restore, rerun
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    for i in range(4, 8):
+        shutil.move(os.path.join(work, "data", f"partition_id=p{i:04d}"),
+                    hidden)
+    rep1 = run_validation(ValidationRunConfig(
+        input_dir=work, run_dir=run_dir, suite=suite))
+    assert sorted(rep1.partitions_run)[:4] == [f"p{i:04d}" for i in range(4)]
+    for i in range(4, 8):
+        shutil.move(os.path.join(hidden, f"partition_id=p{i:04d}"),
+                    os.path.join(work, "data"))
+    rep2 = run_validation(ValidationRunConfig(
+        input_dir=work, run_dir=run_dir, suite=suite))
+    assert sorted(rep2.partitions_skipped) == [f"p{i:04d}" for i in range(4)]
+    assert sorted(rep2.partitions_run) == [f"p{i:04d}" for i in range(4, 8)]
+
+    # converged verdicts equal the uninterrupted run's
+    from bigdime_ray.state.manifest import RunManifest
+    final = RunManifest.load(os.path.join(run_dir, "manifest.json"))
+    ref = RunManifest.load(os.path.join(str(tmp_path / "ref_run"),
+                                        "manifest.json"))
+    assert {p: e.status for p, e in final.entries.items()} \
+        == {p: e.status for p, e in ref.entries.items()}
+
+
 def test_resume_skips_validated(golden, tmp_path):
     planted, report, run_cfg, clean_dir, base = golden
     run_dir = str(tmp_path / "resume_run")

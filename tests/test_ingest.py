@@ -1,0 +1,65 @@
+"""Ingest → manifest → validate loop (the reference's end-to-end flow)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.pipelines.ingest import attach_partitions, ingest
+from bigdime_ray.pipelines.validate import ValidationRunConfig, run_validation
+from bigdime_ray.synth import SynthConfig, gen_partition, write_catalog
+
+
+@pytest.fixture(scope="module")
+def raw_ds():
+    cfg = SynthConfig(seed=21)
+    t = gen_partition(cfg, 0, 1200)
+    return ray.data.from_arrow(t).repartition(4), cfg
+
+
+def test_attach_partitions_deterministic(raw_ds):
+    ds, _ = raw_ds
+    a = attach_partitions(ds, 8).to_pandas().sort_values("doc_id")
+    b = attach_partitions(ds, 8).to_pandas().sort_values("doc_id")
+    assert list(a.partition_id) == list(b.partition_id)
+    assert set(a.partition_id) <= {f"p{i:04d}" for i in range(8)}
+
+
+def test_ingest_then_validate_passes(raw_ds, tmp_path):
+    ds, cfg = raw_ds
+    out = str(tmp_path / "ingested")
+    manifest = ingest(ds, out, num_partitions=6)
+    assert sum(m["expected_rows"] for m in manifest.values()) == 1200
+    assert os.path.exists(os.path.join(out, "ingest_manifest.parquet"))
+    write_catalog(out, cfg)
+
+    rep = run_validation(ValidationRunConfig(
+        input_dir=out, run_dir=str(tmp_path / "run"),
+        suite=["record_count", "raw_checksum", "ntok_consistency",
+               "referential", "uniqueness"]))
+    for p in manifest:
+        assert rep.overall(p) == "PASSED", (p, [
+            (r.validator_id, r.comment) for r in rep.responses
+            if r.partition_id == p and r.result.value != "PASSED"])
+
+
+def test_ingest_detects_post_hoc_tamper(raw_ds, tmp_path):
+    ds, cfg = raw_ds
+    out = str(tmp_path / "tampered")
+    manifest = ingest(ds, out, num_partitions=4)
+    write_catalog(out, cfg)
+    # corrupt one partition's data file after ingest
+    import glob
+    import pyarrow.parquet as pq
+    victim = sorted(glob.glob(os.path.join(out, "data", "partition_id=*",
+                                           "*.parquet")))[0]
+    t = pq.read_table(victim)
+    t = t.slice(1)  # drop a row
+    pq.write_table(t, victim)
+    rep = run_validation(ValidationRunConfig(
+        input_dir=out, run_dir=str(tmp_path / "run2"),
+        suite=["record_count", "raw_checksum"]))
+    pid = victim.split("partition_id=")[1].split("/")[0]
+    assert rep.result_for(pid, "record_count") == "FAILED"
+    assert rep.result_for(pid, "raw_checksum") == "FAILED"
