@@ -165,11 +165,19 @@ def _q_list_range_check(sf_dir: str):
 
 
 def _q_duplicate_keys(sf_dir: str):
-    """B-V6 proxy: duplicated keys via groupby-count (lineitem orderkey
-    genuinely repeats across lines)."""
-    from ray.data.aggregate import Count
+    """B-V6 proxy: duplicated keys via block pre-aggregated groupby-count
+    (combine inside map_batches first — repeated keys collapse per block
+    before the shuffle; lineitem orderkeys repeat ~4× per key)."""
+    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
-    counts = ds.groupby("l_orderkey").aggregate(Count(alias_name="cnt"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_orderkey", "cnt"])
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("l_orderkey").aggregate(Sum("cnt", alias_name="cnt")))
     return counts.filter(expr="cnt > 1")
 
 
@@ -328,15 +336,19 @@ def _q_events_hourly(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def add_hour(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return batch.append_column("hour", hour).drop_columns(["ts"])
+        t = (batch.append_column("hour", hour)
+             .select(["user_id", "hour", "value"]))
+        g = t.group_by(["user_id", "hour"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        return g.rename_columns(["user_id", "hour", "cnt", "total"])
 
-    out = (ds.map_batches(add_hour, batch_format="pyarrow",
+    out = (ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby(["user_id", "hour"])
-           .aggregate(Count(alias_name="cnt"),
-                      Sum("value", alias_name="total")))
+           .aggregate(Sum("cnt", alias_name="cnt"),
+                      Sum("total", alias_name="total")))
 
     def round_total(batch: pa.Table) -> pa.Table:
         return batch.set_column(batch.schema.get_field_index("total"),

@@ -64,6 +64,36 @@ def _warm_page_cache(paths: list[str]) -> None:
                             pass
 
 
+def _calibrate_effective_cpus(num_cpus: int) -> int:
+    """~2 s probe: this sandbox's host caps effective compute at ~8 cores
+    regardless of the 32 advertised (see BASELINE.md). If running
+    ``num_cpus`` parallel burns is no faster than 4, cap the Data
+    executor's CPU budget so 32 workers don't thrash ~8 real cores
+    (measured 2-4× wall-clock blowup). Transparent: the cap is reported
+    in the output JSON."""
+    if num_cpus <= 8:
+        return num_cpus
+    import numpy as np
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def burn(seed: int) -> float:
+        x = np.random.default_rng(seed).random(400_000)
+        s = 0.0
+        for _ in range(25):
+            s += float(np.sin(x).sum())
+        return s
+
+    def rate(width: int) -> float:
+        t0 = time.perf_counter()
+        ray.get([burn.remote(i) for i in range(width)])
+        return width / (time.perf_counter() - t0)
+
+    rate(2)  # warm workers
+    r_lo, r_hi = rate(4), rate(num_cpus)
+    return num_cpus if r_hi >= 1.5 * r_lo else 8
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -71,6 +101,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    effective = _calibrate_effective_cpus(num_cpus)
+    if effective != num_cpus:
+        ctx.execution_options.resource_limits.cpu = effective
 
     import __ray_entry__ as entry_mod
     from bigdime_ray.pipelines.validate import (ValidationRunConfig,
@@ -120,6 +153,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "effective_cpu_limit": effective,
         "rows": BENCH_ROWS,
         "rows_per_sec": round(BENCH_ROWS / timings["validation_suite"], 1),
         "responses": n_resp,
