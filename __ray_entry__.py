@@ -403,6 +403,36 @@ def _q_top_orders(sf_dir: str):
     return pa.Table.from_pandas(top, preserve_index=False)
 
 
+def _q_revenue_by_orderpriority(sf_dir: str):
+    """Large-large hash join (Dataset.join, partitioned on the key) —
+    lineitem ⋈ orders, revenue per order priority. The small-side
+    broadcast alternative is `referential_violations`; this demonstrates
+    the true co-partitioned join for when neither side fits broadcast."""
+    from ray.data.aggregate import Count, Sum
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = (joined.groupby("o_orderpriority")
+           .aggregate(Sum("rev", alias_name="revenue"),
+                      Count(alias_name="cnt")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("revenue")
+        return batch.set_column(i, "revenue",
+                                pc.round(batch["revenue"], ndigits=3))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_validation_suite(sf_dir: str):
     """Flagship engine run (rows-only): verdict table of the full suite."""
     return entry()
@@ -484,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
         "top_orders_by_revenue": _q_top_orders,
+        "revenue_by_orderpriority": _q_revenue_by_orderpriority,
         "validation_suite_synthetic": _q_validation_suite,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_topk": _q_grouped_topk,
@@ -550,6 +581,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount))"
             ", 3) AS revenue FROM lineitem GROUP BY l_orderkey "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "revenue_by_orderpriority":
+            "SELECT o_orderpriority, ROUND(SUM(l_extendedprice * "
+            "(1 - l_discount)), 3) AS revenue, COUNT(*) AS cnt "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority",
         "grouped_topk":
             "SELECT l_orderkey, l_linenumber FROM ("
             "SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER ("
