@@ -73,6 +73,9 @@ class ValidationRunConfig:
     #: driver (fastest; fine while Σ state bytes ≲ 1 GB). "combine":
     #: block-local combine stage first (the >10⁵-block scale path).
     state_merge: str = "driver"
+    #: ship the catalog as a Bloom filter instead of the exact value set
+    #: (for catalogs too large to broadcast; documented FP ε)
+    catalog_as_bloom: bool = False
     resume: bool = True
     collect_violations: bool = True      # gather into the report (capped)
     max_collected_violations: int = 1_000_000
@@ -131,10 +134,17 @@ def _load_side_inputs(cfg: ValidationRunConfig, ctx: ValidationContext) -> None:
     cat_path = cfg._default("catalog_path", "source_catalog.parquet")
     if cat_path and os.path.exists(cat_path):
         cat = pq.read_table(cat_path)
-        ctx.catalog = frozenset(cat["source"].to_pylist())
-        if "max_n_tok" in cat.column_names:
-            ctx.catalog_max_n_tok = dict(zip(cat["source"].to_pylist(),
-                                             cat["max_n_tok"].to_pylist()))
+        if cfg.catalog_as_bloom:
+            # huge-catalog scale path: ship a Bloom filter instead of the
+            # exact value set (documented FP ε, functions/bloom.py)
+            from bigdime_ray.functions.bloom import BloomFilter
+            ctx.catalog_bloom = BloomFilter.from_strings(
+                cat["source"].to_pylist())
+        else:
+            ctx.catalog = frozenset(cat["source"].to_pylist())
+            if "max_n_tok" in cat.column_names:
+                ctx.catalog_max_n_tok = dict(zip(cat["source"].to_pylist(),
+                                                 cat["max_n_tok"].to_pylist()))
     man_path = cfg._default("ingest_manifest_path", "ingest_manifest.parquet")
     if man_path and os.path.exists(man_path):
         man = pq.read_table(man_path)

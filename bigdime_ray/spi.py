@@ -77,6 +77,7 @@ class ValidationContext:
     declared_schema: pa.Schema | None = None
     vocab: int = 32000
     catalog: Optional[frozenset] = None          # allowed `source` values (F2)
+    catalog_bloom: Optional[Any] = None          # BloomFilter scale path
     catalog_max_n_tok: Optional[dict] = None
     manifest: Optional[dict] = None              # partition_id -> {expected_rows, raw_checksum} (F3)
     profile: Optional[Any] = None                # ReferenceProfile (F4)

@@ -25,7 +25,12 @@ from bigdime_ray.state.sketches import CountState, PartialState
 @register_validator
 class ReferentialValidator(Validator):
     id = "referential"
-    requires = ("catalog",)
+    requires = ()  # catalog OR catalog_bloom (checked in check_setup)
+
+    def check_setup(self, ctx: ValidationContext):
+        if ctx.catalog is None and ctx.catalog_bloom is None:
+            return "missing side input 'catalog' (or 'catalog_bloom')"
+        return None
 
     def __init__(self) -> None:
         self._value_set: Optional[pa.Array] = None  # built once per actor
@@ -33,16 +38,26 @@ class ReferentialValidator(Validator):
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
                        ctx: ValidationContext, cache=None) -> ScanResult:
-        if self._value_set is None:
-            cat = sorted(ctx.catalog)
-            self._value_set = pa.array(cat, type=pa.string())
-            if ctx.catalog_max_n_tok:
-                self._bounds_np = np.array(
-                    [ctx.catalog_max_n_tok.get(s, np.iinfo(np.int64).max)
-                     for s in cat], dtype=np.int64)
         src = tbl["source"]
-        known = pc.is_in(src, value_set=self._value_set)
-        bad = pc.fill_null(pc.invert(known), True)  # null source → violation
+        if ctx.catalog is not None:
+            if self._value_set is None:
+                cat = sorted(ctx.catalog)
+                self._value_set = pa.array(cat, type=pa.string())
+                if ctx.catalog_max_n_tok:
+                    self._bounds_np = np.array(
+                        [ctx.catalog_max_n_tok.get(s, np.iinfo(np.int64).max)
+                         for s in cat], dtype=np.int64)
+            known = pc.is_in(src, value_set=self._value_set)
+            bad = pc.fill_null(pc.invert(known), True)  # null src → violation
+        else:
+            # Bloom scale path: not-in-filter ⇒ definite violation;
+            # in-filter may miss a violation at the filter's FP rate
+            # (documented ε — functions/bloom.py)
+            from bigdime_ray.functions.hashing import hash_string_column
+            h = hash_string_column(src)
+            known_np = ctx.catalog_bloom.contains_hashes(h)
+            null_np = pc.is_null(src).to_numpy(zero_copy_only=False)
+            bad = pa.array(~known_np | null_np)
         if self._bounds_np is not None:
             # per-source n_tok bound via index_in gather — no Python loop
             idx = (pc.fill_null(pc.index_in(src, value_set=self._value_set),
