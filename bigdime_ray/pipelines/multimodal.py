@@ -128,3 +128,77 @@ def extract_media_features(ds: Dataset, decoder: str = "fake",
                           fn_constructor_kwargs={"decoder": decoder},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
+
+
+class MediaResizer:
+    """Actor-pool resize stage (image/video): rewrites the payload header
+    dims and metadata columns. The pixel resample itself is the codec's
+    job (stubbed — ``decoder='fake'`` rewrites the fake header
+    deterministically; PIL slot raises NotImplementedError here)."""
+
+    def __init__(self, width: int, height: int, decoder: str = "fake"):
+        if decoder != "fake":
+            raise NotImplementedError(
+                f"codec {decoder!r} not available in this environment")
+        self.w, self.h = width, height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, ws, hs = [], [], []
+        for row in batch.to_pylist():
+            if row["kind"] == "audio":
+                payloads.append(row["payload"])
+                ws.append(row["width"])
+                hs.append(row["height"])
+                continue
+            body = row["payload"][16:]
+            head = _MAGIC + np.asarray([self.w, self.h, row["sample_rate"]],
+                                       dtype=np.int32).tobytes()
+            payloads.append(head + body)
+            ws.append(self.w)
+            hs.append(self.h)
+        out = batch.set_column(batch.schema.get_field_index("payload"),
+                               "payload",
+                               pa.array(payloads, type=pa.binary()))
+        out = out.set_column(out.schema.get_field_index("width"), "width",
+                             pa.array(ws, type=pa.int32()))
+        return out.set_column(out.schema.get_field_index("height"), "height",
+                              pa.array(hs, type=pa.int32()))
+
+
+def resize_media(ds: Dataset, width: int, height: int,
+                 concurrency: int = 4, batch_size: int = 64) -> Dataset:
+    return ds.map_batches(MediaResizer,
+                          fn_constructor_kwargs={"width": width,
+                                                 "height": height},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def frame_sample(ds: Dataset, num_frames: int = 4,
+                 batch_size: int = 64) -> Dataset:
+    """Video frame sampling: explode each video row into ``num_frames``
+    frame rows (deterministic positions). The frame-extraction codec is
+    stubbed — frames carry a slice of the fake body bytes — but the
+    row-explosion plumbing (schema, one→many map_batches) is real."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, kinds, idxs, payloads = [], [], [], []
+        for row in batch.to_pylist():
+            if row["kind"] != "video":
+                continue
+            body = row["payload"][16:]
+            step = max(1, len(body) // num_frames)
+            for f in range(num_frames):
+                ids.append(row["media_id"])
+                kinds.append("frame")
+                idxs.append(f)
+                payloads.append(body[f * step:(f + 1) * step])
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "frame_index": pa.array(idxs, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -45,3 +45,29 @@ def test_actor_pool_stage():
 def test_real_decoder_stubbed():
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(decoder="librosa")
+
+
+def test_resize_media():
+    from bigdime_ray.pipelines.multimodal import (MediaFeatureExtractor,
+                                                  resize_media)
+    ds = ray.data.from_arrow(synth_media_table(30))
+    out = resize_media(ds, 64, 64, concurrency=2).materialize()
+    pdf = out.to_pandas()
+    imgs = pdf[pdf.kind != "audio"]
+    assert (imgs.width == 64).all() and (imgs.height == 64).all()
+    # resized payload still decodes, with the new dims
+    feats = MediaFeatureExtractor()(
+        pa.Table.from_pandas(pdf, preserve_index=False))
+    f = feats.to_pandas()
+    assert f[f.kind != "audio"].decoded_width.eq(64).all()
+    assert f.decode_ok.all()
+
+
+def test_frame_sample():
+    from bigdime_ray.pipelines.multimodal import frame_sample
+    tbl = synth_media_table(40)
+    n_videos = sum(1 for k in tbl["kind"].to_pylist() if k == "video")
+    out = frame_sample(ray.data.from_arrow(tbl), num_frames=3).to_pandas()
+    assert len(out) == 3 * n_videos
+    assert set(out.frame_index) == {0, 1, 2}
+    assert (out.kind == "frame").all()
