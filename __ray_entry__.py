@@ -37,6 +37,18 @@ def _read(sf_dir: str, table: str, columns=None):
                                  columns=columns)
 
 
+def _scaled_i64(values, scale: int) -> pa.Array:
+    """Fixed-point encode a float column as int64: floor(x*scale + 0.5).
+
+    The driver's correctness compare value-hashes results EXACTLY;
+    rounded float64 outputs differ between engines in the last ulp
+    (banker's vs half-away rounding, summation order), so every compared
+    float becomes a scaled integer — identical formula in the SQL oracle
+    (CAST(FLOOR(x * scale + 0.5) AS BIGINT))."""
+    v = np.asarray(values, dtype=np.float64)
+    return pa.array(np.floor(v * scale + 0.5).astype(np.int64))
+
+
 def _collect(ds, schema: pa.Schema) -> pa.Table:
     """Collect a (small) Dataset into an Arrow table, preserving the
     schema even when every block is empty (Dataset.to_pandas drops the
@@ -212,9 +224,10 @@ def _q_column_stats(sf_dir: str):
     res = ds.aggregate(*aggs)
     rows = []
     for c in cols:
-        rows.append({"col_name": c, "min_v": round(res[f"min_{c}"], 4),
-                     "max_v": round(res[f"max_{c}"], 4),
-                     "mean_v": round(res[f"mean_{c}"], 4),
+        rows.append({"col_name": c,
+                     "min_v": int(np.floor(res[f"min_{c}"] * 10_000 + 0.5)),
+                     "max_v": int(np.floor(res[f"max_{c}"] * 10_000 + 0.5)),
+                     "mean_v": int(np.floor(res[f"mean_{c}"] * 10_000 + 0.5)),
                      "cnt": res["cnt"]})
     return pa.Table.from_pylist(rows)
 
@@ -350,11 +363,13 @@ def _q_events_hourly(sf_dir: str):
            .aggregate(Sum("cnt", alias_name="cnt"),
                       Sum("total", alias_name="total")))
 
-    def round_total(batch: pa.Table) -> pa.Table:
-        return batch.set_column(batch.schema.get_field_index("total"),
-                                "total", pc.round(batch["total"], ndigits=4))
+    def fixpoint(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total"), "total",
+            _scaled_i64(batch["total"].to_numpy(zero_copy_only=False),
+                        10_000))
 
-    return out.map_batches(round_total, batch_format="pyarrow")
+    return out.map_batches(fixpoint, batch_format="pyarrow")
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -376,13 +391,14 @@ def _q_pricing_summary(sf_dir: str):
                       Mean("l_discount", alias_name="avg_disc"),
                       Count(alias_name="cnt")))
 
-    def rnd(batch: pa.Table) -> pa.Table:
+    def fixpoint(batch: pa.Table) -> pa.Table:
         for c in ["sum_qty", "sum_rev", "avg_disc"]:
-            batch = batch.set_column(batch.schema.get_field_index(c), c,
-                                     pc.round(batch[c], ndigits=3))
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c,
+                _scaled_i64(batch[c].to_numpy(zero_copy_only=False), 1_000))
         return batch
 
-    return out.map_batches(rnd, batch_format="pyarrow")
+    return out.map_batches(fixpoint, batch_format="pyarrow")
 
 
 def _q_top_orders(sf_dir: str):
@@ -399,8 +415,10 @@ def _q_top_orders(sf_dir: str):
     agg = (ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
     top = agg.sort("revenue", descending=True).limit(10).to_pandas()
-    top["revenue"] = top["revenue"].round(3)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return pa.table({
+        "l_orderkey": pa.array(top["l_orderkey"].to_numpy(),
+                               type=pa.int64()),
+        "revenue": _scaled_i64(top["revenue"].to_numpy(), 1_000)})
 
 
 def _q_revenue_by_orderpriority(sf_dir: str):
@@ -425,12 +443,14 @@ def _q_revenue_by_orderpriority(sf_dir: str):
            .aggregate(Sum("rev", alias_name="revenue"),
                       Count(alias_name="cnt")))
 
-    def rnd(batch: pa.Table) -> pa.Table:
+    def fixpoint(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("revenue")
-        return batch.set_column(i, "revenue",
-                                pc.round(batch["revenue"], ndigits=3))
+        return batch.set_column(
+            i, "revenue",
+            _scaled_i64(batch["revenue"].to_numpy(zero_copy_only=False),
+                        1_000))
 
-    return out.map_batches(rnd, batch_format="pyarrow")
+    return out.map_batches(fixpoint, batch_format="pyarrow")
 
 
 def _q_validation_suite(sf_dir: str):
@@ -477,7 +497,9 @@ def _q_running_sum(sf_dir: str):
         return pa.table({
             "user_id": batch["user_id"],
             "event_id": batch["event_id"],
-            "running_total": pc.round(batch["running_total"], ndigits=4)})
+            "running_total": _scaled_i64(
+                batch["running_total"].to_numpy(zero_copy_only=False),
+                10_000)})
 
     return out.map_batches(proj, batch_format="pyarrow")
 
@@ -543,8 +565,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT l_orderkey FROM lineitem "
             "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)",
         "column_stats":
-            "SELECT col_name, ROUND(min_v, 4) AS min_v, ROUND(max_v, 4) AS "
-            "max_v, ROUND(mean_v, 4) AS mean_v, cnt FROM ("
+            "SELECT col_name, CAST(FLOOR(min_v * 10000 + 0.5) AS BIGINT) AS "
+            "min_v, CAST(FLOOR(max_v * 10000 + 0.5) AS BIGINT) AS max_v, "
+            "CAST(FLOOR(mean_v * 10000 + 0.5) AS BIGINT) AS mean_v, cnt "
+            "FROM ("
             "SELECT 'l_quantity' AS col_name, MIN(l_quantity) AS min_v, "
             "MAX(l_quantity) AS max_v, AVG(l_quantity) AS mean_v, "
             "COUNT(*) AS cnt FROM lineitem UNION ALL "
@@ -570,20 +594,26 @@ def oracle_sql() -> dict[str, str]:
             "AS n_ws_tokens FROM documents",
         "events_hourly_window":
             "SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt, "
-            "ROUND(SUM(value), 4) AS total FROM events GROUP BY 1, 2",
+            "CAST(FLOOR(SUM(value) * 10000 + 0.5) AS BIGINT) AS total "
+            "FROM events GROUP BY 1, 2",
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
-            "ROUND(SUM(l_quantity), 3) AS sum_qty, "
-            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_rev, "
-            "ROUND(AVG(l_discount), 3) AS avg_disc, COUNT(*) AS cnt "
+            "CAST(FLOOR(SUM(l_quantity) * 1000 + 0.5) AS BIGINT) AS sum_qty, "
+            "CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1000 + 0.5)"
+            " AS BIGINT) AS sum_rev, "
+            "CAST(FLOOR(AVG(l_discount) * 1000 + 0.5) AS BIGINT) AS avg_disc,"
+            " COUNT(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "top_orders_by_revenue":
-            "SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount))"
-            ", 3) AS revenue FROM lineitem GROUP BY l_orderkey "
-            "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+            "SELECT l_orderkey, CAST(FLOOR(SUM(l_extendedprice * "
+            "(1 - l_discount)) * 1000 + 0.5) AS BIGINT) AS revenue "
+            "FROM lineitem GROUP BY l_orderkey "
+            "ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, "
+            "l_orderkey LIMIT 10",
         "revenue_by_orderpriority":
-            "SELECT o_orderpriority, ROUND(SUM(l_extendedprice * "
-            "(1 - l_discount)), 3) AS revenue, COUNT(*) AS cnt "
+            "SELECT o_orderpriority, CAST(FLOOR(SUM(l_extendedprice * "
+            "(1 - l_discount)) * 1000 + 0.5) AS BIGINT) AS revenue, "
+            "COUNT(*) AS cnt "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority",
         "grouped_topk":
@@ -592,9 +622,9 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn "
             "FROM lineitem) WHERE rn <= 2",
         "events_running_sum":
-            "SELECT user_id, event_id, ROUND(SUM(value) OVER ("
-            "PARTITION BY user_id ORDER BY ts, event_id), 4) "
-            "AS running_total FROM events",
+            "SELECT user_id, event_id, CAST(FLOOR(SUM(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) * 10000 + 0.5) "
+            "AS BIGINT) AS running_total FROM events",
         "events_sessions":
             "WITH g AS (SELECT user_id, ts, CASE WHEN "
             "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "
