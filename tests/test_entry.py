@@ -47,11 +47,11 @@ def test_query_matches_oracle(name, con, sf001_dir):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b)
     for c in a.columns:
-        if np.issubdtype(a[c].dtype, np.floating):
-            assert np.allclose(a[c].to_numpy(dtype=float),
-                               b[c].to_numpy(dtype=float), atol=1e-9)
-        else:
-            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+        # the driver value-hashes EXACTLY — compared columns are integer/
+        # string/timestamp by design (floats are fixed-point encoded)
+        assert not np.issubdtype(a[c].dtype, np.floating), \
+            f"float column {c} would be hash-fragile"
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
 
 
 def test_entry_returns_verdicts():
