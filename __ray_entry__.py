@@ -118,12 +118,9 @@ def _q_checksum_per_source(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         rh = (ids * _CHK_MUL) % _CHK_MOD
-        df = pd.DataFrame({
-            "source": batch["source"].to_numpy(zero_copy_only=False),
-            "rh": rh})
-        g = df.groupby("source", sort=False)["rh"].sum().reset_index()
-        return pa.Table.from_pandas(g.rename(columns={"rh": "checksum"}),
-                                    preserve_index=False)
+        t = pa.table({"source": batch["source"], "rh": pa.array(rh)})
+        g = t.group_by(["source"]).aggregate([("rh", "sum")])
+        return g.rename_columns(["source", "checksum"])
 
     from ray.data.aggregate import Sum
     return (ds.map_batches(partial, batch_format="pyarrow")
@@ -195,8 +192,13 @@ def _q_duplicate_keys(sf_dir: str):
 
 def _q_referential_violations(sf_dir: str):
     """B-V7 proxy: broadcast anti-join — lineitem orderkeys not in orders."""
-    orders = _read(sf_dir, "orders", columns=["o_orderkey"]).take_all()
-    key_set = pa.array([r["o_orderkey"] for r in orders], type=pa.int64())
+    # projected single-column Arrow pull of the SMALL (broadcast) side —
+    # no per-row Python materialization; only safe while orders is small
+    import ray as _ray
+    key_tbl = pa.concat_tables(
+        _ray.get(_read(sf_dir, "orders",
+                       columns=["o_orderkey"]).to_arrow_refs()))
+    key_set = key_tbl["o_orderkey"].combine_chunks()
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -216,18 +218,33 @@ def _q_column_stats(sf_dir: str):
     from ray.data.aggregate import Count, Max, Mean, Min
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     ds = _read(sf_dir, "lineitem", columns=cols)
+    from ray.data.aggregate import Sum
+
+    def scaled(batch: pa.Table) -> pa.Table:
+        # per-row fixed-point (×10^7) so the mean's SUM is an integer sum
+        # — order-independent, no last-ulp flapping across runs
+        out = {}
+        for c in cols:
+            v = batch[c].to_numpy(zero_copy_only=False)
+            out[c] = batch[c]
+            out[f"{c}_s7"] = pa.array(
+                np.floor(v * 10_000_000 + 0.5).astype(np.int64))
+        return pa.table(out)
+
     aggs = []
     for c in cols:
         aggs += [Min(c, alias_name=f"min_{c}"), Max(c, alias_name=f"max_{c}"),
-                 Mean(c, alias_name=f"mean_{c}")]
+                 Sum(f"{c}_s7", alias_name=f"sum7_{c}")]
     aggs.append(Count(alias_name="cnt"))
-    res = ds.aggregate(*aggs)
+    res = ds.map_batches(scaled, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(*aggs)
     rows = []
     for c in cols:
         rows.append({"col_name": c,
                      "min_v": int(np.floor(res[f"min_{c}"] * 10_000 + 0.5)),
                      "max_v": int(np.floor(res[f"max_{c}"] * 10_000 + 0.5)),
-                     "mean_v": int(np.floor(res[f"mean_{c}"] * 10_000 + 0.5)),
+                     "mean_v": int(np.floor(
+                         res[f"sum7_{c}"] / 1000.0 / res["cnt"] + 0.5)),
                      "cnt": res["cnt"]})
     return pa.Table.from_pylist(rows)
 
@@ -292,15 +309,18 @@ def _q_embedding_near_dup(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def _query_vec(ds) -> np.ndarray:
+    """Fetch the vec_id=0 embedding with a pushed-down filter (no
+    driver-side iter_rows scan)."""
+    row = ds.filter(expr="vec_id == 0").take(1)[0]
+    return np.asarray(row["embedding"], dtype=np.float64)
+
+
 def _q_knn_top10(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 embedding (broadcast)."""
     from bigdime_ray.pipelines.similarity import brute_force_topk
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = None
-    for r in ds.iter_rows():
-        if r["vec_id"] == 0:
-            q = np.asarray(r["embedding"], dtype=np.float64)
-            break
+    q = _query_vec(ds)
     top = brute_force_topk(ds, q[None, :], k=10)
     return pa.table({"vec_id": pa.array(top.vec_id.to_numpy(), type=pa.int64()),
                      "rnk": pa.array(top["rank"].to_numpy(), type=pa.int64())})
@@ -311,11 +331,7 @@ def _q_knn_ivf(sf_dir: str):
     design, recall asserted in tests/test_similarity.py)."""
     from bigdime_ray.pipelines.similarity import ivf_topk
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = None
-    for r in ds.iter_rows():
-        if r["vec_id"] == 0:
-            q = np.asarray(r["embedding"], dtype=np.float64)
-            break
+    q = _query_vec(ds)
     top = ivf_topk(ds, q[None, :], k=10, nlist=8, nprobe=4)
     return pa.table({"vec_id": pa.array(top.vec_id.to_numpy(),
                                         type=pa.int64()),
@@ -351,10 +367,14 @@ def _q_events_hourly(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        t = (batch.append_column("hour", hour)
-             .select(["user_id", "hour", "value"]))
+        # per-row fixed-point BEFORE the sum: integer sums are
+        # order-independent (float sums flap in the last ulp)
+        val_s = _scaled_i64(batch["value"].to_numpy(zero_copy_only=False),
+                            10_000)
+        t = pa.table({"user_id": batch["user_id"], "hour": hour,
+                      "value_s": val_s})
         g = t.group_by(["user_id", "hour"]).aggregate(
-            [([], "count_all"), ("value", "sum")])
+            [([], "count_all"), ("value_s", "sum")])
         return g.rename_columns(["user_id", "hour", "cnt", "total"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow",
@@ -363,13 +383,14 @@ def _q_events_hourly(sf_dir: str):
            .aggregate(Sum("cnt", alias_name="cnt"),
                       Sum("total", alias_name="total")))
 
-    def fixpoint(batch: pa.Table) -> pa.Table:
+    def unit_us(batch: pa.Table) -> pa.Table:
+        # Ray's hash-groupby downcasts the timestamp key to [s]; DuckDB
+        # emits [us] — align for the dtype-sensitive value hash
+        i = batch.schema.get_field_index("hour")
         return batch.set_column(
-            batch.schema.get_field_index("total"), "total",
-            _scaled_i64(batch["total"].to_numpy(zero_copy_only=False),
-                        10_000))
+            i, "hour", pc.cast(batch["hour"], pa.timestamp("us")))
 
-    return out.map_batches(fixpoint, batch_format="pyarrow")
+    return out.map_batches(unit_us, batch_format="pyarrow")
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -379,26 +400,36 @@ def _q_pricing_summary(sf_dir: str):
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
 
-    def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("rev", rev)
+    def scaled(batch: pa.Table) -> pa.Table:
+        # per-row fixed-point BEFORE every sum (order-independent int sums)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_s": _scaled_i64(
+                batch["l_quantity"].to_numpy(zero_copy_only=False), 1_000),
+            "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000),
+            "disc_s6": _scaled_i64(disc, 1_000_000)})
 
-    out = (ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("rev", alias_name="sum_rev"),
-                      Mean("l_discount", alias_name="avg_disc"),
+           .aggregate(Sum("qty_s", alias_name="sum_qty"),
+                      Sum("rev_s", alias_name="sum_rev"),
+                      Sum("disc_s6", alias_name="sum_disc6"),
                       Count(alias_name="cnt")))
 
-    def fixpoint(batch: pa.Table) -> pa.Table:
-        for c in ["sum_qty", "sum_rev", "avg_disc"]:
-            batch = batch.set_column(
-                batch.schema.get_field_index(c), c,
-                _scaled_i64(batch[c].to_numpy(zero_copy_only=False), 1_000))
-        return batch
+    def finish(batch: pa.Table) -> pa.Table:
+        sum6 = batch["sum_disc6"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        avg = np.floor(sum6 / 1000.0 / cnt + 0.5).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": batch["sum_qty"], "sum_rev": batch["sum_rev"],
+            "avg_disc": pa.array(avg), "cnt": batch["cnt"]})
 
-    return out.map_batches(fixpoint, batch_format="pyarrow")
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_top_orders(sf_dir: str):
@@ -408,17 +439,31 @@ def _q_top_orders(sf_dir: str):
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
 
     agg = (ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
-    top = agg.sort("revenue", descending=True).limit(10).to_pandas()
+           .groupby("l_orderkey").aggregate(Sum("rev_s",
+                                                alias_name="revenue")))
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        # block-local top-10 — avoids the all-to-all global sort; the
+        # driver merges ≤ 10×num_blocks candidate rows
+        rev = batch["revenue"].to_numpy(zero_copy_only=False)
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -rev))[:10]
+        return batch.take(pa.array(order))
+
+    cand = pd.DataFrame(
+        agg.map_batches(block_top, batch_format="pyarrow").take_all())
+    top = (cand.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True]).head(10))
     return pa.table({
         "l_orderkey": pa.array(top["l_orderkey"].to_numpy(),
                                type=pa.int64()),
-        "revenue": _scaled_i64(top["revenue"].to_numpy(), 1_000)})
+        "revenue": pa.array(top["revenue"].to_numpy(), type=pa.int64())})
 
 
 def _q_revenue_by_orderpriority(sf_dir: str):
@@ -431,26 +476,20 @@ def _q_revenue_by_orderpriority(sf_dir: str):
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        # per-row fixed-point before the join+sum → integer sum is
+        # order-independent (the float sum flapped the ×1000 boundary)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
 
     li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    out = (joined.groupby("o_orderpriority")
-           .aggregate(Sum("rev", alias_name="revenue"),
-                      Count(alias_name="cnt")))
-
-    def fixpoint(batch: pa.Table) -> pa.Table:
-        i = batch.schema.get_field_index("revenue")
-        return batch.set_column(
-            i, "revenue",
-            _scaled_i64(batch["revenue"].to_numpy(zero_copy_only=False),
-                        1_000))
-
-    return out.map_batches(fixpoint, batch_format="pyarrow")
+    return (joined.groupby("o_orderpriority")
+            .aggregate(Sum("rev_s", alias_name="revenue"),
+                       Count(alias_name="cnt")))
 
 
 def _q_validation_suite(sf_dir: str):
@@ -550,8 +589,8 @@ def oracle_sql() -> dict[str, str]:
         "record_count_per_source":
             "SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source",
         "checksum_per_source":
-            f"SELECT source, SUM((doc_id * {_CHK_MUL}) % {_CHK_MOD}) "
-            "AS checksum FROM documents GROUP BY source",
+            f"SELECT source, CAST(SUM((doc_id * {_CHK_MUL}) % {_CHK_MOD}) "
+            "AS BIGINT) AS checksum FROM documents GROUP BY source",
         "ntok_consistency_violations":
             "SELECT doc_id, n_chars AS declared, LENGTH(text) AS actual "
             "FROM documents WHERE n_chars <> LENGTH(text)",
@@ -567,18 +606,22 @@ def oracle_sql() -> dict[str, str]:
         "column_stats":
             "SELECT col_name, CAST(FLOOR(min_v * 10000 + 0.5) AS BIGINT) AS "
             "min_v, CAST(FLOOR(max_v * 10000 + 0.5) AS BIGINT) AS max_v, "
-            "CAST(FLOOR(mean_v * 10000 + 0.5) AS BIGINT) AS mean_v, cnt "
-            "FROM ("
+            "CAST(FLOOR(sum7 / 1000.0 / cnt + 0.5) AS BIGINT) AS mean_v, "
+            "cnt FROM ("
             "SELECT 'l_quantity' AS col_name, MIN(l_quantity) AS min_v, "
-            "MAX(l_quantity) AS max_v, AVG(l_quantity) AS mean_v, "
+            "MAX(l_quantity) AS max_v, SUM(CAST(FLOOR(l_quantity * 10000000 "
+            "+ 0.5) AS BIGINT)) AS sum7, "
             "COUNT(*) AS cnt FROM lineitem UNION ALL "
             "SELECT 'l_extendedprice', MIN(l_extendedprice), "
-            "MAX(l_extendedprice), AVG(l_extendedprice), COUNT(*) "
+            "MAX(l_extendedprice), SUM(CAST(FLOOR(l_extendedprice * 10000000 "
+            "+ 0.5) AS BIGINT)), COUNT(*) "
             "FROM lineitem UNION ALL "
             "SELECT 'l_discount', MIN(l_discount), MAX(l_discount), "
-            "AVG(l_discount), COUNT(*) FROM lineitem)",
+            "SUM(CAST(FLOOR(l_discount * 10000000 + 0.5) AS BIGINT)), "
+            "COUNT(*) FROM lineitem)",
         "per_source_stats_salted":
-            "SELECT source, COUNT(*) AS cnt, SUM(n_chars) AS vsum, "
+            "SELECT source, COUNT(*) AS cnt, "
+            "CAST(SUM(n_chars) AS BIGINT) AS vsum, "
             "MIN(n_chars) AS vmin, MAX(n_chars) AS vmax "
             "FROM documents GROUP BY source",
         "exact_dedup_groups":
@@ -594,26 +637,27 @@ def oracle_sql() -> dict[str, str]:
             "AS n_ws_tokens FROM documents",
         "events_hourly_window":
             "SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt, "
-            "CAST(FLOOR(SUM(value) * 10000 + 0.5) AS BIGINT) AS total "
-            "FROM events GROUP BY 1, 2",
+            "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS total FROM events GROUP BY 1, 2",
         "pricing_summary":
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(FLOOR(SUM(l_quantity) * 1000 + 0.5) AS BIGINT) AS sum_qty, "
-            "CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 1000 + 0.5)"
-            " AS BIGINT) AS sum_rev, "
-            "CAST(FLOOR(AVG(l_discount) * 1000 + 0.5) AS BIGINT) AS avg_disc,"
+            "CAST(SUM(CAST(FLOOR(l_quantity * 1000 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS sum_rev, "
+            "CAST(FLOOR(SUM(CAST(FLOOR(l_discount * 1000000 + 0.5) AS "
+            "BIGINT)) / 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS avg_disc,"
             " COUNT(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "top_orders_by_revenue":
-            "SELECT l_orderkey, CAST(FLOOR(SUM(l_extendedprice * "
-            "(1 - l_discount)) * 1000 + 0.5) AS BIGINT) AS revenue "
+            "SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue "
             "FROM lineitem GROUP BY l_orderkey "
-            "ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, "
-            "l_orderkey LIMIT 10",
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10",
         "revenue_by_orderpriority":
-            "SELECT o_orderpriority, CAST(FLOOR(SUM(l_extendedprice * "
-            "(1 - l_discount)) * 1000 + 0.5) AS BIGINT) AS revenue, "
-            "COUNT(*) AS cnt "
+            "SELECT o_orderpriority, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue, COUNT(*) AS cnt "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority",
         "grouped_topk":
@@ -629,8 +673,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH g AS (SELECT user_id, ts, CASE WHEN "
             "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "
             "INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk FROM events), "
-            "s AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
-            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id FROM g) "
+            "s AS (SELECT user_id, ts, CAST(SUM(brk) OVER (PARTITION BY "
+            "user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_id FROM g) "
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MIN(ts) AS session_start, MAX(ts) AS session_end "
             "FROM s GROUP BY 1, 2",

@@ -328,20 +328,28 @@ class TDigestState(PartialState):
         return out
 
     def quantile(self, qs) -> np.ndarray:
-        """Step quantile over cumulative centroid mass.
+        """Weighted positional interpolation (numpy 'linear' rule).
 
-        Midpoint interpolation badly overshoots on discrete-heavy data
-        (hypothesis: [0.0]×49 + [1.0] put the median at 0.64); the step
-        function is exact there and its error on continuous data is
-        bounded by one centroid's mass (≈ 4·q(1-q)/compression)."""
+        Treats a centroid of weight w as w points at its mean and
+        evaluates h = q·(n−1) between the two bracketing points — exact
+        for duplicate-run data (where a pure step or midpoint rule each
+        exceed the 0.25·span property bound on two-point distributions),
+        and off by at most one centroid's internal spread on continuous
+        data (mass per centroid ≈ 4·q(1−q)/compression)."""
         qs = np.atleast_1d(np.asarray(qs, dtype=np.float64))
         if len(self.means) == 0:
             return np.full(len(qs), np.nan)
         total = self.total_weight
         cum = np.cumsum(self.weights)
-        idx = np.searchsorted(cum, np.clip(qs, 0, 1) * total, side="left")
-        idx = np.clip(idx, 0, len(self.means) - 1)
-        out = self.means[idx]
+        h = np.clip(qs, 0.0, 1.0) * max(total - 1.0, 0.0)
+        p0 = np.floor(h)
+        frac = h - p0
+        # 0-based point p lives in centroid i with cum[i-1] <= p < cum[i]
+        last = len(self.means) - 1
+        i0 = np.minimum(np.searchsorted(cum, p0, side="right"), last)
+        i1 = np.minimum(np.searchsorted(cum, p0 + 1.0, side="right"), last)
+        v0, v1 = self.means[i0], self.means[i1]
+        out = v0 + frac * (v1 - v0)
         out[qs <= 0.0] = self.minimum
         out[qs >= 1.0] = self.maximum
-        return out
+        return np.clip(out, self.minimum, self.maximum)

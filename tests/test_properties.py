@@ -5,7 +5,7 @@ order-insensitive but content-sensitive; digests within ε of exact."""
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from bigdime_ray.functions.hashing import (fold_checksum, hash_int_list_column,
                                            merge_checksums, row_content_hash)
@@ -78,6 +78,9 @@ def test_histogram_split_invariant(ids, n_chunks):
 @given(st.lists(st.floats(0, 1e4), min_size=50, max_size=400),
        st.integers(2, 6))
 @settings(**SETTINGS)
+@example(values=[0.0] * 40 + [158.0] * 39 + [314.0], n_chunks=1)
+@example(values=[0.0] * 50 + [274.0] + [158.0] * 4 + [314.0], n_chunks=2)
+@example(values=[0.0] * 45 + [10000.0] * 5, n_chunks=3)
 def test_tdigest_quantiles_bounded_error(values, n_chunks):
     v = np.asarray(values)
     merged = merge_states([TDigestState.from_values(c)
