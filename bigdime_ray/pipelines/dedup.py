@@ -19,11 +19,12 @@ requirements for a 100 TB training-data engine):
 Scale notes (documented partitioning assumptions): signatures/bands are
 computed vectorized per batch (numpy ``minimum.reduceat`` over flattened
 shingle hashes — no Python loop over rows); only narrow
-(id, band, hash) rows enter the shuffles; candidate verification
-re-derives signatures for the (small) candidate set via a broadcast
-semi-join filter; connected components use driver union-find over the
-capped candidate-pair set (an iterative min-label-propagation groupby is
-the >memory path).
+(id, band, hash) rows enter the shuffles. Candidate handling dispatches
+on the candidate-pair count (``cc_max_driver_pairs``): below it, pairs
+are verified and clustered on the driver (union-find); above it, the
+>memory path keeps everything a Dataset — join-based signature verify
+and ``label_propagation_components`` (hash-to-min over co-partitioned
+join + groupby-min rounds) — tested equal to the driver path.
 """
 
 from __future__ import annotations
@@ -57,14 +58,23 @@ def _seed_hashes(k: int, seed: int = 0x5EED) -> np.ndarray:
 # ---------------------------------------------------------------- exact
 
 def add_fingerprint_column(batch: pa.Table, col: str = "text",
-                           out: str = "fingerprint") -> pa.Table:
-    norm = pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " ")
+                           out: str = "fingerprint",
+                           normalize: bool = False) -> pa.Table:
+    """64-bit content fingerprint. ``normalize=False`` (default) hashes
+    the RAW text — byte-exact dedup, matching the GROUP BY text oracle;
+    ``normalize=True`` lowercases + collapses whitespace first (the
+    fuzzier variant some curation pipelines want — opt-in, so "exact"
+    means exact)."""
+    v = batch[col]
+    if normalize:
+        v = pc.replace_substring_regex(pc.utf8_lower(v), r"\s+", " ")
     return batch.append_column(out, pa.array(u64_to_i64(
-        hash_string_column(norm))))
+        hash_string_column(v))))
 
 
 def exact_dedup_groups(ds: Dataset, col: str = "text",
-                       id_col: str = "doc_id") -> Dataset:
+                       id_col: str = "doc_id",
+                       normalize: bool = False) -> Dataset:
     """One row per distinct content: (keep_id = min id, cnt).
 
     hash-partition + per-group first — only (fingerprint, id) is
@@ -72,7 +82,8 @@ def exact_dedup_groups(ds: Dataset, col: str = "text",
     ~n²/2⁶⁵ (negligible below ~10⁹ distinct docs; widen to 128 bits by
     salting twice if that matters).
     """
-    proj = ds.map_batches(lambda b: add_fingerprint_column(b, col),
+    proj = ds.map_batches(lambda b: add_fingerprint_column(
+        b, col, normalize=normalize),
                           batch_format="pyarrow", zero_copy_batch=True
                           ).select_columns(["fingerprint", id_col])
     return (proj.groupby("fingerprint")
@@ -82,13 +93,13 @@ def exact_dedup_groups(ds: Dataset, col: str = "text",
 
 
 def exact_dedup(ds: Dataset, col: str = "text",
-                id_col: str = "doc_id") -> Dataset:
+                id_col: str = "doc_id", normalize: bool = False) -> Dataset:
     """Filter to one representative row (min id) per distinct content.
 
     Second pass is a broadcast semi-join on the kept-id set when it fits;
     callers at extreme scale should instead join on fingerprint.
     """
-    keep = exact_dedup_groups(ds, col, id_col)
+    keep = exact_dedup_groups(ds, col, id_col, normalize=normalize)
     keep_ids = pa.array(
         [r["keep_id"] for r in keep.select_columns(["keep_id"]).take_all()])
 
@@ -189,10 +200,101 @@ def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
 
 @dataclass
 class NearDupResult:
+    """Driver path fills the DataFrames; the >memory distributed path
+    additionally carries the full results as Datasets (``pairs_ds`` /
+    ``clusters_ds``) with the DataFrames holding a bounded sample."""
+
     pairs: pd.DataFrame      # columns: id_a, id_b, similarity
     clusters: pd.DataFrame   # columns: id, rep  (rep = min id of component)
     candidate_pairs: int = 0
     capped_buckets: int = 0
+    pairs_ds: "Dataset | None" = None
+    clusters_ds: "Dataset | None" = None
+
+
+def label_propagation_components(pairs, id_a: str = "id_a",
+                                 id_b: str = "id_b", max_iter: int = 50,
+                                 num_partitions: int | None = None) -> Dataset:
+    """Distributed connected components: hash-to-min label propagation.
+
+    The >memory alternative to driver union-find (VERDICT r1 item 3):
+    edges and labels stay Ray Datasets throughout; each round is one
+    co-partitioned join (edges ⋈ labels on src) + a groupby-min, so a
+    task's working set is one hash partition of the graph, never the
+    whole edge list. Each round propagates the component minimum one hop,
+    so rounds ≈ component diameter (near-dup clusters are shallow stars:
+    2–4 rounds in practice). Terminates exactly — stops the first round
+    no label changes. Returns Dataset(id, rep), rep = component min —
+    identical to ``_union_find_clusters`` (equality-tested in
+    tests/test_dedup.py).
+    """
+    import ray.data as rd
+
+    from bigdime_ray.stages.shuffle import drop_empty_blocks, ensure_schema
+
+    if num_partitions is None:
+        import ray as _ray
+        num_partitions = max(2, min(16,
+                                    int(_ray.cluster_resources()
+                                        .get("CPU", 4))))
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs[[id_a, id_b]].reset_index(drop=True))
+
+    def sym(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": b[id_a], "dst": b[id_b]})
+        rev = pa.table({"src": b[id_b], "dst": b[id_a]})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    edges = drop_empty_blocks(
+        pairs.map_batches(sym, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize())
+    id_type = _arrow_type(edges, "src")
+    lbl_schema = pa.schema([("id", id_type), ("lbl", id_type)])
+    old_schema = pa.schema([("id", id_type), ("lbl_old", id_type)])
+
+    def guarded(schema: pa.Schema, build):
+        stable = ensure_schema(schema)
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or b.num_columns == 0:
+                return schema.empty_table()
+            return stable(build(b))
+        return fn
+
+    # initial label: min(self, min neighbor) — one groupby, no join
+    labels = drop_empty_blocks(
+        edges.groupby("src").aggregate(Min("dst", alias_name="lbl"))
+        .map_batches(guarded(lbl_schema, lambda b: pa.table({
+            "id": b["src"],
+            "lbl": pc.min_element_wise(b["src"], b["lbl"])})),
+            batch_format="pyarrow").materialize())
+
+    for _ in range(max_iter):
+        msgs = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("id",))
+        recv = msgs.map_batches(
+            guarded(lbl_schema,
+                    lambda b: pa.table({"id": b["dst"], "lbl": b["lbl"]})),
+            batch_format="pyarrow")
+        new = drop_empty_blocks(
+            recv.union(labels).groupby("id")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .map_batches(ensure_schema(lbl_schema),
+                         batch_format="pyarrow").materialize())
+        changed = (new.join(
+            labels.map_batches(
+                guarded(old_schema, lambda b: pa.table(
+                    {"id": b["id"], "lbl_old": b["lbl"]})),
+                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("id",))
+            .filter(expr="lbl != lbl_old").count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.map_batches(
+        guarded(pa.schema([("id", id_type), ("rep", id_type)]),
+                lambda b: pa.table({"id": b["id"], "rep": b["lbl"]})),
+        batch_format="pyarrow")
 
 
 def _union_find_clusters(pairs: list[tuple], ids: set) -> pd.DataFrame:
@@ -212,19 +314,41 @@ def _union_find_clusters(pairs: list[tuple], ids: set) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id", "rep"])
 
 
+MAX_SAMPLED_PAIRS = 100_000  # DataFrame sample cap on the distributed path
+
+
+def _arrow_type(ds: Dataset, name: str) -> pa.DataType:
+    """Arrow type of a column whether the blocks are Arrow or pandas
+    (map_groups with batch_format="pandas" yields pandas blocks, whose
+    schema exposes numpy dtypes)."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch.field(name).type
+    t = sch.types[sch.names.index(name)]
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()  # pandas object dtype → string ids
+
+
 def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
                       bands: int = 32, shingle_w: int = 3,
-                      threshold: float = 0.7,
-                      bucket_cap: int = 64) -> NearDupResult:
+                      threshold: float = 0.7, bucket_cap: int = 64,
+                      cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
     """MinHash + banded LSH near-duplicate detection.
 
     Pass 1 (map_batches): signatures → (id, band, band_hash) rows.
     Shuffle: groupby (band, band_hash); buckets ≥2 → candidate pairs
     (bucket capped at ``bucket_cap`` ids; cap hits are reported, not
-    silent). Pass 2: signatures re-derived for candidate ids only
-    (broadcast semi-join) → estimated Jaccard = matching-minhash
-    fraction → pairs ≥ threshold → union-find components.
+    silent). Candidate handling auto-dispatches on the candidate count:
+    ≤ ``cc_max_driver_pairs`` → signatures re-derived for candidate ids
+    only (broadcast semi-join), driver verify + union-find; above it →
+    the >memory path: full (id, sig) Dataset, two co-partitioned joins
+    to attach sig_a/sig_b, vectorized verify in map_batches, and
+    distributed ``label_propagation_components``.
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -248,20 +372,32 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
         capped = len(ids) > bucket_cap
         ids = ids[:bucket_cap]
         a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"id_a": a, "id_b": b,
-                             "capped": [capped] * len(a)})
+        # flag only the FIRST pair of a capped bucket → sum == #buckets
+        flags = [1 if capped else 0] + [0] * (len(a) - 1)
+        return pd.DataFrame({"id_a": a, "id_b": b, "capped": flags})
 
-    pair_rows = (band_rows.groupby(["band", "bh"])
-                 .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
-    capped_buckets = int(pair_rows["capped"].sum()) if len(pair_rows) else 0
-    cand = (pair_rows[["id_a", "id_b"]].drop_duplicates()
-            if len(pair_rows) else pd.DataFrame({"id_a": [], "id_b": []}))
-
-    if len(cand) == 0:
+    pair_ds = (band_rows.groupby(["band", "bh"])
+               .map_groups(bucket_pairs, batch_format="pandas").materialize())
+    n_pair_rows = pair_ds.count()
+    if n_pair_rows == 0:
         return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
                                            "similarity": []}),
                              pd.DataFrame({"id": [], "rep": []}), 0, 0)
 
+    def all_sigs(batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[text_col], num_perm, shingle_w)
+        return pa.table({id_col: batch[id_col],
+                         "sig": pa.array([s.tobytes() for s in sig],
+                                         type=pa.binary())})
+
+    if n_pair_rows > cc_max_driver_pairs:
+        return _minhash_distributed(ds, pair_ds, all_sigs, id_col, num_perm,
+                                    threshold)
+
+    # ------------------------------------------------ driver path
+    pair_rows = pair_ds.to_pandas()
+    capped_buckets = int(pair_rows["capped"].sum())
+    cand = pair_rows[["id_a", "id_b"]].drop_duplicates()
     cand_ids = sorted(set(cand.id_a) | set(cand.id_b))
     id_set = pa.array(cand_ids)
 
@@ -270,10 +406,7 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
         if hit.num_rows == 0:
             return pa.table({id_col: pa.array([], type=batch[id_col].type),
                              "sig": pa.array([], type=pa.binary())})
-        sig = minhash_signatures(hit[text_col], num_perm, shingle_w)
-        return pa.table({id_col: hit[id_col],
-                         "sig": pa.array([s.tobytes() for s in sig],
-                                         type=pa.binary())})
+        return all_sigs(hit)
 
     sig_rows = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
                               zero_copy_batch=True).take_all()
@@ -293,6 +426,89 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
     clusters = _union_find_clusters(
         [(a, b) for a, b, _ in keep], dup_ids)
     return NearDupResult(pairs, clusters, int(len(cand)), capped_buckets)
+
+
+def _verify_sig_pairs(num_perm: int, threshold: float):
+    """map_batches fn: estimated Jaccard from attached sig_a/sig_b."""
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0 or batch.num_columns == 0:
+            # schema-less empty shuffle blocks: pin the id type to int64
+            # (callers re-normalize with ensure_schema)
+            t = (batch["id_a"].type if "id_a" in batch.column_names
+                 else pa.int64())
+            return pa.table({"id_a": pa.array([], type=t),
+                             "id_b": pa.array([], type=t),
+                             "similarity": pa.array([], type=pa.float64())})
+        empty = pa.table({"id_a": pa.array([], type=batch["id_a"].type),
+                          "id_b": pa.array([], type=batch["id_b"].type),
+                          "similarity": pa.array([], type=pa.float64())})
+        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+                           dtype=np.uint64).reshape(n, num_perm)
+        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+                           dtype=np.uint64).reshape(n, num_perm)
+        est = (sa == sb).mean(axis=1)
+        m = est >= threshold
+        if not m.any():
+            return empty
+        idx = pa.array(np.nonzero(m)[0])
+        return pa.table({"id_a": batch["id_a"].take(idx),
+                         "id_b": batch["id_b"].take(idx),
+                         "similarity": pa.array(est[m])})
+    return fn
+
+
+def _minhash_distributed(ds: Dataset, pair_ds: Dataset, all_sigs,
+                         id_col: str, num_perm: int,
+                         threshold: float) -> NearDupResult:
+    """>memory candidate handling: everything stays a Dataset."""
+    from bigdime_ray.stages.shuffle import drop_empty_blocks, ensure_schema
+
+    id_type = _arrow_type(pair_ds, "id_a")
+    capped_buckets = int(pair_ds.sum("capped") or 0)
+    cand = drop_empty_blocks(
+        pair_ds.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
+        .map_batches(ensure_schema(pa.schema([("id_a", id_type),
+                                              ("id_b", id_type)])),
+                     batch_format="pyarrow").materialize())
+    n_cand = cand.count()
+    sigs = ds.map_batches(all_sigs, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    def rename(col):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"__id": b[id_col], col: b["sig"]})
+        return fn
+
+    import ray as _ray
+    nparts = max(2, min(16, int(_ray.cluster_resources().get("CPU", 4))))
+    # materialize + drop empties BETWEEN the two joins: chaining two
+    # hash-shuffle joins in one streaming graph deadlocks on small CPU
+    # counts, and join outputs can carry schemaless empty blocks that
+    # poison the next join
+    with_a = drop_empty_blocks(
+        cand.join(sigs.map_batches(rename("sig_a"),
+                                   batch_format="pyarrow"),
+                  join_type="inner", num_partitions=nparts,
+                  on=("id_a",), right_on=("__id",)).materialize())
+    with_ab = with_a.join(sigs.map_batches(rename("sig_b"),
+                                           batch_format="pyarrow"),
+                          join_type="inner", num_partitions=nparts,
+                          on=("id_b",), right_on=("__id",))
+    verified = with_ab.map_batches(
+        _verify_sig_pairs(num_perm, threshold), batch_format="pyarrow"
+    ).map_batches(
+        ensure_schema(pa.schema([("id_a", id_type), ("id_b", id_type),
+                                 ("similarity", pa.float64())])),
+        batch_format="pyarrow").materialize()
+    clusters_ds = label_propagation_components(verified).materialize()
+    return NearDupResult(
+        pairs=verified.limit(MAX_SAMPLED_PAIRS).to_pandas(),
+        clusters=clusters_ds.limit(MAX_SAMPLED_PAIRS).to_pandas(),
+        candidate_pairs=int(n_cand), capped_buckets=capped_buckets,
+        pairs_ds=verified, clusters_ds=clusters_ds)
 
 
 # ---------------------------------------------------------------- simhash
@@ -332,11 +548,16 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_dedup(ds: Dataset, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3
-                  ) -> NearDupResult:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int = 64,
+                  cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
     """Near-dup by SimHash: 4×16-bit chunk LSH (any pair within Hamming
-    distance ≤3 shares at least one exact 16-bit chunk) → verify exact
-    Hamming distance on the candidate pairs."""
+    distance ≤3 shares at least one exact 16-bit chunk). Hamming
+    verification runs INSIDE the bucket group task (signatures are
+    already co-located there — nothing returns to the driver
+    unverified); capped buckets are counted, not silent; clustering
+    dispatches to distributed label propagation above
+    ``cc_max_driver_pairs`` verified pairs."""
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         sig = simhash_signatures(batch[text_col])
@@ -356,33 +577,80 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
     rows = ds.map_batches(to_chunks, batch_format="pyarrow",
                           zero_copy_batch=True)
 
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "similarity": [],
+                          "capped": []})
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [],
-                                 "sig_a": [], "sig_b": []})
-        g = g.drop_duplicates(id_col).sort_values(id_col).head(64)
-        recs = list(zip(g[id_col], g["sig"]))
-        out = [(a, b, sa, sb) for i, (a, sa) in enumerate(recs)
-               for (b, sb) in recs[i + 1:]]
-        return pd.DataFrame(out, columns=["id_a", "id_b", "sig_a", "sig_b"])
+            return empty
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        capped = 1 if len(g) > bucket_cap else 0
+        g = g.head(bucket_cap)
+        ids = g[id_col].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.int64).view(np.uint64)
+        iu = np.triu_indices(len(ids), k=1)
+        d = hamming64(sigs[iu[0]], sigs[iu[1]])
+        m = d <= max_hamming
+        out = pd.DataFrame({
+            "id_a": ids[iu[0][m]], "id_b": ids[iu[1][m]],
+            "similarity": 1.0 - d[m] / 64.0,
+            "capped": np.zeros(int(m.sum()), dtype=np.int64)})
+        if len(out):
+            out.iloc[0, out.columns.get_loc("capped")] = capped
+        elif capped:
+            # capped bucket with zero surviving pairs still gets counted
+            # — sentinel row, filtered out of the pair set downstream
+            out = pd.DataFrame({"id_a": [ids[0]], "id_b": [ids[0]],
+                                "similarity": [-1.0], "capped": [1]})
+        return out
 
-    cand = (rows.groupby(["chunk", "ch"])
-            .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
-    if len(cand) == 0:
+    return _verified_pairs_result(
+        rows.groupby(["chunk", "ch"]).map_groups(
+            bucket_pairs, batch_format="pandas"),
+        cc_max_driver_pairs)
+
+
+def _verified_pairs_result(pair_ds: Dataset,
+                           cc_max_driver_pairs: int) -> NearDupResult:
+    """Shared tail for pipelines whose buckets emit VERIFIED pairs
+    (simhash, embedding): cross-bucket dedup + capped-bucket count +
+    driver-or-distributed clustering. Sentinel rows (similarity < 0)
+    only carry cap counts for pairless capped buckets."""
+    pair_ds = pair_ds.materialize()
+    n_rows = pair_ds.count()
+    if n_rows == 0:
         return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
                                            "similarity": []}),
                              pd.DataFrame({"id": [], "rep": []}), 0, 0)
-    cand = cand.drop_duplicates(["id_a", "id_b"])
-    d = hamming64(cand.sig_a.to_numpy().astype(np.int64).view(np.uint64),
-                  cand.sig_b.to_numpy().astype(np.int64).view(np.uint64))
-    keep = cand[d <= max_hamming]
-    sim = 1.0 - d[d <= max_hamming] / 64.0
-    pairs = pd.DataFrame({"id_a": keep.id_a.to_numpy(),
-                          "id_b": keep.id_b.to_numpy(),
-                          "similarity": sim})
-    dup_ids = set(pairs.id_a) | set(pairs.id_b)
-    clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)), dup_ids)
-    return NearDupResult(pairs, clusters, int(len(cand)), 0)
+    if n_rows <= cc_max_driver_pairs:
+        raw = pair_ds.to_pandas()
+        capped_buckets = int(raw["capped"].sum())
+        pairs = (raw[raw["similarity"] >= 0.0]
+                 .drop_duplicates(["id_a", "id_b"])
+                 .drop(columns=["capped"]).reset_index(drop=True))
+        dup_ids = set(pairs.id_a) | set(pairs.id_b)
+        clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)),
+                                        dup_ids)
+        return NearDupResult(pairs, clusters, int(len(pairs)),
+                             capped_buckets)
+    capped_buckets = int(pair_ds.sum("capped") or 0)
+    from ray.data.aggregate import Max
+
+    from bigdime_ray.stages.shuffle import ensure_schema
+    id_type = _arrow_type(pair_ds, "id_a")
+    dedup = (pair_ds.filter(expr="similarity >= 0.0")
+             .groupby(["id_a", "id_b"])
+             .aggregate(Max("similarity", alias_name="similarity"))
+             .map_batches(ensure_schema(pa.schema(
+                 [("id_a", id_type), ("id_b", id_type),
+                  ("similarity", pa.float64())])), batch_format="pyarrow")
+             .materialize())
+    clusters_ds = label_propagation_components(dedup).materialize()
+    return NearDupResult(
+        pairs=dedup.limit(MAX_SAMPLED_PAIRS).to_pandas(),
+        clusters=clusters_ds.limit(MAX_SAMPLED_PAIRS).to_pandas(),
+        candidate_pairs=int(dedup.count()), capped_buckets=capped_buckets,
+        pairs_ds=dedup, clusters_ds=clusters_ds)
 
 
 # ------------------------------------------------------------- n-gram
@@ -406,12 +674,15 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.98,
                        planes: int = 12, seed: int = 77,
-                       bucket_cap: int = 256) -> NearDupResult:
+                       bucket_cap: int = 256,
+                       cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
     """Near-dup vectors: random-hyperplane LSH bucket → in-bucket cosine.
 
     One shuffle of (id, bucket, vec) rows; pairwise cosine only inside
-    buckets (capped). Vectors with cosine ≥ threshold almost surely share
-    a bucket when ``planes`` is small relative to the angle margin.
+    buckets (capped — cap hits counted, not silent). Vectors with cosine
+    ≥ threshold almost surely share a bucket when ``planes`` is small
+    relative to the angle margin. Clustering dispatches to distributed
+    label propagation above ``cc_max_driver_pairs`` pairs.
     """
     first = ds.take(1)[0]
     dim = len(first[emb_col])
@@ -439,28 +710,33 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
     rows = ds.map_batches(to_buckets, batch_format="pyarrow",
                           zero_copy_batch=True)
 
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "similarity": [],
+                          "capped": []})
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
-        g = g.sort_values(id_col).head(bucket_cap)
+            return empty
+        g = g.sort_values(id_col)
+        capped = 1 if len(g) > bucket_cap else 0
+        g = g.head(bucket_cap)
         ids = g[id_col].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         mask = sims[iu] >= threshold
-        return pd.DataFrame({"id_a": ids[iu[0][mask]],
-                             "id_b": ids[iu[1][mask]],
-                             "similarity": sims[iu][mask]})
+        out = pd.DataFrame({"id_a": ids[iu[0][mask]],
+                            "id_b": ids[iu[1][mask]],
+                            "similarity": sims[iu][mask],
+                            "capped": np.zeros(int(mask.sum()),
+                                               dtype=np.int64)})
+        if len(out):
+            out.iloc[0, out.columns.get_loc("capped")] = capped
+        elif capped:
+            out = pd.DataFrame({"id_a": [ids[0]], "id_b": [ids[0]],
+                                "similarity": [-1.0], "capped": [1]})
+        return out
 
-    pairs = (rows.groupby("bucket")
-             .map_groups(bucket_pairs, batch_format="pandas").to_pandas())
-    if len(pairs) == 0:
-        return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
-                                           "similarity": []}),
-                             pd.DataFrame({"id": [], "rep": []}), 0, 0)
-    pairs = pairs.drop_duplicates(["id_a", "id_b"])
-    dup_ids = set(pairs.id_a) | set(pairs.id_b)
-    clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)),
-                                    dup_ids)
-    return NearDupResult(pairs.reset_index(drop=True), clusters,
-                         int(len(pairs)), 0)
+    return _verified_pairs_result(
+        rows.groupby("bucket").map_groups(bucket_pairs,
+                                          batch_format="pandas"),
+        cc_max_driver_pairs)

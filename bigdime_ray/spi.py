@@ -87,6 +87,9 @@ class ValidationContext:
     violation_cap_per_block: int = 1000
     thresholds: dict = field(default_factory=dict)
     partitions: list = field(default_factory=list)   # partition ids in this run
+    #: exact input row count from parquet footers (plan-time, cheap) —
+    #: drives the automatic scale-strategy dispatch
+    estimated_rows: int = 0
 
 
 class Validator:

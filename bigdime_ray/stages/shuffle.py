@@ -123,6 +123,50 @@ def block_preagg_counts(ds: Dataset, keys: list[str],
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def ensure_schema(schema: pa.Schema):
+    """map_batches fn factory: rebuild blocks so EMPTY blocks keep the
+    stage schema. Ray's hash shuffle (groupby/join) emits zero-column
+    empty blocks for empty hash partitions; a downstream union or join
+    then sees mismatched schemas ("RefBundle ... different schema"
+    warnings, or pyarrow 'No match for FieldRef' join errors). Applying
+    this after a shuffle pins the schema; the non-empty path is a
+    zero-copy column select."""
+    def fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or b.num_columns == 0:
+            return schema.empty_table()
+        return b.select(schema.names)
+    return fn
+
+
+def drop_empty_blocks(ds: Dataset) -> Dataset:
+    """Physically remove empty blocks from a (materialized) Dataset.
+
+    Ray's hash shuffle (groupby/union) emits ZERO-COLUMN empty blocks
+    for empty hash partitions, and map operators bypass empty blocks —
+    so ``ensure_schema`` cannot normalize them — while ``Dataset.join``
+    chokes on them (pyarrow: "No match ... for FieldRef" on the side
+    holding the schemaless empty). Row counts are gathered by a tiny
+    remote task per block (driver sees only ints, never block data), so
+    this is safe at any scale. Use on any groupby output that feeds a
+    join."""
+    import ray as _ray
+    import ray.data as _rd
+
+    refs = ds.to_arrow_refs()
+
+    @_ray.remote(num_cpus=0)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = _ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, counts) if n]
+    if len(keep) == len(refs):
+        return ds
+    if not keep:  # all-empty: keep one block so the schema survives
+        keep = refs[:1]
+    return _rd.from_arrow_refs(keep)
+
+
 def detect_hot_keys(ds: Dataset, key: str, sample_frac: float = 0.01,
                     hot_share: float = 0.05, target_rows_per_group: int = 1_000_000,
                     seed: int = 7) -> dict[str, int]:

@@ -96,3 +96,71 @@ def test_embedding_near_dup():
                              planes=8)
     found = {frozenset((a, b)) for a, b in zip(res.pairs.id_a, res.pairs.id_b)}
     assert frozenset((0, 40)) in found
+
+
+def test_label_propagation_matches_union_find():
+    from bigdime_ray.pipelines.dedup import (_union_find_clusters,
+                                             label_propagation_components)
+    # two components: chain 1-2-3-4 and pair 8-9, plus isolated pair 5-6
+    pairs = pd.DataFrame({"id_a": [1, 2, 3, 8, 5],
+                          "id_b": [2, 3, 4, 9, 6]})
+    uf = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)),
+                              set(pairs.id_a) | set(pairs.id_b))
+    lp = (label_propagation_components(pairs).to_pandas()
+          .sort_values("id").reset_index(drop=True))
+    assert lp.to_dict("records") == \
+        uf.sort_values("id").reset_index(drop=True).to_dict("records")
+
+
+def test_minhash_distributed_equals_driver(doc_ds):
+    drv = minhash_lsh_dedup(doc_ds, threshold=0.5)
+    dist = minhash_lsh_dedup(doc_ds, threshold=0.5, cc_max_driver_pairs=0)
+    assert dist.pairs_ds is not None and dist.clusters_ds is not None
+    key = lambda df: sorted((frozenset((a, b)), round(s, 9)) for a, b, s
+                            in zip(df.id_a, df.id_b, df.similarity))
+    assert key(dist.pairs) == key(drv.pairs)
+    cl = lambda df: sorted(map(tuple, df[["id", "rep"]].to_numpy()))
+    assert cl(dist.clusters) == cl(drv.clusters)
+
+
+def test_simhash_distributed_equals_driver(doc_ds):
+    drv = simhash_dedup(doc_ds, max_hamming=3)
+    dist = simhash_dedup(doc_ds, max_hamming=3, cc_max_driver_pairs=0)
+    key = lambda df: sorted((frozenset((a, b)), round(s, 9)) for a, b, s
+                            in zip(df.id_a, df.id_b, df.similarity))
+    assert key(dist.pairs) == key(drv.pairs)
+    cl = lambda df: sorted(map(tuple, df[["id", "rep"]].to_numpy()))
+    assert cl(dist.clusters) == cl(drv.clusters)
+
+
+def test_capped_buckets_reported():
+    # 10 identical docs in one bucket, cap 4 → capped_buckets > 0 on
+    # every pipeline (ADVICE r1: no silent caps)
+    texts = ["same words everywhere all the time ok fine"] * 10 + ["zz yy"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(11), type=pa.int64()),
+        "text": pa.array(texts)}))
+    res_m = minhash_lsh_dedup(ds, threshold=0.5, bucket_cap=4)
+    assert res_m.capped_buckets > 0
+    res_s = simhash_dedup(ds, max_hamming=3, bucket_cap=4)
+    assert res_s.capped_buckets > 0
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=16); v /= np.linalg.norm(v)
+    vecs = [list(map(float, v))] * 10
+    etbl = pa.table({"vec_id": pa.array(range(10), type=pa.int64()),
+                     "embedding": pa.array(vecs, type=pa.list_(pa.float32()))})
+    res_e = embedding_near_dup(ray.data.from_arrow(etbl), threshold=0.9,
+                               planes=4, bucket_cap=4)
+    assert res_e.capped_buckets > 0
+    # the pairs the cap allowed are still correct
+    assert all(a != b for a, b in zip(res_e.pairs.id_a, res_e.pairs.id_b))
+
+
+def test_exact_dedup_raw_vs_normalized():
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["Hello  World", "hello world", "other"])}))
+    raw = exact_dedup_groups(ds).to_pandas()
+    assert len(raw) == 3  # raw bytes differ → no dedup (exact semantics)
+    norm = exact_dedup_groups(ds, normalize=True).to_pandas()
+    assert len(norm) == 2 and norm.cnt.max() == 2

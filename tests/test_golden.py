@@ -229,3 +229,35 @@ def test_resume_skips_validated(golden, tmp_path):
     rep2 = run_validation(cfg)
     assert not rep2.partitions_run
     assert sorted(rep2.partitions_skipped) == [f"p{i:04d}" for i in range(8)]
+
+
+def test_auto_scale_dispatch(golden, tmp_path):
+    """Forcing tiny auto thresholds flips every driver-side merge to its
+    scale path (bucketed uniqueness, groupby row-equality, combine state
+    merge) WITHOUT the caller naming a strategy — and the verdicts stay
+    identical to the default run (VERDICT r1 item 3)."""
+    planted, report, run_cfg, clean_dir, base = golden
+    assert report.scale_plan["uniqueness_strategy"] == "scan"
+    assert report.scale_plan["roweq_strategy"] == "packed"
+    assert report.scale_plan["state_merge"] == "driver"
+    assert report.scale_plan["estimated_rows"] > 0
+
+    cfg = ValidationRunConfig(
+        input_dir=str(base / "dirty"), run_dir=str(tmp_path / "auto_run"),
+        profile_path=str(base / "reference_profile.json"),
+        suite=list(FULL_SUITE),
+        thresholds={"auto_scan_max_rows": 10, "auto_packed_max_rows": 10,
+                    "auto_driver_merge_max_blocks": 1})
+    rep2 = run_validation(cfg)
+    assert rep2.scale_plan["uniqueness_strategy"] == "bucketed"
+    assert rep2.scale_plan["uniqueness_buckets"] >= 1
+    assert rep2.scale_plan["roweq_strategy"] == "groupby"
+    assert rep2.scale_plan["state_merge"] == "combine"
+
+    key = lambda rs: sorted((r.partition_id, r.validator_id, r.result.value)
+                            for r in rs if r.validator_id != "row_equality")
+    assert key(rep2.responses) == key(report.responses)
+    a = report.violations.to_pandas()
+    b = rep2.violations.to_pandas()
+    assert (set(zip(a.validator_id, a.doc_id))
+            == set(zip(b.validator_id, b.doc_id)))
