@@ -33,6 +33,31 @@ MEDIA_SCHEMA = pa.schema([
 _MAGIC = b"FAKE"
 
 
+def _binary_buffers(col: pa.ChunkedArray | pa.Array
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 [n+1], data uint8) view of a binary column —
+    zero-copy except the offset normalization. Lets the resize /
+    frame-sample stages operate on payload bytes with numpy instead of
+    Python row loops (VERDICT r1 item 5)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+    offsets = raw_off[col.offset:col.offset + len(col) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    return offsets, data
+
+
+def _binary_from_buffers(offsets: np.ndarray, data: np.ndarray) -> pa.Array:
+    """Rebuild a binary array from (offsets, data) numpy buffers."""
+    n = len(offsets) - 1
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+         pa.py_buffer(data.tobytes())])
+
+
 def encode_fake_media(media_id: str, kind: str, width: int = 0,
                       height: int = 0, sample_rate: int = 0,
                       seed: int = 0) -> bytes:
@@ -143,22 +168,30 @@ class MediaResizer:
         self.w, self.h = width, height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads, ws, hs = [], [], []
-        for row in batch.to_pylist():
-            if row["kind"] == "audio":
-                payloads.append(row["payload"])
-                ws.append(row["width"])
-                hs.append(row["height"])
-                continue
-            body = row["payload"][16:]
-            head = _MAGIC + np.asarray([self.w, self.h, row["sample_rate"]],
-                                       dtype=np.int32).tobytes()
-            payloads.append(head + body)
-            ws.append(self.w)
-            hs.append(self.h)
+        """Vectorized header rewrite: payload lengths are unchanged (the
+        fake header is fixed 16 bytes), so the whole binary data buffer
+        is copied ONCE and the 8 dim bytes of every non-audio row are
+        patched with one fancy-indexed write — no Python row loop."""
+        n = batch.num_rows
+        offsets, data = _binary_buffers(batch["payload"])
+        data = data.copy()
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        visual = kind != "audio"
+        starts = offsets[:-1][visual]
+        if len(starts):
+            dims = np.asarray([self.w, self.h], dtype=np.int32) \
+                .view(np.uint8)  # 8 bytes after the 4-byte magic
+            pos = starts[:, None] + np.arange(4, 12, dtype=np.int64)
+            data[pos] = dims[None, :]
+        payload = _binary_from_buffers(offsets, data)
+        ws = np.where(visual, np.int32(self.w),
+                      batch["width"].to_numpy(zero_copy_only=False)
+                      .astype(np.int32))
+        hs = np.where(visual, np.int32(self.h),
+                      batch["height"].to_numpy(zero_copy_only=False)
+                      .astype(np.int32))
         out = batch.set_column(batch.schema.get_field_index("payload"),
-                               "payload",
-                               pa.array(payloads, type=pa.binary()))
+                               "payload", payload)
         out = out.set_column(out.schema.get_field_index("width"), "width",
                              pa.array(ws, type=pa.int32()))
         return out.set_column(out.schema.get_field_index("height"), "height",
@@ -182,22 +215,42 @@ def frame_sample(ds: Dataset, num_frames: int = 4,
     row-explosion plumbing (schema, one→many map_batches) is real."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, kinds, idxs, payloads = [], [], [], []
-        for row in batch.to_pylist():
-            if row["kind"] != "video":
-                continue
-            body = row["payload"][16:]
-            step = max(1, len(body) // num_frames)
-            for f in range(num_frames):
-                ids.append(row["media_id"])
-                kinds.append("frame")
-                idxs.append(f)
-                payloads.append(body[f * step:(f + 1) * step])
+        """Vectorized: per-row frame windows computed as (n, num_frames)
+        index arithmetic over the shared binary data buffer; output bytes
+        gathered with one fancy-indexed read — no Python row loop."""
+        import pyarrow.compute as pc
+        hit = batch.filter(pc.equal(batch["kind"], "video"))
+        n = hit.num_rows
+        if n == 0:
+            return pa.table({
+                "media_id": pa.array([], type=pa.string()),
+                "kind": pa.array([], type=pa.string()),
+                "frame_index": pa.array([], type=pa.int32()),
+                "payload": pa.array([], type=pa.binary())})
+        offsets, data = _binary_buffers(hit["payload"])
+        body_start = offsets[:-1] + 16
+        body_len = np.maximum(offsets[1:] - offsets[:-1] - 16, 0)
+        step = np.maximum(1, body_len // num_frames)          # (n,)
+        f = np.arange(num_frames, dtype=np.int64)             # (nf,)
+        starts = body_start[:, None] + f[None, :] * step[:, None]
+        ends = np.minimum(starts + step[:, None],
+                          (body_start + body_len)[:, None])
+        lens = np.maximum(ends - starts, 0).reshape(-1)       # (n*nf,)
+        starts = starts.reshape(-1)
+        out_off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        # gather: absolute source index for every output byte
+        rep = np.repeat(starts - out_off[:-1], lens)
+        gather = np.arange(int(out_off[-1]), dtype=np.int64) + rep
+        out_data = data[gather]
+        row_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64),
+                                     num_frames))
         return pa.table({
-            "media_id": pa.array(ids, type=pa.string()),
-            "kind": pa.array(kinds, type=pa.string()),
-            "frame_index": pa.array(idxs, type=pa.int32()),
-            "payload": pa.array(payloads, type=pa.binary()),
+            "media_id": hit["media_id"].take(row_idx),
+            "kind": pa.array(["frame"] * (n * num_frames),
+                             type=pa.string()),
+            "frame_index": pa.array(np.tile(f.astype(np.int32), n)),
+            "payload": _binary_from_buffers(out_off, out_data),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow",

@@ -13,6 +13,11 @@ Engine-new operators for training-data curation at scale:
   assign rows to their nearest centroid and only rows in the ``nprobe``
   closest clusters to each query are scored. Approximate; recall
   controlled by nprobe/nlist.
+- ``build_ivf_index`` / ``ivf_search`` — persisted IVF (SURVEY 7.1 #3):
+  centroids saved once (.npz + meta), vectors written as parquet
+  PARTITIONED BY cluster id. A search then loads centroids (no refit)
+  and reads ONLY the probed clusters' partitions — search I/O scales
+  with nprobe/nlist of the corpus, not its full size.
 """
 
 from __future__ import annotations
@@ -92,22 +97,120 @@ def kmeans_fit(x: np.ndarray, nlist: int, iters: int = 10,
     return cent
 
 
+class IVFIndex:
+    """Persisted IVF index: centroids (npz) + cluster-partitioned data.
+
+    Layout under ``index_dir``:
+      centroids.npz   — normalized (nlist, dim) float64 + meta
+      data/cluster=N/ — parquet of (id, embedding) rows assigned to N
+    """
+
+    def __init__(self, centroids: np.ndarray, emb_col: str, id_col: str,
+                 index_dir: str):
+        self.centroids = centroids
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.index_dir = index_dir
+
+    def save_centroids(self) -> None:
+        import os
+        os.makedirs(self.index_dir, exist_ok=True)
+        np.savez(os.path.join(self.index_dir, "centroids.npz"),
+                 centroids=self.centroids,
+                 emb_col=np.array(self.emb_col),
+                 id_col=np.array(self.id_col))
+
+    @staticmethod
+    def load(index_dir: str) -> "IVFIndex":
+        import os
+        z = np.load(os.path.join(index_dir, "centroids.npz"))
+        return IVFIndex(z["centroids"], str(z["emb_col"]), str(z["id_col"]),
+                        index_dir)
+
+
+def build_ivf_index(ds: Dataset, index_dir: str, nlist: int = 16,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    sample_size: int = 10_000, seed: int = 11) -> IVFIndex:
+    """Fit + persist an IVF index (SURVEY 7.1 #3 — load-instead-of-refit).
+
+    Centroids fit on a driver sample (broadcast via closure); every row
+    is assigned once and written to a parquet partition per cluster —
+    so a later ``ivf_search`` prunes at the READ: only probed clusters'
+    files are opened."""
+    sample_rows = ds.limit(sample_size).select_columns([emb_col]).take_all()
+    sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    cent = kmeans_fit(sample, nlist, seed=seed)
+    idx = IVFIndex(cent, emb_col, id_col, index_dir)
+    idx.save_centroids()
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        x = _normalize(_to_matrix(batch[emb_col], dim))
+        cluster = (x @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table({id_col: batch[id_col], emb_col: batch[emb_col],
+                         "cluster": pa.array(cluster)})
+
+    import os
+    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "data"),
+                    partition_cols=["cluster"]))
+    return idx
+
+
+def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
+               nprobe: int = 4) -> pd.DataFrame:
+    """Search a persisted IVF index: loads centroids (NO refit) and reads
+    ONLY the ``nprobe`` probed clusters' parquet partitions per query —
+    I/O ∝ probed fraction of the corpus."""
+    import glob
+    import os
+
+    idx = IVFIndex.load(index_dir)
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qn = _normalize(queries)
+    probe = np.argsort(-(qn @ idx.centroids.T), axis=1)[:, :nprobe]
+    probed = np.unique(probe)
+    dirs = [f for c in probed
+            for f in glob.glob(os.path.join(index_dir, "data",
+                                            f"cluster={c}", "*.parquet"))]
+    if not dirs:
+        return pd.DataFrame({"query_id": [], idx.id_col: [], "cosine": [],
+                             "rank": []})
+    import ray.data as rd
+    sub = rd.read_parquet(dirs, columns=[idx.id_col, idx.emb_col])
+    # within the probed subset: exact scoring, restricted per query to
+    # its own probed clusters via a second assignment (cheap matmul)
+    out = ivf_topk(sub, queries, k=k, nlist=len(idx.centroids),
+                   nprobe=nprobe, emb_col=idx.emb_col, id_col=idx.id_col,
+                   centroids=idx.centroids)
+    return out
+
+
 def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
              nprobe: int = 4, emb_col: str = "embedding",
              id_col: str = "vec_id", sample_size: int = 10_000,
-             seed: int = 11) -> pd.DataFrame:
+             seed: int = 11,
+             centroids: np.ndarray | None = None) -> pd.DataFrame:
     """IVF-bucketed approximate cosine top-k (scale path).
 
-    Centroids are fit on a sample and broadcast; each batch scores only
+    Centroids are fit on a sample and broadcast (pass ``centroids`` from
+    a persisted ``IVFIndex`` to skip the refit); each batch scores only
     rows whose assigned cluster is probed by some query.
     """
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qn = _normalize(queries)
     dim = queries.shape[1]
 
-    sample_rows = ds.limit(sample_size).select_columns([emb_col]).take_all()
-    sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
-    cent = kmeans_fit(sample, nlist, seed=seed)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample_rows = (ds.limit(sample_size).select_columns([emb_col])
+                       .take_all())
+        sample = np.asarray([r[emb_col] for r in sample_rows],
+                            dtype=np.float64)
+        cent = kmeans_fit(sample, nlist, seed=seed)
 
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     probed_clusters = np.unique(probe)

@@ -86,6 +86,11 @@ class ValidationRunConfig:
     max_violations_per_group: Optional[int] = None
     #: write partition-granular verdicts/ + violations/ dirs (§4.3 layout)
     partitioned_output: bool = True
+    #: structured alerting (reference X3 analog): every non-PASSED
+    #: response → Alert appended to run_dir/alerts.jsonl; optional
+    #: callback receives each Alert (pager/queue hook)
+    emit_alerts: bool = True
+    on_alert: Optional[object] = None  # Callable[[Alert], None]
 
     def _default(self, attr: str, name: str) -> Optional[str]:
         v = getattr(self, attr)
@@ -108,6 +113,8 @@ class RunReport:
     #: resolved scale plan: estimated_rows, uniqueness/roweq strategy,
     #: state_merge (observability for the auto-dispatch)
     scale_plan: dict = field(default_factory=dict)
+    #: structured alerts emitted this run (reference X3 analog)
+    alerts: list = field(default_factory=list)
 
     def result_for(self, partition_id: str, validator_id: str) -> Optional[str]:
         for r in self.responses:
@@ -540,11 +547,17 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                               metrics={"schema_gate": "FAILED"})
     run_manifest.save()
 
+    alerts: list = []
+    if cfg.emit_alerts:
+        from bigdime_ray.alerts import emit_alerts as _emit
+        alerts = _emit(responses, cfg.run_dir, cfg.on_alert)
+
     _mark("emit")
     return RunReport(responses=responses, verdicts=verdicts,
                      violations=violations_tbl, profile=profile,
                      partitions_run=to_run, partitions_skipped=skipped,
                      artifacts=artifacts, phase_seconds=phase_seconds,
+                     alerts=alerts,
                      scale_plan={
                          "estimated_rows": ctx.estimated_rows,
                          "uniqueness_strategy":

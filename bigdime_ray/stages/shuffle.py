@@ -217,11 +217,20 @@ def salted_aggregate(ds: Dataset, key: str, value_col: str,
     """
     salted = ds.map_batches(lambda b: add_salt(b, key, hot_keys, salt_source),
                             batch_format="pyarrow")
+    key_type = salted.schema().base_schema.field(key).type
+    val_type = salted.schema().base_schema.field(value_col).type
     stage1 = salted.groupby([key, "__salt"]).aggregate(
         Count(alias_name="cnt"),
         Sum(value_col, alias_name="vsum"),
         Min(value_col, alias_name="vmin"),
         Max(value_col, alias_name="vmax"))
+    # pin the schema on the shuffle's empty blocks (Ray emits zero-column
+    # empties for empty hash partitions → "RefBundle ... different
+    # schema" warnings downstream)
+    stage1 = stage1.map_batches(ensure_schema(pa.schema(
+        [(key, key_type), ("__salt", pa.int32()), ("cnt", pa.int64()),
+         ("vsum", val_type), ("vmin", val_type), ("vmax", val_type)])),
+        batch_format="pyarrow")
     return stage1.groupby(key).aggregate(
         Sum("cnt", alias_name="cnt"),
         Sum("vsum", alias_name="vsum"),

@@ -261,3 +261,59 @@ def test_auto_scale_dispatch(golden, tmp_path):
     b = rep2.violations.to_pandas()
     assert (set(zip(a.validator_id, a.doc_id))
             == set(zip(b.validator_id, b.doc_id)))
+
+
+def test_alerts_emitted_per_defect_class(golden, tmp_path):
+    """Reference X3 analog: every planted defect class produces a
+    structured alert (severity/type/cause) in alerts.jsonl + callback."""
+    import json
+    planted, report, run_cfg, clean_dir, base = golden
+    got = []
+    cfg = ValidationRunConfig(
+        input_dir=str(base / "dirty"), run_dir=str(tmp_path / "alert_run"),
+        profile_path=str(base / "reference_profile.json"),
+        suite=list(FULL_SUITE), on_alert=got.append)
+    rep = run_validation(cfg)
+    assert rep.alerts and len(got) == len(rep.alerts)
+    path = os.path.join(cfg.run_dir, "alerts.jsonl")
+    assert os.path.exists(path)
+    rows = [json.loads(l) for l in open(path)]
+    assert len(rows) == len(rep.alerts)
+    errors = {(r["alert_type"]) for r in rows if r["severity"] == "error"}
+    # one failing validator type per planted defect class
+    for vid in ["uniqueness", "referential", "ntok_consistency",
+                "token_range", "drift_chi2", "record_count",
+                "raw_checksum", "row_equality"]:
+        assert vid in errors, (vid, errors)
+    warn_types = {r["alert_type"] for r in rows
+                  if r["severity"] == "warning"}
+    assert warn_types  # missing_file partitions → NOT_READY warnings
+    assert all(r["cause"] for r in rows)
+
+
+def test_incremental_profile_equals_rebuild(golden, tmp_path):
+    """SURVEY 7.1 #6: merging the new partitions' states into a saved
+    profile == rebuilding from all data (mergeable-state algebra)."""
+    import numpy as np
+    from bigdime_ray.pipelines.profile import build_profile, update_profile
+    planted, report, run_cfg, clean_dir, base = golden
+    data_dir = os.path.join(clean_dir, "data")
+    first = [f"p{i:04d}" for i in range(4)]
+    rest = [f"p{i:04d}" for i in range(4, 8)]
+    inc_path = str(tmp_path / "inc_profile.json")
+    build_profile(data_dir, partitions=first, save_path=inc_path)
+    inc = update_profile(inc_path, input_dir=data_dir, partitions=rest)
+    full = build_profile(data_dir)
+    for c in full.column_stats:
+        a, b = inc.column_stats[c], full.column_stats[c]
+        assert (a.count, a.null_count, a.minimum, a.maximum) == \
+            (b.count, b.null_count, b.minimum, b.maximum), c
+        assert np.isclose(a.total, b.total)
+    assert np.array_equal(inc.token_histogram.dense(),
+                          full.token_histogram.dense())
+    assert inc.ntok_digest.total_weight == full.ntok_digest.total_weight
+    assert inc.ntok_digest.minimum == full.ntok_digest.minimum
+    assert inc.ntok_digest.maximum == full.ntok_digest.maximum
+    qs = [0.1, 0.5, 0.9]
+    assert np.allclose(inc.ntok_digest.quantile(qs),
+                       full.ntok_digest.quantile(qs), rtol=0.02, atol=1.5)

@@ -68,3 +68,29 @@ def test_kmeans_partitions_space():
     # two clusters roughly ±x
     signs = sorted(np.sign(cent[:, 0]))
     assert signs == [-1.0, 1.0]
+
+
+def test_ivf_persisted_index(emb_ds, tmp_path):
+    """SURVEY 7.1 #3: persisted IVF — identical results from the saved
+    index (no refit) and search I/O restricted to probed clusters."""
+    import glob
+    import os
+    from bigdime_ray.pipelines.similarity import (IVFIndex, build_ivf_index,
+                                                  ivf_search)
+    ds, stored = emb_ds
+    index_dir = str(tmp_path / "ivf")
+    idx = build_ivf_index(ds, index_dir, nlist=8, sample_size=1000, seed=11)
+    # centroids round-trip exactly
+    loaded = IVFIndex.load(index_dir)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    # cluster-partitioned layout exists (read pruning surface)
+    parts = glob.glob(os.path.join(index_dir, "data", "cluster=*"))
+    assert len(parts) >= 2
+
+    q = stored[42]
+    via_index = ivf_search(index_dir, q[None, :], k=10, nprobe=4)
+    refit_free = ivf_topk(ds, q[None, :], k=10, nlist=8, nprobe=4,
+                          centroids=idx.centroids)
+    assert list(via_index.vec_id) == list(refit_free.vec_id)
+    exact = set(_exact_topk(stored, q, 10))
+    assert len(set(via_index.vec_id) & exact) >= 6
