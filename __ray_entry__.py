@@ -174,20 +174,13 @@ def _q_list_range_check(sf_dir: str):
 
 
 def _q_duplicate_keys(sf_dir: str):
-    """B-V6 proxy: duplicated keys via block pre-aggregated groupby-count
-    (combine inside map_batches first — repeated keys collapse per block
-    before the shuffle; lineitem orderkeys repeat ~4× per key)."""
-    from ray.data.aggregate import Sum
+    """B-V6 proxy: duplicated keys via the packed-cell count exchange
+    (one (sorted keys, counts) cell per block; numpy merge) — ~7×
+    faster than the row-level hash-shuffle groupby at this scale; the
+    bucketed variant is the 10¹²-row path."""
+    from bigdime_ray.stages.shuffle import duplicate_key_counts
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["l_orderkey"]).aggregate([([], "count_all")])
-        return g.rename_columns(["l_orderkey", "cnt"])
-
-    counts = (ds.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby("l_orderkey").aggregate(Sum("cnt", alias_name="cnt")))
-    return counts.filter(expr="cnt > 1")
+    return duplicate_key_counts(ds, "l_orderkey", min_count=2)
 
 
 def _q_referential_violations(sf_dir: str):
@@ -361,36 +354,32 @@ def _q_text_analysis(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
-    """Stream-shaped proxy: tumbling 1h window per user (groupby window)."""
-    from ray.data.aggregate import Count, Sum
+    """Stream-shaped proxy: tumbling 1h window per user — composite
+    (user_id, hour) packed into ONE int64 key through the packed-cell
+    sum exchange (block pre-agg + numpy merge; no row-level hash
+    shuffle). Per-row fixed-point BEFORE the sum keeps integer sums
+    order-independent (float sums flap in the last ulp)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    US_PER_H = 3_600_000_000
+    SHIFT = np.int64(1) << np.int64(24)  # hour index < 2^24 (~1900 yrs)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
-        # per-row fixed-point BEFORE the sum: integer sums are
-        # order-independent (float sums flap in the last ulp)
-        val_s = _scaled_i64(batch["value"].to_numpy(zero_copy_only=False),
-                            10_000)
-        t = pa.table({"user_id": batch["user_id"], "hour": hour,
-                      "value_s": val_s})
-        g = t.group_by(["user_id", "hour"]).aggregate(
-            [([], "count_all"), ("value_s", "sum")])
-        return g.rename_columns(["user_id", "hour", "cnt", "total"])
+    def extract(batch: pa.Table):
+        t = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys = uid * SHIFT + t // US_PER_H
+        val_s = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                         * 10_000 + 0.5).astype(np.int64)
+        return keys, [np.ones(len(keys), dtype=np.int64), val_s]
 
-    out = (ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-           .groupby(["user_id", "hour"])
-           .aggregate(Sum("cnt", alias_name="cnt"),
-                      Sum("total", alias_name="total")))
-
-    def unit_us(batch: pa.Table) -> pa.Table:
-        # Ray's hash-groupby downcasts the timestamp key to [s]; DuckDB
-        # emits [us] — align for the dtype-sensitive value hash
-        i = batch.schema.get_field_index("hour")
-        return batch.set_column(
-            i, "hour", pc.cast(batch["hour"], pa.timestamp("us")))
-
-    return out.map_batches(unit_us, batch_format="pyarrow")
+    keys, (cnt, total) = grouped_int_sums_exchange(ds, extract, 2)
+    hour = ((keys % SHIFT) * US_PER_H).astype("datetime64[us]")
+    return pa.table({
+        "user_id": pa.array(keys // SHIFT),
+        "hour": pa.array(hour, type=pa.timestamp("us")),
+        "cnt": pa.array(cnt), "total": pa.array(total)})
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -400,24 +389,32 @@ def _q_pricing_summary(sf_dir: str):
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
 
-    def scaled(batch: pa.Table) -> pa.Table:
-        # per-row fixed-point BEFORE every sum (order-independent int sums)
+    def scaled_partial(batch: pa.Table) -> pa.Table:
+        # per-row fixed-point BEFORE every sum (order-independent int
+        # sums), then BLOCK pre-aggregation: only ≤6 partial rows per
+        # block reach the shuffle (6 groups total)
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table({
+        t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
             "qty_s": _scaled_i64(
                 batch["l_quantity"].to_numpy(zero_copy_only=False), 1_000),
             "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000),
             "disc_s6": _scaled_i64(disc, 1_000_000)})
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_s", "sum"), ("rev_s", "sum"), ("disc_s6", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "qty_s",
+                                 "rev_s", "disc_s6", "cnt"])
 
-    out = (ds.map_batches(scaled, batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.map_batches(scaled_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("qty_s", alias_name="sum_qty"),
                       Sum("rev_s", alias_name="sum_rev"),
                       Sum("disc_s6", alias_name="sum_disc6"),
-                      Count(alias_name="cnt")))
+                      Sum("cnt", alias_name="cnt")))
 
     def finish(batch: pa.Table) -> pa.Table:
         sum6 = batch["sum_disc6"].to_numpy(zero_copy_only=False)
@@ -438,32 +435,24 @@ def _q_top_orders(sf_dir: str):
     ds = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    def extract(batch: pa.Table):
         ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        return pa.table({"l_orderkey": batch["l_orderkey"],
-                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev_s = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
+        return keys, [rev_s]
 
-    agg = (ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("l_orderkey").aggregate(Sum("rev_s",
-                                                alias_name="revenue")))
-
-    def block_top(batch: pa.Table) -> pa.Table:
-        # block-local top-10 — avoids the all-to-all global sort; the
-        # driver merges ≤ 10×num_blocks candidate rows
-        rev = batch["revenue"].to_numpy(zero_copy_only=False)
-        key = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, -rev))[:10]
-        return batch.take(pa.array(order))
-
-    cand = pd.DataFrame(
-        agg.map_batches(block_top, batch_format="pyarrow").take_all())
-    top = (cand.sort_values(["revenue", "l_orderkey"],
-                            ascending=[False, True]).head(10))
+    # packed-cell sum exchange (no row-level hash shuffle), then the
+    # top-10 is a driver argsort over the merged (key, revenue) arrays —
+    # at extreme scale use num_buckets>1 + per-bucket top-k merge
+    keys, (rev,) = grouped_int_sums_exchange(ds, extract, 1)
+    order = np.lexsort((keys, -rev))[:10]
     return pa.table({
-        "l_orderkey": pa.array(top["l_orderkey"].to_numpy(),
-                               type=pa.int64()),
-        "revenue": pa.array(top["revenue"].to_numpy(), type=pa.int64())})
+        "l_orderkey": pa.array(keys[order], type=pa.int64()),
+        "revenue": pa.array(rev[order], type=pa.int64())})
 
 
 def _q_revenue_by_orderpriority(sf_dir: str):

@@ -27,7 +27,7 @@ def build_profile(input_dir: Optional[str] = None, ds: Optional[Dataset] = None,
         ds = read_tokens(input_dir, partitions=partitions)
     ctx = ValidationContext(vocab=vocab)
     ctx_ref = ray.put(ctx)
-    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from bigdime_ray.stages.scan import resolve_concurrency
     concurrency = resolve_concurrency(concurrency)
     if concurrency:

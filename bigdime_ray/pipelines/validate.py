@@ -373,7 +373,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
         # --- Phase 1: single scan pass (actor pool, broadcast side inputs) ---
         if scan_vids:
             ctx_ref = ray.put(ctx)
-            scan_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+            scan_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                               batch_size=None)  # whole-block batches: one state per (block, validator), not one per 1024-row slice
             concurrency = resolve_concurrency(cfg.scan_concurrency)
             if concurrency:
                 union = ds.map_batches(
@@ -390,27 +391,46 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                 violations_parts.append(viol_ds)
                 merged_states = _merge_scan_states(union)
             else:
-                # ONE pull of the (capped-violations + states) union —
-                # no materialize, no extra filter jobs
-                rows = union.take_all()
-                viol_rows = [{k: r[k] for k in ("partition_id",
-                                                "validator_id", "doc_id",
-                                                "reason", "detail")}
-                             for r in rows if r["kind"] == "violation"]
-                if viol_rows:
-                    violations_parts.append(
-                        pa.Table.from_pylist(viol_rows,
-                                             schema=VIOLATION_SCHEMA))
+                # ONE pull of the (capped-violations + states) union as
+                # ARROW BATCHES — no materialize, no extra filter jobs,
+                # and no per-row Python dicts (take_all's row iterator
+                # measured ~3.5 s on a 64-partition run)
+                import pyarrow.compute as _pc
+                viol_tables: list[pa.Table] = []
                 by_key: dict = {}
-                for r in rows:
-                    if r["kind"] == "state":
-                        by_key.setdefault(
-                            (r["partition_id"], r["validator_id"]),
-                            []).append(r["payload"])
-                merged_states = {
-                    key: merge_states([PartialState.from_bytes(b)
-                                       for b in payloads])
-                    for key, payloads in by_key.items()}
+                for tbl in union.iter_batches(batch_size=None,
+                                              batch_format="pyarrow"):
+                    is_state = _pc.equal(tbl["kind"], "state")
+                    viol = tbl.filter(_pc.invert(is_state))
+                    if viol.num_rows:
+                        viol_tables.append(viol.select(
+                            ["partition_id", "validator_id", "doc_id",
+                             "reason", "detail"]))
+                    st = tbl.filter(is_state)
+                    if st.num_rows:
+                        pids = st["partition_id"].to_pylist()
+                        vids = st["validator_id"].to_pylist()
+                        pays = st["payload"].to_pylist()
+                        for p_, v_, b_ in zip(pids, vids, pays):
+                            by_key.setdefault((p_, v_), []).append(b_)
+                _mark("scan_exec")
+                if viol_tables:
+                    violations_parts.append(
+                        pa.concat_tables(viol_tables)
+                        .cast(VIOLATION_SCHEMA))
+                # per-key merges are numpy-dominated (radix sorts, dense
+                # adds — all GIL-releasing): a thread pool turns the
+                # driver merge into parallel work
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _merge_one(item):
+                    key, payloads = item
+                    return key, merge_states(
+                        [PartialState.from_bytes(b) for b in payloads])
+
+                with ThreadPoolExecutor(max_workers=8) as ex:
+                    merged_states = dict(ex.map(_merge_one,
+                                                by_key.items()))
             try:  # per-stage wall/cpu breakdown → run_dir (perf forensics)
                 with open(os.path.join(cfg.run_dir, "scan_stats.txt"),
                           "w") as f:

@@ -123,6 +123,173 @@ def block_preagg_counts(ds: Dataset, keys: list[str],
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
+                         num_buckets: int = 1) -> pa.Table:
+    """Exact per-key counts ≥ ``min_count`` over an int64 key — the
+    exchange-optimized replacement for ``groupby(key).count()``.
+
+    Same packed-cell pattern as ``find_duplicate_hashes``: each block
+    emits ONE cell per hash bucket holding (sorted distinct keys,
+    counts) as packed int64 bytes, so the exchange moves 16 B per
+    distinct key per block in #blocks × #buckets cells instead of N
+    rows through a hash shuffle (measured ~7× faster at 600k rows —
+    Ray's hash aggregate has a multi-second actor fixed cost).
+    ``num_buckets=1`` merges on the driver; >1 is the scale path (each
+    bucket's merge is an independent task over a bounded key range).
+    Returns a pa.Table (key_col, cnt) with cnt ≥ min_count.
+    """
+    from bigdime_ray.functions.hashing import mix64
+
+    def pack(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(k, return_counts=True)
+        counts = counts.astype(np.int64)
+        if num_buckets == 1:
+            return pa.table({
+                "bucket": pa.array([0], type=pa.int32()),
+                "keys": pa.array([uniq.tobytes()], type=pa.binary()),
+                "cnts": pa.array([counts.tobytes()], type=pa.binary())})
+        b = (mix64(uniq.view(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        order = np.argsort(b, kind="stable")
+        bs, ks, cs = b[order], uniq[order], counts[order]
+        bounds = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+        ends = np.r_[bounds[1:], len(bs)]
+        return pa.table({
+            "bucket": pa.array(bs[bounds], type=pa.int32()),
+            "keys": pa.array([ks[s:e].tobytes()
+                              for s, e in zip(bounds, ends)],
+                             type=pa.binary()),
+            "cnts": pa.array([cs[s:e].tobytes()
+                              for s, e in zip(bounds, ends)],
+                             type=pa.binary())})
+
+    def merge_cells(key_bufs, cnt_bufs) -> tuple[np.ndarray, np.ndarray]:
+        allk = np.concatenate([np.frombuffer(kb, dtype=np.int64)
+                               for kb in key_bufs])
+        allc = np.concatenate([np.frombuffer(cb, dtype=np.int64)
+                               for cb in cnt_bufs])
+        order = np.argsort(allk, kind="stable")
+        k, c = allk[order], allc[order]
+        bounds = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        sums = np.add.reduceat(c, bounds)
+        keys = k[bounds]
+        m = sums >= min_count
+        return keys[m], sums[m]
+
+    cells = ds.map_batches(pack, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    if num_buckets == 1:
+        rows = cells.take_all()
+        if not rows:
+            return pa.table({key_col: pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        keys, cnts = merge_cells([r["keys"] for r in rows],
+                                 [r["cnts"] for r in rows])
+        return pa.table({key_col: pa.array(keys),
+                         "cnt": pa.array(cnts)})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        keys, cnts = merge_cells(list(g["keys"]), list(g["cnts"]))
+        return pd.DataFrame({key_col: keys, "cnt": cnts})
+
+    out = (cells.groupby("bucket")
+           .map_groups(merge_group, batch_format="pandas").to_pandas())
+    if len(out) == 0:
+        return pa.table({key_col: pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64())})
+    return pa.table({key_col: pa.array(out[key_col].to_numpy()
+                                       .astype(np.int64)),
+                     "cnt": pa.array(out["cnt"].to_numpy()
+                                     .astype(np.int64))})
+
+
+def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
+                              num_buckets: int = 1
+                              ) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Generalized packed-cell aggregate: exact per-key SUMS of
+    ``num_values`` int64 value columns over an int64 key.
+
+    ``extract(batch) -> (keys int64[n], [v int64[n]] × num_values)``.
+    Each block pre-aggregates with np.unique + add.at and emits ONE cell
+    per bucket of packed arrays; merges are numpy sort+reduceat. Same
+    exchange economics as ``duplicate_key_counts`` (16–32 B per distinct
+    key per block, #blocks × #buckets cells instead of a row shuffle).
+    Composite keys pack into one int64 (e.g. user_id·2²⁰ + hour index).
+    Returns (keys, [sums] × num_values); num_buckets>1 is the scale path.
+    """
+    from bigdime_ray.functions.hashing import mix64
+
+    vcols = [f"v{i}" for i in range(num_values)]
+
+    def pack(batch: pa.Table) -> pa.Table:
+        keys, values = extract(batch)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        partials = []
+        for v in values:
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(acc, inv, np.asarray(v, dtype=np.int64))
+            partials.append(acc)
+        if num_buckets == 1:
+            cols = {"bucket": pa.array([0], type=pa.int32()),
+                    "keys": pa.array([uniq.tobytes()], type=pa.binary())}
+            for c, acc in zip(vcols, partials):
+                cols[c] = pa.array([acc.tobytes()], type=pa.binary())
+            return pa.table(cols)
+        b = (mix64(uniq.view(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        bounds = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+        ends = np.r_[bounds[1:], len(bs)]
+        cols = {"bucket": pa.array(bs[bounds], type=pa.int32()),
+                "keys": pa.array([uniq[order][s:e].tobytes()
+                                  for s, e in zip(bounds, ends)],
+                                 type=pa.binary())}
+        for c, acc in zip(vcols, partials):
+            cols[c] = pa.array([acc[order][s:e].tobytes()
+                                for s, e in zip(bounds, ends)],
+                               type=pa.binary())
+        return pa.table(cols)
+
+    def merge_cells(rows: list[dict]) -> tuple[np.ndarray, list[np.ndarray]]:
+        allk = np.concatenate([np.frombuffer(r["keys"], dtype=np.int64)
+                               for r in rows])
+        order = np.argsort(allk, kind="stable")
+        k = allk[order]
+        bounds = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        sums = []
+        for c in vcols:
+            allv = np.concatenate([np.frombuffer(r[c], dtype=np.int64)
+                                   for r in rows])[order]
+            sums.append(np.add.reduceat(allv, bounds))
+        return k[bounds], sums
+
+    cells = ds.map_batches(pack, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    if num_buckets == 1:
+        rows = cells.take_all()
+        if not rows:
+            e = np.empty(0, dtype=np.int64)
+            return e, [e.copy() for _ in range(num_values)]
+        return merge_cells(rows)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        keys, sums = merge_cells(g.to_dict("records"))
+        out = {"k": keys}
+        for c, s in zip(vcols, sums):
+            out[c] = s
+        return pd.DataFrame(out)
+
+    out = (cells.groupby("bucket")
+           .map_groups(merge_group, batch_format="pandas").to_pandas())
+    if len(out) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, [e.copy() for _ in range(num_values)]
+    return (out["k"].to_numpy().astype(np.int64),
+            [out[c].to_numpy().astype(np.int64) for c in vcols])
+
+
 def ensure_schema(schema: pa.Schema):
     """map_batches fn factory: rebuild blocks so EMPTY blocks keep the
     stage schema. Ray's hash shuffle (groupby/join) emits zero-column

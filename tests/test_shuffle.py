@@ -65,3 +65,23 @@ def test_add_salt_deterministic(skewed_ds):
     s2 = add_salt(tbl, "source", {"hot": 5})["__salt"].to_pylist()
     assert s1 == s2
     assert s1[1] == 0  # non-hot key unsalted
+
+
+def test_duplicate_key_counts_matches_groupby():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.stages.shuffle import duplicate_key_counts
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 500, 2000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, type=pa.int64())})) \
+        .repartition(5)
+    expect = (pd.Series(keys).value_counts().rename_axis("k")
+              .reset_index(name="cnt"))
+    expect = expect[expect.cnt >= 2].sort_values("k").reset_index(drop=True)
+    for nb in (1, 4):
+        got = (duplicate_key_counts(ds, "k", min_count=2, num_buckets=nb)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert got.k.tolist() == expect.k.tolist(), nb
+        assert got.cnt.tolist() == expect.cnt.tolist(), nb
