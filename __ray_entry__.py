@@ -263,6 +263,14 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(ds)
 
 
+def _q_exact_dedup_normalized(sf_dir: str):
+    """Normalized-content dedup groups (lowercase + collapsed
+    whitespace before hashing — the curation-pipeline variant)."""
+    from bigdime_ray.pipelines.dedup import exact_dedup_groups
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_groups(ds, normalize=True)
+
+
 def _q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dup pairs on documents (rows-only check)."""
     from bigdime_ray.pipelines.dedup import minhash_lsh_dedup
@@ -543,6 +551,43 @@ def _q_sessions(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Sketch-first EXACT heavy hitters: Misra-Gries candidates (block
+    states, superset-guaranteed) + exact broadcast recount."""
+    from bigdime_ray.pipelines.frequency import heavy_hitters
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(ds, "l_partkey", threshold=40)
+
+
+def _q_distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT) via the packed-cell exchange."""
+    from bigdime_ray.pipelines.frequency import distinct_count
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    return pa.table({"cnt": pa.array([distinct_count(ds, "l_partkey")],
+                                     type=pa.int64())})
+
+
+def _q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click — per-key co-partitioned searchsorted."""
+    from bigdime_ray.pipelines.stream import asof_join_grouped
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join_grouped(purchases, clicks, key="user_id", ts_col="ts",
+                            left_id="event_id", right_id="event_id",
+                            out_col="click_event_id")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["k"], pa.int64()), "ts": b["ts"],
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "click_event_id": pc.cast(b["click_event_id"], pa.float64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -554,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats": _q_column_stats,
         "per_source_stats_salted": _q_per_source_stats_salted,
         "exact_dedup_groups": _q_exact_dedup,
+        "exact_dedup_normalized": _q_exact_dedup_normalized,
         "minhash_dedup_pairs": _q_minhash_dedup,
         "simhash_dedup_pairs": _q_simhash_dedup,
         "embedding_near_dup_pairs": _q_embedding_near_dup,
@@ -570,6 +616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "events_running_sum": _q_running_sum,
         "events_sessions": _q_sessions,
+        "heavy_hitters": _q_heavy_hitters,
+        "distinct_count": _q_distinct_count,
+        "events_asof_join": _q_asof_join,
     }
 
 
@@ -616,6 +665,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups":
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS cnt "
             "FROM documents GROUP BY text",
+        "exact_dedup_normalized":
+            "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS cnt "
+            "FROM documents "
+            "GROUP BY lower(regexp_replace(text, '\\s+', ' ', 'g'))",
         "knn_cosine_top10":
             "SELECT vec_id, ROW_NUMBER() OVER (ORDER BY "
             "list_cosine_similarity(embedding, (SELECT embedding FROM "
@@ -668,6 +721,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, COUNT(*) AS n_events, "
             "MIN(ts) AS session_start, MAX(ts) AS session_end "
             "FROM s GROUP BY 1, 2",
+        "heavy_hitters":
+            "SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40",
+        "distinct_count":
+            "SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS cnt "
+            "FROM lineitem",
+        "events_asof_join":
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, MAX(event_id) AS cid FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT p.user_id, p.ts, p.event_id, "
+            "CAST(c.cid AS DOUBLE) AS click_event_id "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts",
         # minhash/simhash/embedding near-dup, text_analysis,
         # validation_suite_synthetic, tdigest_quantiles: intentionally no
         # oracle (sketch/heuristic/non-SQL ops) → rows-only check.

@@ -1,0 +1,112 @@
+"""Frequency / cardinality operators over huge key columns.
+
+- ``heavy_hitters`` — EXACT keys with count ≥ threshold, found
+  sketch-first: pass 1 builds mergeable Misra-Gries states per block
+  (candidate superset guaranteed while capacity ≥ n/threshold), pass 2
+  recounts ONLY the candidates exactly with a broadcast semi-join. Total
+  exchange: one MG state per block + one (candidate, count) cell per
+  block — never a row-level shuffle. This is also the engine's hot-key
+  detector (feeds ``stages.shuffle.salted_aggregate``).
+- ``distinct_count`` — exact COUNT(DISTINCT key) via the packed-cell
+  exchange (per-block sorted distinct keys, driver/bucket numpy merge).
+- ``approx_distinct_count`` — HyperLogLog (mergeable, ~1.6% at p=12):
+  the 10¹²-row path where even distinct keys don't fit anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from bigdime_ray.functions.hashing import mix64
+from bigdime_ray.state.sketches import (HyperLogLogState, MisraGriesState,
+                                        PartialState, merge_states)
+
+
+def _states_from_blocks(ds: Dataset, build) -> list:
+    def pack(batch: pa.Table) -> pa.Table:
+        st = build(batch)
+        return pa.table({"payload": pa.array([st.to_bytes()],
+                                             type=pa.binary())})
+
+    rows = ds.map_batches(pack, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    return [PartialState.from_bytes(r["payload"]) for r in rows]
+
+
+def heavy_hitters(ds: Dataset, key_col: str, threshold: int,
+                  capacity: int = 4096) -> pa.Table:
+    """Exact keys with total count ≥ ``threshold`` (int64 keys).
+
+    Correctness: Misra-Gries never drops a key whose true count exceeds
+    n/capacity, so with capacity ≥ n/threshold the candidate set is a
+    superset of the answer; the exact recount removes false positives.
+    Returns (key_col, cnt), cnt exact.
+    """
+    states = _states_from_blocks(
+        ds.select_columns([key_col]),
+        lambda b: MisraGriesState.from_keys(
+            b[key_col].to_numpy(zero_copy_only=False), capacity))
+    merged = merge_states(states)
+    cand = np.sort(merged.keys)
+    if len(cand) == 0:
+        return pa.table({key_col: pa.array([], type=pa.int64()),
+                         "cnt": pa.array([], type=pa.int64())})
+    cand_set = pa.array(cand)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        hit = pc.is_in(k, value_set=cand_set)
+        kv = k.filter(hit).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(cand, kv)
+        cts = np.bincount(idx, minlength=len(cand)).astype(np.int64)
+        return pa.table({"cts": pa.array([cts.tobytes()],
+                                         type=pa.binary())})
+
+    rows = (ds.select_columns([key_col])
+            .map_batches(recount, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all())
+    total = np.zeros(len(cand), dtype=np.int64)
+    for r in rows:
+        total += np.frombuffer(r["cts"], dtype=np.int64)
+    m = total >= threshold
+    return pa.table({key_col: pa.array(cand[m]),
+                     "cnt": pa.array(total[m])})
+
+
+def distinct_count(ds: Dataset, key_col: str) -> int:
+    """Exact COUNT(DISTINCT key) — per-block sorted distinct values as
+    one packed cell, numpy merge on the driver (bucket it for >10⁹
+    distincts; see ``stages.shuffle.duplicate_key_counts`` for the
+    bucketed pattern)."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch[key_col].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"keys": pa.array([u.tobytes()],
+                                          type=pa.binary())})
+
+    rows = (ds.select_columns([key_col])
+            .map_batches(pack, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all())
+    if not rows:
+        return 0
+    allk = np.concatenate([np.frombuffer(r["keys"], dtype=np.int64)
+                           for r in rows])
+    allk.sort(kind="stable")
+    if len(allk) == 0:
+        return 0
+    return int(1 + (allk[1:] != allk[:-1]).sum())
+
+
+def approx_distinct_count(ds: Dataset, key_col: str, p: int = 12) -> float:
+    """HyperLogLog estimate of COUNT(DISTINCT key) (~1.04/√2^p rel err)."""
+    states = _states_from_blocks(
+        ds.select_columns([key_col]),
+        lambda b: HyperLogLogState.from_hashes(
+            mix64(b[key_col].to_numpy(zero_copy_only=False)
+                  .astype(np.int64).view(np.uint64)), p))
+    return merge_states(states).estimate()

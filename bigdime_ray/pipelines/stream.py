@@ -14,6 +14,11 @@ needs no global order).
 - ``running_aggregate`` — per-key ordered cumulative sum (window-function
   shape; ``SUM(...) OVER (PARTITION BY key ORDER BY ts)``)
 - ``session_windows``  — gap-based sessionization per key
+- ``asof_join_grouped`` — per-key as-of join (each left row matched to
+  the latest right row with ts ≤ left ts): ONE co-partitioning shuffle
+  of the two tagged narrow projections, then a vectorized searchsorted
+  inside each group. Partitioning assumption: a single key's rows fit a
+  task (salt the key upstream if a key is pathologically hot).
 """
 
 from __future__ import annotations
@@ -85,3 +90,56 @@ def session_windows(ds: Dataset, key: str, ts_col: str,
         return out[cols]
 
     return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
+
+
+def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
+                      left_id: str, right_id: str,
+                      out_col: str = "matched_id") -> Dataset:
+    """As-of join: for every left row, the right row of the SAME key
+    with the greatest ts ≤ left.ts (SQL: ``ASOF LEFT JOIN ... ON
+    l.key = r.key AND l.ts >= r.ts``). No match → null.
+
+    Both sides project to (key, ts, id, side) and union — ONE hash
+    shuffle co-partitions them; each group does a numpy sort +
+    searchsorted (no per-row Python). Ties on right ts resolve to the
+    max id (deterministic; mirror this in any SQL oracle by
+    pre-aggregating the right side per (key, ts))."""
+
+    def tag(id_col: str, side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": b[key], "ts": b[ts_col],
+                "rid": pc.cast(b[id_col], pa.int64()),
+                "side": pa.array(
+                    np.full(b.num_rows, side, dtype=np.int8))})
+        return fn
+
+    u = (left.map_batches(tag(left_id, 0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+         .union(right.map_batches(tag(right_id, 1), batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = g["side"].to_numpy() == 0
+        lt = g["ts"].to_numpy()[lmask]
+        lid = g["rid"].to_numpy()[lmask]
+        rt = g["ts"].to_numpy()[~lmask]
+        rid = g["rid"].to_numpy()[~lmask]
+        if len(lt) == 0:
+            return pd.DataFrame({"k": [], "ts": [], left_id: [],
+                                 out_col: []})
+        # dedupe right ts ties to max id: sort by (ts, id) then keep the
+        # LAST of each ts run — searchsorted lands on it
+        ro = np.lexsort((rid, rt))
+        rt, rid = rt[ro], rid[ro]
+        keep = np.r_[rt[1:] != rt[:-1], True]
+        rt, rid = rt[keep], rid[keep]
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        matched = np.where(idx >= 0, rid[np.maximum(idx, 0)], -1)
+        out = pd.DataFrame({
+            "k": g["k"].to_numpy()[lmask], "ts": lt, left_id: lid,
+            out_col: matched.astype("float64")})
+        out.loc[out[out_col] < 0, out_col] = np.nan
+        return out
+
+    return u.groupby("k").map_groups(join_group, batch_format="pandas")

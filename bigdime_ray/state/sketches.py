@@ -186,8 +186,15 @@ class HistogramState(PartialState):
             return HistogramState(size=size)
         dense = np.bincount(v, minlength=0)
         ids = np.nonzero(dense)[0]
+        cts = dense[ids]
+        # compact per-block states: vocab and per-block counts fit int32
+        # → half the bytes through the scan-union exchange (merge paths
+        # upcast transparently)
+        if size < 2**31 and (len(cts) == 0 or cts.max() < 2**31):
+            return HistogramState(size=size, ids=ids.astype(np.int32),
+                                  counts=cts.astype(np.int32))
         return HistogramState(size=size, ids=ids.astype(np.int64),
-                              counts=dense[ids].astype(np.int64))
+                              counts=cts.astype(np.int64))
 
     def merge(self, other: "HistogramState") -> "HistogramState":
         size = max(self.size, other.size)
@@ -346,3 +353,109 @@ class TDigestState(PartialState):
         out[qs <= 0.0] = self.minimum
         out[qs >= 1.0] = self.maximum
         return np.clip(out, self.minimum, self.maximum)
+
+
+@dataclass
+class HyperLogLogState(PartialState):
+    """HyperLogLog distinct-count sketch (p-bit register index, 2^p
+    uint8 registers, mergeable via elementwise max). Standard
+    bias-corrected estimator with linear-counting small-range
+    correction; relative error ≈ 1.04/√(2^p) (p=12 → ~1.6%).
+    Feed it 64-bit hashes (``functions.hashing.mix64`` output)."""
+
+    p: int = 12
+    registers: np.ndarray = field(
+        default_factory=lambda: np.zeros(1 << 12, dtype=np.uint8))
+
+    @staticmethod
+    def from_hashes(h: np.ndarray, p: int = 12) -> "HyperLogLogState":
+        st = HyperLogLogState(p=p, registers=np.zeros(1 << p,
+                                                      dtype=np.uint8))
+        if len(h) == 0:
+            return st
+        h = h.view(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+        rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+        found = np.zeros(len(h), dtype=bool)
+        for bit in range(64 - p):
+            hit = ~found & ((rest >> np.uint64(63 - bit))
+                            & np.uint64(1)).astype(bool)
+            rank[hit] = bit + 1
+            found |= hit
+        np.maximum.at(st.registers, idx, rank)
+        return st
+
+    def merge(self, other: "HyperLogLogState") -> "HyperLogLogState":
+        return HyperLogLogState.merge_many([self, other])
+
+    @staticmethod
+    def merge_many(states: list) -> "HyperLogLogState":
+        p = states[0].p
+        regs = np.maximum.reduce([s.registers for s in states])
+        return HyperLogLogState(p=p, registers=regs)
+
+    def estimate(self) -> float:
+        m = float(len(self.registers))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return float(raw)
+
+
+@dataclass
+class MisraGriesState(PartialState):
+    """Misra-Gries heavy-hitters sketch over int64 keys (capacity k).
+
+    Candidate guarantee: any key with true count > n/k survives (its
+    stored count underestimates by ≤ n/k). Merging sums counters then
+    decrements by the (k+1)-th largest — the standard mergeable-summary
+    construction (Agarwal et al.), preserving the additive error bound.
+    An exact second pass over the candidates turns this into EXACT
+    heavy hitters (pipelines/frequency.py)."""
+
+    capacity: int = 1024
+    keys: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    counts: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+
+    @staticmethod
+    def from_keys(k: np.ndarray, capacity: int = 1024) -> "MisraGriesState":
+        uniq, cts = np.unique(np.asarray(k, dtype=np.int64),
+                              return_counts=True)
+        st = MisraGriesState(capacity=capacity, keys=uniq,
+                             counts=cts.astype(np.int64))
+        st._shrink()
+        return st
+
+    def _shrink(self) -> None:
+        if len(self.keys) <= self.capacity:
+            return
+        # subtract the (k+1)-th largest count from all, drop ≤0
+        kth = np.partition(self.counts,
+                           len(self.counts) - self.capacity - 1)[
+            len(self.counts) - self.capacity - 1]
+        c = self.counts - kth
+        keep = c > 0
+        self.keys, self.counts = self.keys[keep], c[keep]
+
+    def merge(self, other: "MisraGriesState") -> "MisraGriesState":
+        return MisraGriesState.merge_many([self, other])
+
+    @staticmethod
+    def merge_many(states: list) -> "MisraGriesState":
+        cap = max(s.capacity for s in states)
+        allk = np.concatenate([s.keys for s in states])
+        if len(allk) == 0:
+            return MisraGriesState(capacity=cap)
+        allc = np.concatenate([s.counts for s in states])
+        order = np.argsort(allk, kind="stable")
+        k, c = allk[order], allc[order]
+        bounds = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        st = MisraGriesState(capacity=cap, keys=k[bounds],
+                             counts=np.add.reduceat(c, bounds))
+        st._shrink()
+        return st

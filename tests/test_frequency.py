@@ -1,0 +1,77 @@
+"""Heavy hitters (Misra-Gries + exact verify), distinct count, HLL."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.functions.hashing import mix64
+from bigdime_ray.pipelines.frequency import (approx_distinct_count,
+                                             distinct_count, heavy_hitters)
+from bigdime_ray.state.sketches import (HyperLogLogState, MisraGriesState,
+                                        merge_states)
+
+
+@pytest.fixture(scope="module")
+def key_ds():
+    rng = np.random.default_rng(17)
+    # zipf-ish: a few hot keys + a long tail
+    hot = np.repeat(np.arange(5), [500, 300, 200, 120, 80])
+    tail = rng.integers(100, 5000, 3000)
+    keys = np.concatenate([hot, tail])
+    rng.shuffle(keys)
+    return (ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64())})).repartition(6),
+        pd.Series(keys))
+
+
+def test_heavy_hitters_exact(key_ds):
+    ds, series = key_ds
+    for threshold in (50, 100, 400):
+        expect = series.value_counts()
+        expect = expect[expect >= threshold].sort_index()
+        got = heavy_hitters(ds, "k", threshold=threshold,
+                            capacity=256).to_pandas().sort_values("k")
+        assert got.k.tolist() == expect.index.tolist(), threshold
+        assert got.cnt.tolist() == expect.tolist(), threshold
+
+
+def test_misra_gries_superset_guarantee():
+    rng = np.random.default_rng(4)
+    keys = np.concatenate([np.repeat(7, 900), rng.integers(10, 10_000, 9000)])
+    n = len(keys)
+    cap = 64
+    chunks = np.array_split(keys, 10)
+    merged = merge_states([MisraGriesState.from_keys(c, cap)
+                           for c in chunks])
+    # any key with true count > n/cap must survive the merge
+    assert 7 in merged.keys
+    true = pd.Series(keys).value_counts()
+    for k in true[true > n / cap].index:
+        assert k in merged.keys
+
+
+def test_distinct_count_exact(key_ds):
+    ds, series = key_ds
+    assert distinct_count(ds, "k") == series.nunique()
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(9)
+    for true_n in (100, 5_000, 200_000):
+        vals = rng.integers(0, 2**62, true_n).astype(np.int64)
+        h = mix64(np.unique(vals).view(np.uint64))
+        whole = HyperLogLogState.from_hashes(h)
+        est = whole.estimate()
+        assert abs(est - len(np.unique(vals))) / true_n < 0.05, true_n
+        chunks = np.array_split(h, 7)
+        merged = merge_states([HyperLogLogState.from_hashes(c)
+                               for c in chunks])
+        assert np.array_equal(merged.registers, whole.registers)
+
+
+def test_approx_distinct_count(key_ds):
+    ds, series = key_ds
+    est = approx_distinct_count(ds, "k")
+    assert abs(est - series.nunique()) / series.nunique() < 0.1

@@ -87,3 +87,41 @@ def test_cap_violations():
     assert capped.num_rows == 4
     p0 = capped.filter(pa.compute.equal(capped["partition_id"], "p0"))
     assert sorted(p0["doc_id"].to_pylist()) == ["d0", "d1"]  # first-k by doc_id
+
+
+def test_asof_join_grouped():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.stream import asof_join_grouped
+    rng = np.random.default_rng(12)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 6, n),
+        "ts": pd.to_datetime("2026-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+        "event_type": rng.choice(["purchase", "click", "view"], n),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = ds.filter(expr="event_type == 'click'")
+    out = (asof_join_grouped(left, right, "user_id", "ts",
+                             "event_id", "event_id", "click_event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        "WITH p AS (SELECT user_id, ts, event_id FROM events "
+        "WHERE event_type='purchase'), "
+        "c AS (SELECT user_id, ts, MAX(event_id) AS cid FROM events "
+        "WHERE event_type='click' GROUP BY user_id, ts) "
+        "SELECT p.event_id, CAST(c.cid AS DOUBLE) AS click_event_id "
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id "
+        "AND p.ts >= c.ts ORDER BY p.event_id").fetchdf()
+    assert out.event_id.tolist() == exp.event_id.tolist()
+    a = out.click_event_id.to_numpy()
+    b = exp.click_event_id.to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
