@@ -588,6 +588,101 @@ def _q_asof_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_grouped_median(sf_dir: str):
+    """Exact per-group median (n_chars per source) via map_groups —
+    exact for bounded group counts; the huge-cardinality path is the
+    grouped t-digest (tdigest_quantiles)."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.median(g["n_chars"].to_numpy())
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "med": [int(np.floor(m * 10 + 0.5))]})
+
+    out = ds.groupby("source").map_groups(med, batch_format="pandas")
+    return pa.table({
+        "source": pa.array([r["source"] for r in out.take_all()]),
+        "med": pa.array([r["med"] for r in out.take_all()],
+                        type=pa.int64())})
+
+
+def _q_revenue_by_region(sf_dir: str):
+    """Multi-hop dimension join resolved ENTIRELY by broadcast: the
+    orders→customer→nation→region chain collapses on the driver into
+    one (sorted orderkey → region-index) lookup pair, shipped once via
+    ray.put; the fact table never shuffles — each block does a
+    searchsorted + bincount partial, and ≤ |regions| rows leave each
+    task."""
+    import ray as _ray
+
+    def _pull(table, cols):
+        return pa.concat_tables(_ray.get(
+            _read(sf_dir, table, columns=cols).to_arrow_refs()))
+
+    orders = _pull("orders", ["o_orderkey", "o_custkey"])
+    cust = _pull("customer", ["c_custkey", "c_nationkey"])
+    nation = _pull("nation", ["n_nationkey", "n_regionkey"])
+    region = _pull("region", ["r_regionkey", "r_name"])
+
+    # tiny dims → dense index arrays; customer/orders → sorted-key lookup
+    n_reg = np.zeros(int(pc.max(nation["n_nationkey"]).as_py()) + 1,
+                     dtype=np.int64)
+    n_reg[nation["n_nationkey"].to_numpy()] = \
+        nation["n_regionkey"].to_numpy()
+    r_keys = region["r_regionkey"].to_numpy()
+    r_names = region["r_name"].to_pylist()
+    r_index = {int(k): i for i, k in enumerate(r_keys)}
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ck, kind="stable")
+    ck_sorted = ck[corder]
+    c_region = np.asarray(
+        [r_index[int(r)] for r in
+         n_reg[cust["c_nationkey"].to_numpy(zero_copy_only=False)
+               .astype(np.int64)[corder]]], dtype=np.int64)
+    ok = orders["o_orderkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    oorder = np.argsort(ok, kind="stable")
+    ok_sorted = ok[oorder]
+    o_cust = orders["o_custkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[oorder]
+    o_region = c_region[np.searchsorted(ck_sorted, o_cust)]
+    lut = _ray.put((ok_sorted, o_region, len(r_keys)))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys_sorted, key_region, n_regions = _ray.get(lut)
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.minimum(np.searchsorted(keys_sorted, lk),
+                         len(keys_sorted) - 1)
+        hit = keys_sorted[pos] == lk  # inner-join semantics
+        lk, pos = lk[hit], pos[hit]
+        rid = key_region[pos]
+        ep = batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[hit]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        rev_s = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
+        rev = np.bincount(rid, weights=rev_s.astype(np.float64),
+                          minlength=n_regions).astype(np.int64)
+        cnt = np.bincount(rid, minlength=n_regions).astype(np.int64)
+        return pa.table({"rid": pa.array(np.arange(n_regions)),
+                         "revenue": pa.array(rev), "cnt": pa.array(cnt)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    rev = np.zeros(len(r_keys), dtype=np.int64)
+    cnt = np.zeros(len(r_keys), dtype=np.int64)
+    for r in rows:
+        rev[r["rid"]] += r["revenue"]
+        cnt[r["rid"]] += r["cnt"]
+    m = cnt > 0
+    return pa.table({"r_name": pa.array([r_names[i]
+                                         for i in np.nonzero(m)[0]]),
+                     "revenue": pa.array(rev[m]), "cnt": pa.array(cnt[m])})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -619,6 +714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
         "events_asof_join": _q_asof_join,
+        "grouped_median": _q_grouped_median,
+        "revenue_by_region": _q_revenue_by_region,
     }
 
 
@@ -736,7 +833,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.cid AS DOUBLE) AS click_event_id "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "grouped_median":
+            "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
+            "AS BIGINT) AS med FROM documents GROUP BY source",
+        "revenue_by_region":
+            "SELECT r_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue, COUNT(*) AS cnt "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name",
         # minhash/simhash/embedding near-dup, text_analysis,
-        # validation_suite_synthetic, tdigest_quantiles: intentionally no
-        # oracle (sketch/heuristic/non-SQL ops) → rows-only check.
+        # validation_suite_synthetic, tdigest_quantiles, HLL: no oracle
+        # by design (sketch/heuristic/non-SQL ops) → rows-only check.
     }
