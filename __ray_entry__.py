@@ -588,6 +588,29 @@ def _q_asof_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end through the driver surface:
+    deterministic synthetic media table → actor-pool decode/feature
+    stage → resize → frame sampling (rows-only; codec slots stubbed,
+    the Ray-side pipeline is real)."""
+    import ray.data as rd
+    from bigdime_ray.pipelines.multimodal import (extract_media_features,
+                                                  frame_sample,
+                                                  resize_media,
+                                                  synth_media_table)
+    tbl = synth_media_table(n=300, seed=11)
+    ds = rd.from_arrow(tbl).repartition(4)
+    feats = extract_media_features(ds, concurrency=2).to_pandas()
+    resized = resize_media(ds, 128, 128, concurrency=2)
+    frames = frame_sample(resized, num_frames=3).to_pandas()
+    out = pd.DataFrame({
+        "media_id": feats["media_id"], "kind": feats["kind"],
+        "decode_ok": feats["decode_ok"],
+        "n_frames": feats["media_id"].map(
+            frames.groupby("media_id").size()).fillna(0).astype("int64")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_grouped_median(sf_dir: str):
     """Exact per-group median (n_chars per source) via map_groups —
     exact for bounded group counts; the huge-cardinality path is the
@@ -716,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": _q_asof_join,
         "grouped_median": _q_grouped_median,
         "revenue_by_region": _q_revenue_by_region,
+        "media_features": _q_media_features,
     }
 
 

@@ -168,7 +168,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # (skippable for scaling legs: the headline is the suite)
     query_names = ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
                    "token_count", "events_hourly_window", "knn_cosine_top10",
-                   "per_source_stats_salted"]
+                   "per_source_stats_salted", "events_asof_join",
+                   "heavy_hitters", "revenue_by_region"]
     if os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "0":
         query_names = []
     queries = entry_mod.queries()
