@@ -353,6 +353,32 @@ def _q_token_count(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_token_count_bpe(sf_dir: str):
+    """Word/punct (BPE-ish) token counting — vectorized regex count,
+    RE2 pattern identical on both sides."""
+    from bigdime_ray.pipelines.text import WORD_TOKEN_RE, count_tokens
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_word_tokens": pc.cast(
+                count_tokens(batch["text"], WORD_TOKEN_RE), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_curated_documents(sf_dir: str):
+    """Composed curation pass: length gate → exact-dedup representative
+    (oracle-checkable composition; the quality gate is the non-SQL
+    opt-in)."""
+    from bigdime_ray.pipelines.curate import curate_documents
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    kept = curate_documents(ds, min_chars=50, max_chars=100_000)
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow")
+
+
 def _q_text_analysis(sf_dir: str):
     """Language-ID + quality scoring (heuristic — rows-only check)."""
     from bigdime_ray.pipelines.text import analyze_text
@@ -724,6 +750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": _q_knn_top10,
         "knn_cosine_ivf": _q_knn_ivf,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
+        "curated_documents": _q_curated_documents,
         "text_analysis": _q_text_analysis,
         "events_hourly_window": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
@@ -798,6 +826,15 @@ def oracle_sql() -> dict[str, str]:
         "token_count":
             "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) "
             "AS n_ws_tokens FROM documents",
+        "token_count_bpe":
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT) "
+            "AS n_word_tokens FROM documents",
+        "curated_documents":
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE length(text) BETWEEN 50 AND 100000 AND doc_id IN ("
+            "SELECT MIN(doc_id) FROM documents "
+            "WHERE length(text) BETWEEN 50 AND 100000 GROUP BY text)",
         "events_hourly_window":
             "SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt, "
             "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) "

@@ -1,0 +1,42 @@
+"""Composed curation pass — the shape a training-data pipeline actually
+runs: one streaming pipeline of (length gate → exact-dedup
+representative filter → optional quality gate), each stage a vectorized
+``map_batches`` / narrow-shuffle op from this package. Demonstrates that
+the engine's operators COMPOSE as lazy Dataset stages (nothing
+materializes between them except dedup's small keep-set broadcast).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from bigdime_ray.pipelines.dedup import exact_dedup
+
+
+def curate_documents(ds: Dataset, col: str = "text",
+                     id_col: str = "doc_id", min_chars: int = 1,
+                     max_chars: int = 10**9,
+                     min_quality: float | None = None,
+                     normalize_dedup: bool = False) -> Dataset:
+    """Keep documents that pass the length gate and are the exact-dedup
+    representative (min id per distinct content); optionally gate on the
+    heuristic quality score (``min_quality`` — non-SQL, leave None for
+    oracle-checkable output)."""
+
+    def length_gate(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch[col])
+        keep = pc.and_(pc.greater_equal(n, pa.scalar(min_chars)),
+                       pc.less_equal(n, pa.scalar(max_chars)))
+        return batch.filter(pc.fill_null(keep, False))
+
+    gated = ds.map_batches(length_gate, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    kept = exact_dedup(gated, col, id_col, normalize=normalize_dedup)
+    if min_quality is not None:
+        from bigdime_ray.pipelines.text import analyze_text
+        kept = (analyze_text(kept)
+                .filter(expr=f"quality >= {min_quality}"))
+    return kept

@@ -47,3 +47,21 @@ def test_analyze_text_on_documents(sf001_dir):
     assert len(out) == 500
     assert {"lang_pred", "lang_score", "quality"} <= set(out.columns)
     assert out.quality.between(0, 1).all()
+
+
+def test_curate_documents_composition():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.curate import curate_documents
+    texts = ["short", "x" * 60, "x" * 60, "y" * 80, "z" * 200_000]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": pa.array(texts)}))
+    kept = curate_documents(ds, min_chars=50, max_chars=100_000).to_pandas()
+    # 0 too short, 2 is a dup of 1, 4 too long → keep 1 and 3
+    assert sorted(kept.doc_id) == [1, 3]
+    # quality gate composes (heuristic — just assert it subsets)
+    kept_q = curate_documents(ds, min_chars=50, max_chars=100_000,
+                              min_quality=0.0).to_pandas()
+    assert set(kept_q.doc_id) <= {1, 3}
