@@ -637,6 +637,42 @@ def _q_media_features(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic hash-based per-stratum sampling (reproducible,
+    retry-safe, SQL-expressible — not RNG)."""
+    from bigdime_ray.pipelines.curate import stratified_sample
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = stratified_sample(ds, "source",
+                            rates={"web": 0.5, "wiki": 0.25},
+                            default_rate=0.1)
+    return out.map_batches(lambda b: b.select(["doc_id", "source"]),
+                           batch_format="pyarrow")
+
+
+def _q_hopping_window(sf_dir: str):
+    """Overlapping 1h windows hopping every 30 min (size/hop = 2 rows
+    per event through the exchange)."""
+    from bigdime_ray.pipelines.stream import hopping_window
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def scale(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "value_s": _scaled_i64(
+                b["value"].to_numpy(zero_copy_only=False), 10_000)})
+
+    ds = ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+    out = hopping_window(ds, "user_id", "ts", "value_s",
+                         size_seconds=3600, hop_seconds=1800)
+
+    def unit_us(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(i, "window_start",
+                            pc.cast(b["window_start"], pa.timestamp("us")))
+
+    return out.map_batches(unit_us, batch_format="pyarrow")
+
+
 def _q_grouped_median(sf_dir: str):
     """Exact per-group median (n_chars per source) via map_groups —
     exact for bounded group counts; the huge-cardinality path is the
@@ -768,6 +804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median": _q_grouped_median,
         "revenue_by_region": _q_revenue_by_region,
         "media_features": _q_media_features,
+        "stratified_sample": _q_stratified_sample,
+        "events_hopping_window": _q_hopping_window,
     }
 
 
@@ -897,6 +935,19 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median":
             "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
             "AS BIGINT) AS med FROM documents GROUP BY source",
+        "stratified_sample":
+            f"SELECT doc_id, source FROM documents WHERE "
+            f"((doc_id * {_CHK_MUL}) % {_CHK_MOD}) % 1000 < "
+            "CASE source WHEN 'web' THEN 500 WHEN 'wiki' THEN 250 "
+            "ELSE 100 END",
+        "events_hopping_window":
+            "WITH e AS (SELECT user_id, "
+            "time_bucket(INTERVAL '30 minutes', ts) AS b, "
+            "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+            "w AS (SELECT user_id, b AS window_start, v FROM e "
+            "UNION ALL SELECT user_id, b - INTERVAL 30 MINUTE, v FROM e) "
+            "SELECT user_id, window_start, COUNT(*) AS cnt, "
+            "CAST(SUM(v) AS BIGINT) AS total FROM w GROUP BY 1, 2",
         "revenue_by_region":
             "SELECT r_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
             "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) "

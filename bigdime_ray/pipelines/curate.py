@@ -40,3 +40,38 @@ def curate_documents(ds: Dataset, col: str = "text",
         kept = (analyze_text(kept)
                 .filter(expr=f"quality >= {min_quality}"))
     return kept
+
+
+SAMPLE_MUL = 2654435761
+SAMPLE_MOD = 1_000_000_007
+
+
+def stratified_sample(ds: Dataset, strata_col: str, rates: dict,
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> Dataset:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``(id·MUL mod P) mod 1000 < rate·1000`` for its stratum's rate.
+
+    Hash-derived, not RNG-derived → reproducible across runs and safe
+    under Ray task retries (the same rows are kept no matter how blocks
+    are re-executed), and SQL-expressible for oracle checking. Rates are
+    per-mille-resolution fractions in [0, 1]."""
+    import numpy as np
+
+    keys = list(rates)
+    thresh = np.asarray([int(round(rates[k] * 1000)) for k in keys],
+                        dtype=np.int64)
+    default_t = int(round(default_rate * 1000))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = ((ids * SAMPLE_MUL) % SAMPLE_MOD) % 1000
+        strata = batch[strata_col].to_numpy(zero_copy_only=False)
+        t = np.full(len(ids), default_t, dtype=np.int64)
+        for k, th in zip(keys, thresh):
+            t[strata == k] = th
+        return batch.filter(pa.array(bucket < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

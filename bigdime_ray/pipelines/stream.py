@@ -92,6 +92,38 @@ def session_windows(ds: Dataset, key: str, ts_col: str,
     return ds.groupby(key).map_groups(sessionize, batch_format="pandas")
 
 
+def hopping_window(ds: Dataset, key: str, ts_col: str, value_col: str,
+                   size_seconds: int, hop_seconds: int) -> Dataset:
+    """Overlapping (hopping) windows: each event lands in
+    ``size/hop`` windows; rows are replicated vectorized per batch with
+    their window starts, then aggregated with the same shuffle as the
+    tumbling window. Requires size % hop == 0."""
+    assert size_seconds % hop_seconds == 0, "size must be a multiple of hop"
+    k = size_seconds // hop_seconds
+    hop_us = hop_seconds * 1_000_000
+    import numpy as np
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = (batch[ts_col].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        last = (t // hop_us) * hop_us  # latest window containing the event
+        n = len(t)
+        offs = np.arange(k, dtype=np.int64) * hop_us
+        starts = np.repeat(last, k) - np.tile(offs, n)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        return pa.table({
+            key: batch[key].take(idx),
+            "window_start": pa.array(starts.astype("datetime64[us]"),
+                                     type=pa.timestamp("us")),
+            value_col: batch[value_col].take(idx)})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return (exploded.groupby([key, "window_start"])
+            .aggregate(Count(alias_name="cnt"),
+                       Sum(value_col, alias_name="total")))
+
+
 def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
                       left_id: str, right_id: str,
                       out_col: str = "matched_id") -> Dataset:

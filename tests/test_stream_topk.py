@@ -125,3 +125,31 @@ def test_asof_join_grouped():
     a = out.click_event_id.to_numpy()
     b = exp.click_event_id.to_numpy()
     assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_hopping_window_covers_tumbling():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.stream import hopping_window
+    rng = np.random.default_rng(8)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 3, n),
+        "ts": pd.to_datetime("2026-02-01")
+        + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s"),
+        "v": rng.integers(1, 5, n).astype("int64")})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = hopping_window(ds, "user_id", "ts", "v",
+                         size_seconds=3600, hop_seconds=1800).to_pandas()
+    # every event is counted in exactly size/hop = 2 windows
+    assert out.cnt.sum() == 2 * n
+    assert out.total.sum() == 2 * df.v.sum()
+    # each window's sum equals the brute-force windowed sum
+    smp = out.sample(10, random_state=0)
+    for _, r in smp.iterrows():
+        w0 = pd.Timestamp(r.window_start)
+        m = ((df.user_id == r.user_id) & (df.ts >= w0)
+             & (df.ts < w0 + pd.Timedelta(hours=1)))
+        assert df[m].v.sum() == r.total, (r.user_id, w0)

@@ -65,3 +65,26 @@ def test_curate_documents_composition():
     kept_q = curate_documents(ds, min_chars=50, max_chars=100_000,
                               min_quality=0.0).to_pandas()
     assert set(kept_q.doc_id) <= {1, 3}
+
+
+def test_stratified_sample_deterministic():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.curate import (SAMPLE_MOD, SAMPLE_MUL,
+                                              stratified_sample)
+    ids = np.arange(2000, dtype=np.int64)
+    strata = np.where(ids % 2 == 0, "a", "b")
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "source": pa.array(strata.tolist())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out1 = stratified_sample(ds, "source", {"a": 0.5}, default_rate=0.1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = stratified_sample(ds, "source", {"a": 0.5}, default_rate=0.1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out1.equals(out2)  # deterministic
+    bucket = ((ids * SAMPLE_MUL) % SAMPLE_MOD) % 1000
+    expect = ids[np.where(strata == "a", bucket < 500, bucket < 100)]
+    assert out1.doc_id.tolist() == expect.tolist()
+    share_a = (out1.source == "a").mean()
+    assert share_a > 0.7  # a sampled 5x more than b
