@@ -330,10 +330,18 @@ def _q_knn_top10(sf_dir: str):
 def _q_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate top-10 (scale path; rows-only — approx by
     design, recall asserted in tests/test_similarity.py)."""
-    from bigdime_ray.pipelines.similarity import ivf_topk
+    import hashlib
+
+    from bigdime_ray.pipelines.similarity import build_ivf_index, ivf_search
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vec(ds)
-    top = ivf_topk(ds, q[None, :], k=10, nlist=8, nprobe=4)
+    # persisted index (SURVEY 7.1 #3): built once per input, reused —
+    # search loads centroids (no refit) and reads only probed clusters
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/bigdime_ivf_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.npz")):
+        build_ivf_index(ds, index_dir, nlist=8, seed=11)
+    top = ivf_search(index_dir, q[None, :], k=10, nprobe=4)
     return pa.table({"vec_id": pa.array(top.vec_id.to_numpy(),
                                         type=pa.int64()),
                      "rnk": pa.array(top["rank"].to_numpy(),

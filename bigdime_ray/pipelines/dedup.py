@@ -701,10 +701,14 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
         bucket = np.zeros(len(x), dtype=np.int64)
         for p in range(planes):
             bucket |= bits[:, p].astype(np.int64) << p
+        # ship HALF-precision normalized vectors through the bucket
+        # shuffle (4 B→2 B per component; cosine ≥0.9-grade thresholds
+        # are unaffected — fp16 holds ~3 decimal digits); at extreme
+        # scale quantize harder or ship (id, bucket) + fetch
         return pa.table({
             id_col: batch[id_col],
             "bucket": pa.array(bucket),
-            "vec": pa.array(list(x.astype(np.float32))),
+            "vec": pa.array(list(x.astype(np.float16))),
         })
 
     rows = ds.map_batches(to_buckets, batch_format="pyarrow",
@@ -721,6 +725,8 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
         g = g.head(bucket_cap)
         ids = g[id_col].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        # re-normalize after the fp16 round-trip
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ m.T
         iu = np.triu_indices(len(ids), k=1)
         mask = sims[iu] >= threshold
