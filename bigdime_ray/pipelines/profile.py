@@ -24,7 +24,8 @@ def build_profile(input_dir: Optional[str] = None, ds: Optional[Dataset] = None,
                   save_path: Optional[str] = None,
                   partitions: Optional[list] = None) -> ReferenceProfile:
     if ds is None:
-        ds = read_tokens(input_dir, partitions=partitions)
+        ds = read_tokens(input_dir, partitions=partitions,
+                         batch_size=1 << 18)
     ctx = ValidationContext(vocab=vocab)
     ctx_ref = ray.put(ctx)
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -227,12 +227,23 @@ def _auto_scale_dispatch(cfg: ValidationRunConfig, ctx: ValidationContext,
     ``state_merge``."""
     files = [f for p in partitions for f in discovered.get(p, [])]
     est_rows = 0
+    est_bytes = 0
     for f in files:
         try:
             est_rows += pq.ParquetFile(f).metadata.num_rows
+            est_bytes += os.path.getsize(f)
         except Exception:
             pass  # unreadable footer → schema gate reports it
     ctx.estimated_rows = est_rows
+    # scanner batch size: target ~256 MB of on-disk bytes per batch
+    # (tokens are ~incompressible, so decoded ≈ on-disk). The parquet
+    # scanner otherwise streams ~10k-row slices into the fused map →
+    # 20× more per-batch states funneling to the driver.
+    if est_rows:
+        avg_row = max(1, est_bytes // est_rows)
+        ctx.thresholds.setdefault(
+            "scan_batch_rows",
+            int(min(1 << 20, max(1 << 14, (256 << 20) // avg_row))))
     th = ctx.thresholds
     scan_max = int(th.get("auto_scan_max_rows", AUTO_SCAN_MAX_ROWS))
     if "uniqueness_strategy" not in th:
@@ -368,7 +379,9 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                               bump_attempt=True)
         run_manifest.save()
 
-        ds = read_tokens(data_dir, partitions=schema_ok)
+        ds = read_tokens(data_dir, partitions=schema_ok,
+                         batch_size=ctx.thresholds.get("scan_batch_rows",
+                                                       1 << 18))
 
         # --- Phase 1: single scan pass (actor pool, broadcast side inputs) ---
         if scan_vids:
