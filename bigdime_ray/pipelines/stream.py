@@ -160,14 +160,18 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
         if len(lt) == 0:
             return pd.DataFrame({"k": [], "ts": [], left_id: [],
                                  out_col: []})
-        # dedupe right ts ties to max id: sort by (ts, id) then keep the
-        # LAST of each ts run — searchsorted lands on it
-        ro = np.lexsort((rid, rt))
-        rt, rid = rt[ro], rid[ro]
-        keep = np.r_[rt[1:] != rt[:-1], True]
-        rt, rid = rt[keep], rid[keep]
-        idx = np.searchsorted(rt, lt, side="right") - 1
-        matched = np.where(idx >= 0, rid[np.maximum(idx, 0)], -1)
+        if len(rt) == 0:
+            # a key with no right-side rows: every left row unmatched
+            matched = np.full(len(lt), -1, dtype=np.int64)
+        else:
+            # dedupe right ts ties to max id: sort by (ts, id), keep the
+            # LAST of each ts run — searchsorted lands on it
+            ro = np.lexsort((rid, rt))
+            rt, rid = rt[ro], rid[ro]
+            keep = np.r_[rt[1:] != rt[:-1], True]
+            rt, rid = rt[keep], rid[keep]
+            idx = np.searchsorted(rt, lt, side="right") - 1
+            matched = np.where(idx >= 0, rid[np.maximum(idx, 0)], -1)
         out = pd.DataFrame({
             "k": g["k"].to_numpy()[lmask], "ts": lt, left_id: lid,
             out_col: matched.astype("float64")})

@@ -85,3 +85,35 @@ def test_duplicate_across_tiny_partitions(tmp_path):
     assert rep.result_for("p0001", "uniqueness") == "FAILED"
     v = rep.violations.to_pandas()
     assert (v[v.validator_id == "uniqueness"].doc_id == "same-id").all()
+
+
+def test_new_ops_on_empty_and_tiny_inputs():
+    """Heavy hitters / distinct / hopping / asof behave on degenerate
+    inputs (empty filter results, single rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.frequency import distinct_count, heavy_hitters
+    from bigdime_ray.pipelines.stream import asof_join_grouped, hopping_window
+
+    one = ray.data.from_arrow(pa.table({"k": pa.array([7], pa.int64())}))
+    hh = heavy_hitters(one, "k", threshold=1).to_pandas()
+    assert hh.k.tolist() == [7] and hh.cnt.tolist() == [1]
+    assert heavy_hitters(one, "k", threshold=2).to_pandas().empty
+    assert distinct_count(one, "k") == 1
+
+    df = pd.DataFrame({
+        "event_id": [0, 1], "user_id": [1, 1],
+        "ts": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 00:10"]),
+        "event_type": ["purchase", "purchase"], "v": [1.0, 2.0]})
+    ds = ray.data.from_pandas(df)
+    left = ds.filter(expr="event_type == 'purchase'")
+    right = ds.filter(expr="event_type == 'click'")  # EMPTY right side
+    out = asof_join_grouped(left, right, "user_id", "ts",
+                            "event_id", "event_id").to_pandas()
+    assert len(out) == 2 and out.matched_id.isna().all()
+
+    hw = hopping_window(ds, "user_id", "ts", "v",
+                        size_seconds=3600, hop_seconds=1800).to_pandas()
+    assert hw.cnt.sum() == 4  # 2 events × 2 windows
