@@ -235,15 +235,19 @@ def _auto_scale_dispatch(cfg: ValidationRunConfig, ctx: ValidationContext,
         except Exception:
             pass  # unreadable footer → schema gate reports it
     ctx.estimated_rows = est_rows
-    # scanner batch size: target ~256 MB of on-disk bytes per batch
-    # (tokens are ~incompressible, so decoded ≈ on-disk). The parquet
-    # scanner otherwise streams ~10k-row slices into the fused map →
-    # 20× more per-batch states funneling to the driver.
+    # scanner batch size: target ~5 MB of on-disk bytes per batch
+    # (parquet compresses the token payload ~2×, so ~10 MB decoded).
+    # Measured: big enough that per-batch states stop dominating the
+    # driver drain (the scanner's bare ~10k-row slices at tiny rows),
+    # and safely below a sharp cliff where the scan's multi-pass
+    # intermediates (several 8 B/token arrays × workers) blow past the
+    # cache/allocator budget — 24k-row × 480-tok batches ran 4× slower
+    # than 10k-row ones on this box.
     if est_rows:
         avg_row = max(1, est_bytes // est_rows)
         ctx.thresholds.setdefault(
             "scan_batch_rows",
-            int(min(1 << 20, max(1 << 14, (256 << 20) // avg_row))))
+            int(min(1 << 20, max(1 << 12, (5 << 20) // avg_row))))
     th = ctx.thresholds
     scan_max = int(th.get("auto_scan_max_rows", AUTO_SCAN_MAX_ROWS))
     if "uniqueness_strategy" not in th:
