@@ -93,3 +93,35 @@ def test_tdigest_quantiles_bounded_error(values, n_chunks):
         exact = np.quantile(v, q)
         span = max(hi - lo, 1e-9)
         assert abs(est - exact) <= 0.25 * span  # coarse bound, small n
+
+
+@given(st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=300),
+       st.integers(1, 6), st.randoms(use_true_random=False))
+@settings(**SETTINGS)
+def test_hll_merge_split_invariant(values, n_chunks, rnd):
+    from bigdime_ray.functions.hashing import mix64
+    from bigdime_ray.state.sketches import HyperLogLogState
+    h = mix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    whole = HyperLogLogState.from_hashes(h)
+    chunks = [c for c in np.array_split(h, n_chunks) if len(c)]
+    states = [HyperLogLogState.from_hashes(c) for c in chunks]
+    rnd.shuffle(states)
+    merged = merge_states(states)
+    assert np.array_equal(merged.registers, whole.registers)
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=400),
+       st.integers(1, 5), st.integers(8, 64))
+@settings(**SETTINGS)
+def test_misra_gries_guarantee_under_splits(keys, n_chunks, cap):
+    from bigdime_ray.state.sketches import MisraGriesState
+    k = np.asarray(keys, dtype=np.int64)
+    merged = merge_states([MisraGriesState.from_keys(c, cap)
+                           for c in np.array_split(k, n_chunks)
+                           if len(c)])
+    import collections
+    true = collections.Counter(keys)
+    bound = len(keys) / cap
+    for key, cnt in true.items():
+        if cnt > bound:
+            assert key in merged.keys, (key, cnt, bound)
