@@ -336,8 +336,15 @@ def _q_knn_ivf(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vec(ds)
     # persisted index (SURVEY 7.1 #3): built once per input, reused —
-    # search loads centroids (no refit) and reads only probed clusters
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # search loads centroids (no refit) and reads only probed clusters.
+    # Cache key fingerprints the source FILES (path, size, mtime), so
+    # regenerated data at the same path rebuilds instead of serving a
+    # stale index.
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(sf_dir, "embeddings.parquet")))
+    fp = ";".join(f"{f}:{os.path.getsize(f)}:{int(os.path.getmtime(f))}"
+                  for f in files)
+    tag = hashlib.sha1(fp.encode()).hexdigest()[:12]
     index_dir = f"/tmp/bigdime_ivf_{tag}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npz")):
         build_ivf_index(ds, index_dir, nlist=8, seed=11)
@@ -692,11 +699,11 @@ def _q_grouped_median(sf_dir: str):
         return pd.DataFrame({"source": [g["source"].iloc[0]],
                              "med": [int(np.floor(m * 10 + 0.5))]})
 
-    out = ds.groupby("source").map_groups(med, batch_format="pandas")
+    rows = (ds.groupby("source").map_groups(med, batch_format="pandas")
+            .take_all())  # ONE execution; both columns from the same rows
     return pa.table({
-        "source": pa.array([r["source"] for r in out.take_all()]),
-        "med": pa.array([r["med"] for r in out.take_all()],
-                        type=pa.int64())})
+        "source": pa.array([r["source"] for r in rows]),
+        "med": pa.array([r["med"] for r in rows], type=pa.int64())})
 
 
 def _q_revenue_by_region(sf_dir: str):
@@ -738,7 +745,14 @@ def _q_revenue_by_region(sf_dir: str):
     ok_sorted = ok[oorder]
     o_cust = orders["o_custkey"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)[oorder]
-    o_region = c_region[np.searchsorted(ck_sorted, o_cust)]
+    # membership-checked lookup (inner-join semantics on dirty inputs:
+    # an o_custkey missing from customer drops the order, never
+    # mis-attributes it to a neighboring customer's region)
+    cpos = np.minimum(np.searchsorted(ck_sorted, o_cust),
+                      len(ck_sorted) - 1)
+    chit = ck_sorted[cpos] == o_cust
+    ok_sorted, cpos = ok_sorted[chit], cpos[chit]
+    o_region = c_region[cpos]
     lut = _ray.put((ok_sorted, o_region, len(r_keys)))
 
     ds = _read(sf_dir, "lineitem",

@@ -268,6 +268,7 @@ def label_propagation_components(pairs, id_a: str = "id_a",
             "lbl": pc.min_element_wise(b["src"], b["lbl"])})),
             batch_format="pyarrow").materialize())
 
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(labels, join_type="inner",
                           num_partitions=num_partitions,
@@ -290,7 +291,14 @@ def label_propagation_components(pairs, id_a: str = "id_a",
             .filter(expr="lbl != lbl_old").count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # never return silently-split components: a diameter > max_iter
+        # chain would leave intermediate labels in place
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter")
     return labels.map_batches(
         guarded(pa.schema([("id", id_type), ("rep", id_type)]),
                 lambda b: pa.table({"id": b["id"], "rep": b["lbl"]})),

@@ -44,13 +44,26 @@ def heavy_hitters(ds: Dataset, key_col: str, threshold: int,
     Correctness: Misra-Gries never drops a key whose true count exceeds
     n/capacity, so with capacity ≥ n/threshold the candidate set is a
     superset of the answer; the exact recount removes false positives.
-    Returns (key_col, cnt), cnt exact.
+    The guarantee is ENFORCED, not assumed: the sketch tracks n, and if
+    the requested capacity turns out too small for this input the sketch
+    pass reruns once with capacity = 1.2·n/threshold (one extra read —
+    never a silently incomplete "exact" answer). Returns (key_col, cnt),
+    cnt exact.
     """
-    states = _states_from_blocks(
-        ds.select_columns([key_col]),
-        lambda b: MisraGriesState.from_keys(
-            b[key_col].to_numpy(zero_copy_only=False), capacity))
-    merged = merge_states(states)
+    keyed = ds.select_columns([key_col])
+    while True:
+        cap = capacity
+
+        def build(b: pa.Table) -> MisraGriesState:
+            return MisraGriesState.from_keys(
+                b[key_col].to_numpy(zero_copy_only=False), cap)
+
+        states = _states_from_blocks(keyed, build)
+        merged = merge_states(states)
+        needed = -(-merged.total // max(threshold, 1))  # ceil(n/T)
+        if capacity >= needed:
+            break
+        capacity = int(needed * 1.2) + 1
     cand = np.sort(merged.keys)
     if len(cand) == 0:
         return pa.table({key_col: pa.array([], type=pa.int64()),

@@ -176,7 +176,12 @@ class MediaResizer:
         offsets, data = _binary_buffers(batch["payload"])
         data = data.copy()
         kind = batch["kind"].to_numpy(zero_copy_only=False)
-        visual = kind != "audio"
+        # only rows that actually carry a full 16-byte header are
+        # patched — a truncated/corrupt payload must not let the write
+        # spill into the NEXT row's bytes (corrupt media is an expected
+        # input class; the feature extractor flags it decode_ok=False)
+        lengths = offsets[1:] - offsets[:-1]
+        visual = (kind != "audio") & (lengths >= 16)
         starts = offsets[:-1][visual]
         if len(starts):
             dims = np.asarray([self.w, self.h], dtype=np.int32) \

@@ -160,10 +160,11 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
         if len(lt) == 0:
             return pd.DataFrame({"k": [], "ts": [], left_id: [],
                                  out_col: []})
-        if len(rt) == 0:
-            # a key with no right-side rows: every left row unmatched
-            matched = np.full(len(lt), -1, dtype=np.int64)
-        else:
+        # no-match is represented directly as NaN (never a sentinel id —
+        # negative right-side ids are legal); float64 output caps exact
+        # ids at 2^53, documented limitation of the nullable encoding
+        matched = np.full(len(lt), np.nan, dtype=np.float64)
+        if len(rt):
             # dedupe right ts ties to max id: sort by (ts, id), keep the
             # LAST of each ts run — searchsorted lands on it
             ro = np.lexsort((rid, rt))
@@ -171,11 +172,10 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
             keep = np.r_[rt[1:] != rt[:-1], True]
             rt, rid = rt[keep], rid[keep]
             idx = np.searchsorted(rt, lt, side="right") - 1
-            matched = np.where(idx >= 0, rid[np.maximum(idx, 0)], -1)
-        out = pd.DataFrame({
+            hit = idx >= 0
+            matched[hit] = rid[idx[hit]].astype(np.float64)
+        return pd.DataFrame({
             "k": g["k"].to_numpy()[lmask], "ts": lt, left_id: lid,
-            out_col: matched.astype("float64")})
-        out.loc[out[out_col] < 0, out_col] = np.nan
-        return out
+            out_col: matched})
 
     return u.groupby("k").map_groups(join_group, batch_format="pandas")

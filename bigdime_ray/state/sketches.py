@@ -421,13 +421,14 @@ class MisraGriesState(PartialState):
     capacity: int = 1024
     keys: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     counts: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    total: int = 0  # rows ingested — lets callers CHECK the guarantee
 
     @staticmethod
     def from_keys(k: np.ndarray, capacity: int = 1024) -> "MisraGriesState":
         uniq, cts = np.unique(np.asarray(k, dtype=np.int64),
                               return_counts=True)
         st = MisraGriesState(capacity=capacity, keys=uniq,
-                             counts=cts.astype(np.int64))
+                             counts=cts.astype(np.int64), total=len(k))
         st._shrink()
         return st
 
@@ -448,14 +449,16 @@ class MisraGriesState(PartialState):
     @staticmethod
     def merge_many(states: list) -> "MisraGriesState":
         cap = max(s.capacity for s in states)
+        total = sum(s.total for s in states)
         allk = np.concatenate([s.keys for s in states])
         if len(allk) == 0:
-            return MisraGriesState(capacity=cap)
+            return MisraGriesState(capacity=cap, total=total)
         allc = np.concatenate([s.counts for s in states])
         order = np.argsort(allk, kind="stable")
         k, c = allk[order], allc[order]
         bounds = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
         st = MisraGriesState(capacity=cap, keys=k[bounds],
-                             counts=np.add.reduceat(c, bounds))
+                             counts=np.add.reduceat(c, bounds),
+                             total=total)
         st._shrink()
         return st

@@ -75,3 +75,30 @@ def test_approx_distinct_count(key_ds):
     ds, series = key_ds
     est = approx_distinct_count(ds, "k")
     assert abs(est - series.nunique()) / series.nunique() < 0.1
+
+
+def test_heavy_hitters_capacity_escalation():
+    """Review finding (r2): undersized capacity must auto-escalate, not
+    silently drop true heavy hitters."""
+    rng = np.random.default_rng(2)
+    # 3 true HH at threshold 30 among heavy tail noise
+    keys = np.concatenate([np.repeat([1, 2, 3], 40),
+                           rng.integers(100, 50_000, 20_000)])
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys,
+                                                     type=pa.int64())})) \
+        .repartition(5)
+    got = heavy_hitters(ds, "k", threshold=30, capacity=8) \
+        .to_pandas().sort_values("k")
+    expect = pd.Series(keys).value_counts()
+    expect = expect[expect >= 30].sort_index()
+    assert got.k.tolist() == expect.index.tolist()
+    assert got.cnt.tolist() == expect.tolist()
+
+
+def test_label_propagation_nonconvergence_raises():
+    import pytest as _pytest
+    from bigdime_ray.pipelines.dedup import label_propagation_components
+    chain = pd.DataFrame({"id_a": list(range(0, 6)),
+                          "id_b": list(range(1, 7))})
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_components(chain, max_iter=2).to_pandas()

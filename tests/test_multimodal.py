@@ -71,3 +71,31 @@ def test_frame_sample():
     assert len(out) == 3 * n_videos
     assert set(out.frame_index) == {0, 1, 2}
     assert (out.kind == "frame").all()
+
+
+def test_resize_tolerates_corrupt_payloads():
+    """Review finding (r2): the vectorized header patch must not spill
+    into the NEXT row when a payload is truncated."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.multimodal import (MEDIA_SCHEMA,
+                                                  encode_fake_media,
+                                                  resize_media)
+    good = encode_fake_media("m-ok", "image", 64, 64, 0, seed=1)
+    rows = [
+        {"media_id": "m-bad", "kind": "image", "payload": b"\x01\x02",
+         "width": 0, "height": 0, "sample_rate": 0},
+        {"media_id": "m-ok", "kind": "image", "payload": good,
+         "width": 64, "height": 64, "sample_rate": 0},
+    ]
+    tbl = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+    out = resize_media(ray.data.from_arrow(tbl), 128, 128,
+                       concurrency=None if False else 1).to_pandas()
+    out = out.set_index("media_id")
+    assert out.loc["m-bad", "payload"] == b"\x01\x02"  # untouched
+    ok = out.loc["m-ok", "payload"]
+    assert ok[:4] == b"FAKE"
+    w, h, _ = np.frombuffer(ok[4:16], dtype=np.int32)
+    assert (w, h) == (128, 128)
+    assert ok[16:] == good[16:]  # body preserved

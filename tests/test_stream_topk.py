@@ -153,3 +153,20 @@ def test_hopping_window_covers_tumbling():
         m = ((df.user_id == r.user_id) & (df.ts >= w0)
              & (df.ts < w0 + pd.Timedelta(hours=1)))
         assert df[m].v.sum() == r.total, (r.user_id, w0)
+
+
+def test_asof_join_negative_right_ids():
+    """Review finding (r2): negative right-side ids are legal and must
+    not be reported as unmatched."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from bigdime_ray.pipelines.stream import asof_join_grouped
+    left = ray.data.from_pandas(pd.DataFrame({
+        "u": [1], "ts": pd.to_datetime(["2026-01-01 01:00"]),
+        "eid": np.asarray([10], dtype=np.int64)}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "u": [1], "ts": pd.to_datetime(["2026-01-01 00:30"]),
+        "eid": np.asarray([-5], dtype=np.int64)}))
+    out = asof_join_grouped(left, right, "u", "ts", "eid", "eid").to_pandas()
+    assert out.matched_id.tolist() == [-5.0]

@@ -9,20 +9,8 @@ import numpy as np
 import pandas as pd
 import ray
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-if not ray.is_initialized():
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
-             ignore_reinit_error=True)
-
-import __ray_entry__ as E  # noqa: E402
-
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF}/{t}.parquet')")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -40,37 +28,54 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
-names = sys.argv[2:] or list(E.oracle_sql())
-qs, osql = E.queries(), E.oracle_sql()
-fails = []
-for name in names:
-    try:
-        res = qs[name](SF)
-        rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
-        odf = con.execute(osql[name]).fetchdf()
-        a, b = norm(rdf), norm(odf)
-        rows = len(a) == len(b)
-        schema = list(a.columns) == list(b.columns)
-        dt = {c: (str(a[c].dtype), str(b[c].dtype)) for c in a.columns
-              if str(a[c].dtype) != str(b[c].dtype)} if schema else {}
-        hm = rows and schema and not dt and value_hash(a) == value_hash(b)
-        status = "OK  " if hm else "FAIL"
-        print(f"{status} {name}: rows={len(a)}/{len(b)} schema={schema} "
-              f"dtype_mismatch={dt} hash={hm}")
-        if not hm:
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not ray.is_initialized():
+        # script entry point only — importable code never calls ray.init
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True)
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    global SF
+    SF = sf
+    names = sys.argv[2:] or list(E.oracle_sql())
+    qs, osql = E.queries(), E.oracle_sql()
+    fails = []
+    for name in names:
+        try:
+            res = qs[name](SF)
+            rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
+            odf = con.execute(osql[name]).fetchdf()
+            a, b = norm(rdf), norm(odf)
+            rows = len(a) == len(b)
+            schema = list(a.columns) == list(b.columns)
+            dt = {c: (str(a[c].dtype), str(b[c].dtype)) for c in a.columns
+                  if str(a[c].dtype) != str(b[c].dtype)} if schema else {}
+            hm = rows and schema and not dt and value_hash(a) == value_hash(b)
+            status = "OK  " if hm else "FAIL"
+            print(f"{status} {name}: rows={len(a)}/{len(b)} schema={schema} "
+                  f"dtype_mismatch={dt} hash={hm}")
+            if not hm:
+                fails.append(name)
+                if rows and schema and not dt:
+                    for c in a.columns:
+                        neq = (a[c].to_numpy() != b[c].to_numpy())
+                        if neq.any():
+                            i = int(np.nonzero(neq)[0][0])
+                            print(f"     first diff col={c} row={i}: "
+                                  f"{a[c].iloc[i]!r} vs {b[c].iloc[i]!r} "
+                                  f"({int(neq.sum())} rows differ)")
+        except Exception as e:  # noqa: BLE001
             fails.append(name)
-            if rows and schema and not dt:
-                for c in a.columns:
-                    neq = (a[c].to_numpy() != b[c].to_numpy())
-                    if neq.any():
-                        i = int(np.nonzero(neq)[0][0])
-                        print(f"     first diff col={c} row={i}: "
-                              f"{a[c].iloc[i]!r} vs {b[c].iloc[i]!r} "
-                              f"({int(neq.sum())} rows differ)")
-    except Exception as e:  # noqa: BLE001
-        fails.append(name)
-        print(f"ERR  {name}: {type(e).__name__}: {e}")
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
 
-print(f"\n{len(names) - len(fails)}/{len(names)} green; fails: {fails}")
-ray.shutdown()
-sys.exit(1 if fails else 0)
+    print(f"\n{len(names) - len(fails)}/{len(names)} green; fails: {fails}")
+    ray.shutdown()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
