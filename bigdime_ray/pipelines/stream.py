@@ -50,24 +50,8 @@ def tumbling_window(ds: Dataset, key: str, ts_col: str, value_col: str,
 
 
 def _bucketed(ds: Dataset, key: str, num_buckets: int) -> Dataset:
-    """Append a hash-bucket column over ``key`` — groups become
-    ``num_buckets`` vectorizable chunks instead of one pandas group per
-    key (~0.2 ms overhead each)."""
-    from bigdime_ray.functions.hashing import hash_string_column, mix64
-
-    def add(b: pa.Table) -> pa.Table:
-        kcol = b[key]
-        if pa.types.is_integer(kcol.type):
-            kh = mix64(kcol.to_numpy(zero_copy_only=False)
-                       .astype(np.int64).view(np.uint64))
-        else:
-            kh = hash_string_column(kcol)
-        return b.append_column(
-            "__bucket", pa.array((kh % np.uint64(num_buckets))
-                                 .astype(np.int32)))
-
-    return ds.map_batches(add, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return add_hash_bucket(ds, key, num_buckets)
 
 
 def _segment_starts(k: np.ndarray) -> np.ndarray:

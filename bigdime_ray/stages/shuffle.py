@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from bigdime_ray.functions.hashing import hash_string_column
+from bigdime_ray.functions.hashing import hash_string_column, mix64
 
 
 def find_duplicate_hashes(ds: Dataset, hash_batch, num_buckets: int = 1
@@ -303,6 +303,27 @@ def ensure_schema(schema: pa.Schema):
             return schema.empty_table()
         return b.select(schema.names)
     return fn
+
+
+def add_hash_bucket(ds: Dataset, key: str, num_buckets: int = 64,
+                    col: str = "__bucket") -> Dataset:
+    """Append a hash-bucket column over ``key`` — a groupby over the
+    bucket gives ``num_buckets`` vectorizable chunks that each hold
+    COMPLETE key groups, instead of one pandas group per key (~0.2 ms
+    fixed overhead each — the dominant cost at 10⁵+ groups)."""
+
+    def add(b: pa.Table) -> pa.Table:
+        kcol = b[key]
+        if pa.types.is_integer(kcol.type):
+            kh = mix64(kcol.to_numpy(zero_copy_only=False)
+                       .astype(np.int64).view(np.uint64))
+        else:
+            kh = hash_string_column(kcol)
+        return b.append_column(
+            col, pa.array((kh % np.uint64(num_buckets)).astype(np.int32)))
+
+    return ds.map_batches(add, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def drop_empty_blocks(ds: Dataset) -> Dataset:

@@ -38,19 +38,29 @@ def _topk_table(tbl: pa.Table, group_cols: list[str], sort_cols: list[str],
 
 
 def grouped_topk(ds: Dataset, group_cols: list[str], sort_cols: list[str],
-                 k: int) -> Dataset:
-    """Deterministic first-k rows per group ordered by ``sort_cols``."""
+                 k: int, num_buckets: int = 64) -> Dataset:
+    """Deterministic first-k rows per group ordered by ``sort_cols``.
+
+    Final merge runs per hash BUCKET of the leading group column (a
+    bucket holds complete groups since all of a group's rows share it),
+    re-applying the same vectorized Arrow sort + rank kernel — not one
+    pandas group per group key (0.2 ms × 10⁵ groups dominated the op)."""
 
     def prune(batch: pa.Table) -> pa.Table:
         return _topk_table(batch, group_cols, sort_cols, k)
 
     pruned = ds.map_batches(prune, batch_format="pyarrow",
                             zero_copy_batch=True)
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    bucketed = add_hash_bucket(pruned, group_cols[0], num_buckets)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(group_cols + sort_cols).head(k)
+        tbl = pa.Table.from_pandas(df.drop(columns=["__bucket"]),
+                                   preserve_index=False)
+        return _topk_table(tbl, group_cols, sort_cols, k).to_pandas()
 
-    return pruned.groupby(group_cols).map_groups(final, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(final,
+                                                   batch_format="pandas")
 
 
 def cap_violations(violations: pa.Table, k: int) -> pa.Table:
