@@ -394,6 +394,22 @@ def _q_curated_documents(sf_dir: str):
         lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow")
 
 
+def _q_document_frequency(sf_dir: str):
+    """Per-word document frequency (vocab/stopword statistic): exact,
+    block-partials summed over one small (word, cnt) shuffle."""
+    from bigdime_ray.pipelines.text import document_frequency
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return document_frequency(ds, min_df=5)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (first-fit-decreasing per block; rows-only —
+    the assignment is algorithmic, invariants pinned in tests)."""
+    from bigdime_ray.pipelines.pack import pack_sequences
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pack_sequences(ds, max_len=2000, len_col="n_chars")
+
+
 def _q_text_analysis(sf_dir: str):
     """Language-ID + quality scoring (heuristic — rows-only check)."""
     from bigdime_ray.pipelines.text import analyze_text
@@ -810,6 +826,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "curated_documents": _q_curated_documents,
+        "document_frequency": _q_document_frequency,
+        "pack_sequences": _q_pack_sequences,
         "text_analysis": _q_text_analysis,
         "events_hourly_window": _q_events_hourly,
         "pricing_summary": _q_pricing_summary,
@@ -895,6 +913,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE length(text) BETWEEN 50 AND 100000 AND doc_id IN ("
             "SELECT MIN(doc_id) FROM documents "
             "WHERE length(text) BETWEEN 50 AND 100000 GROUP BY text)",
+        "document_frequency":
+            "SELECT w AS word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM (SELECT doc_id, unnest(string_split_regex("
+            "lower(text), '\\s+')) AS w FROM documents) "
+            "WHERE w <> '' GROUP BY w "
+            "HAVING COUNT(DISTINCT doc_id) >= 5",
         "events_hourly_window":
             "SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt, "
             "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) "

@@ -56,6 +56,57 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp))
 
 
+def document_frequency(ds, text_col: str = "text", min_df: int = 1,
+                       lowercase: bool = True):
+    """Per-word document frequency over a documents table — the vocab /
+    stopword-discovery statistic: df(w) = number of documents containing
+    w at least once.
+
+    Each block contributes ONE partial per word: the count of its docs
+    containing the word (each doc lives in exactly one block, so the
+    per-block partials SUM to the exact global df). Block-local work is
+    vectorized Arrow (split → flatten → per-(doc,word) dedupe via one
+    lexsort); the final aggregate is a small shuffle over (word, cnt)
+    partials. Returns a Dataset (word, df) with df ≥ ``min_df``.
+    """
+    import pyarrow.types  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if lowercase:
+            text = pc.utf8_lower(text)
+        words = pc.split_pattern_regex(text, r"\s+")
+        n_words = (pc.fill_null(pc.list_value_length(words), 0)
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                            n_words)
+        wh = hash_string_column(flat).view(np.int64)
+        # distinct (doc, word) pairs via one lexsort over the block
+        order = np.lexsort((wh, doc_idx))
+        d, w = doc_idx[order], wh[order]
+        first = np.r_[True, (d[1:] != d[:-1]) | (w[1:] != w[:-1])]
+        keep_idx = order[first]
+        # empty-string tokens from leading/trailing whitespace are noise
+        nonempty = (pc.utf8_length(flat)
+                    .to_numpy(zero_copy_only=False)[keep_idx] > 0)
+        keep_idx = keep_idx[nonempty]
+        uniq_words = flat.take(pa.array(keep_idx))
+        g = (pa.table({"word": uniq_words})
+             .group_by(["word"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["word", "cnt"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("word").aggregate(Sum("cnt", alias_name="df")))
+    if min_df > 1:
+        out = out.filter(expr=f"df >= {min_df}")
+    return out
+
+
 class TextAnalyzer:
     """Actor-pool stage: language-ID + quality score per batch.
 
