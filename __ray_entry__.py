@@ -394,6 +394,18 @@ def _q_curated_documents(sf_dir: str):
         lambda b: b.select(["doc_id", "n_chars"]), batch_format="pyarrow")
 
 
+def _q_document_fingerprints(sf_dir: str):
+    """Rolling-hash (winnowing) document fingerprints — rows-only
+    (position-robust substring fingerprints; properties pinned in
+    tests/test_text.py)."""
+    from bigdime_ray.pipelines.text import add_rolling_fingerprints
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_rolling_fingerprints(ds)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_fingerprints"]),
+        batch_format="pyarrow")
+
+
 def _q_document_frequency(sf_dir: str):
     """Per-word document frequency (vocab/stopword statistic): exact,
     block-partials summed over one small (word, cnt) shuffle."""
@@ -827,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": _q_token_count_bpe,
         "curated_documents": _q_curated_documents,
         "document_frequency": _q_document_frequency,
+        "document_fingerprints": _q_document_fingerprints,
         "pack_sequences": _q_pack_sequences,
         "text_analysis": _q_text_analysis,
         "events_hourly_window": _q_events_hourly,

@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from bigdime_ray.functions.hashing import hash_string_column, u64_to_i64
+from bigdime_ray.functions.hashing import (hash_string_column, mix64,
+                                           u64_to_i64)
 
 # whitespace tokenization — SQL parity:
 #   array_length(string_split_regex(trim(text), '\s+'))
@@ -54,6 +55,118 @@ def add_fingerprint(batch: pa.Table, col: str = "text") -> pa.Table:
     norm = pc.replace_substring_regex(pc.utf8_lower(batch[col]), r"\s+", " ")
     fp = u64_to_i64(hash_string_column(norm))
     return batch.append_column("fingerprint", pa.array(fp))
+
+
+_RB = np.uint64(1099511628211)  # odd → invertible mod 2^64
+_RB_INV = np.uint64(pow(int(_RB), -1, 1 << 64))
+
+
+def rolling_hashes(text: pa.Array | pa.ChunkedArray, k: int = 16
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """All char-``k``-gram polynomial rolling hashes of every row,
+    computed in ONE vectorized pass over the column's flat UTF-8 buffer.
+
+    H(i) = Σ_j byte[i+j]·B^(k-1-j)  (mod 2^64), realized through prefix
+    sums of byte[j]·B^(−j) so each window hash is a subtraction + two
+    multiplies — no per-row or per-window Python. Returns (flat hashes,
+    row offsets into them); rows shorter than k contribute one
+    whole-row hash."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    bufs = text.buffers()
+    str_off = np.frombuffer(bufs[1], dtype=np.int32)[
+        text.offset:text.offset + len(text) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    n_rows = len(text)
+    total = int(str_off[-1] - str_off[0])
+    b = data[str_off[0]:str_off[-1]].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        inv_pows = np.empty(total + 1, dtype=np.uint64)
+        inv_pows[0] = np.uint64(1)
+        np.cumprod(np.full(total, _RB_INV, dtype=np.uint64),
+                   out=inv_pows[1:])
+        pows = np.empty(total + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        np.cumprod(np.full(total, _RB, dtype=np.uint64), out=pows[1:])
+        prefix = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(b * inv_pows[:total], out=prefix[1:])
+        # H(i) = (prefix[i+k] - prefix[i]) · B^i · B^(k-1)
+        row_len = str_off[1:] - str_off[:-1]
+        counts = np.maximum(row_len - k + 1, 1)
+        out_off = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=out_off[1:])
+        base = str_off[:-1] - str_off[0]
+        pos_in_row = (np.arange(int(out_off[-1]), dtype=np.int64)
+                      - np.repeat(out_off[:-1], counts))
+        i = np.repeat(base, counts) + pos_in_row
+        klen = np.minimum(np.repeat(row_len, counts), k)
+        h = ((prefix[i + klen] - prefix[i]) * pows[i]
+             * pows[np.maximum(klen - 1, 0)])
+        h = mix64(h)
+    return h, out_off
+
+
+def winnow_fingerprints(text: pa.Array | pa.ChunkedArray, k: int = 16,
+                        window: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing (Schleimer et al., MOSS): per row, keep the MINIMUM
+    rolling hash of every ``window`` consecutive k-gram hashes — a
+    position-robust fingerprint set whose overlap detects shared
+    substrings ≥ k+window−1 chars. Returns (per-row sorted unique
+    fingerprints flat, row offsets). Fully vectorized: ONE global
+    sliding-window minimum over the flat hash array with row-boundary
+    masking, plus a reduceat row-min fallback for rows with fewer than
+    ``window`` hashes; per-row dedupe is one lexsort."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    h, off = rolling_hashes(text, k)
+    n_rows = len(off) - 1
+    if len(h) == 0 or n_rows == 0:
+        return h, off * 0
+    if len(h) >= window:
+        sw = sliding_window_view(h, window).min(axis=1)
+        i = np.arange(len(sw), dtype=np.int64)
+        row = np.searchsorted(off, i, side="right") - 1
+        valid = (i + window) <= off[row + 1]
+        vrow, vh = row[valid], sw[valid]
+    else:
+        vrow = np.empty(0, dtype=np.int64)
+        vh = np.empty(0, dtype=np.uint64)
+    # rows too short for any full window: whole-row minimum (offsets are
+    # strictly increasing — every row has ≥1 hash — so reduceat is safe)
+    nh = off[1:] - off[:-1]
+    small = np.nonzero(nh < window)[0]
+    if len(small):
+        row_mins = np.minimum.reduceat(h, off[:-1])
+        vrow = np.concatenate([vrow, small])
+        vh = np.concatenate([vh, row_mins[small]])
+    order = np.lexsort((vh, vrow))
+    r, v = vrow[order], vh[order]
+    first = np.r_[True, (r[1:] != r[:-1]) | (v[1:] != v[:-1])]
+    r, v = r[first], v[first]
+    out_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(r, minlength=n_rows), out=out_off[1:])
+    return v, out_off
+
+
+def add_rolling_fingerprints(ds, text_col: str = "text", k: int = 16,
+                             window: int = 8):
+    """Dataset stage: append per-document winnowing fingerprints
+    (``fingerprints`` list<int64>, ``n_fingerprints``) — the
+    rolling-hash document fingerprint for copy/overlap detection."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, off = winnow_fingerprints(batch[text_col], k, window)
+        arr = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()),
+            pa.array(flat.view(np.int64)))
+        batch = batch.append_column("fingerprints", arr)
+        return batch.append_column(
+            "n_fingerprints",
+            pa.array((off[1:] - off[:-1]).astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def document_frequency(ds, text_col: str = "text", min_df: int = 1,

@@ -88,3 +88,61 @@ def test_stratified_sample_deterministic():
     assert out1.doc_id.tolist() == expect.tolist()
     share_a = (out1.source == "a").mean()
     assert share_a > 0.7  # a sampled 5x more than b
+
+
+def test_rolling_hash_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    from bigdime_ray.functions.hashing import mix64
+    from bigdime_ray.pipelines.text import rolling_hashes
+
+    def brute(s, k):
+        B = 1099511628211
+        bs = s.encode()
+        rng = [(0, len(bs))] if len(bs) < k \
+            else [(i, i + k) for i in range(len(bs) - k + 1)]
+        out = []
+        for i, j in rng:
+            h = 0
+            for c in bs[i:j]:
+                h = (h * B + c) % (1 << 64)
+            out.append(h)
+        return out
+
+    texts = ["hello world this is a doc", "short", "",
+             "日本語テキストのテスト入り"]
+    h, off = rolling_hashes(pa.array(texts), k=8)
+    for r, t in enumerate(texts):
+        if not t:
+            continue
+        exp = np.array([int(mix64(np.asarray([x], dtype=np.uint64))[0])
+                        for x in brute(t, 8)], dtype=np.uint64)
+        assert np.array_equal(h[off[r]:off[r + 1]], exp), r
+
+
+def test_winnow_fingerprints_shift_invariant():
+    import pyarrow as pa
+    from bigdime_ray.pipelines.text import winnow_fingerprints
+    a = ("the quick brown fox jumps over the lazy dog "
+         "in the warm summer sun")
+    shifted = "PREFIX " + a + " SUFFIX"
+    other = "completely different words entirely"
+    f, fo = winnow_fingerprints(pa.array([a, shifted, other]),
+                                k=8, window=4)
+    fa = set(f[fo[0]:fo[1]].tolist())
+    fb = set(f[fo[1]:fo[2]].tolist())
+    fc = set(f[fo[2]:fo[3]].tolist())
+    assert len(fa & fb) / len(fa) > 0.6  # shared substring survives shift
+    assert not (fa & fc)
+
+
+def test_add_rolling_fingerprints_stage():
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import add_rolling_fingerprints
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h i j k l m n", "zz"])}))
+    out = add_rolling_fingerprints(ds).to_pandas()
+    assert (out.n_fingerprints >= 1).all()
+    assert len(out.fingerprints.iloc[0]) == out.n_fingerprints.iloc[0]
