@@ -759,14 +759,15 @@ def _q_revenue_by_region(sf_dir: str):
         nation["n_regionkey"].to_numpy()
     r_keys = region["r_regionkey"].to_numpy()
     r_names = region["r_name"].to_pylist()
-    r_index = {int(k): i for i, k in enumerate(r_keys)}
+    # dense r_regionkey -> region index (region keys are tiny ints)
+    r_index_dense = np.zeros(int(r_keys.max()) + 1, dtype=np.int64)
+    r_index_dense[r_keys] = np.arange(len(r_keys), dtype=np.int64)
     ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     corder = np.argsort(ck, kind="stable")
     ck_sorted = ck[corder]
-    c_region = np.asarray(
-        [r_index[int(r)] for r in
-         n_reg[cust["c_nationkey"].to_numpy(zero_copy_only=False)
-               .astype(np.int64)[corder]]], dtype=np.int64)
+    c_region = r_index_dense[
+        n_reg[cust["c_nationkey"].to_numpy(zero_copy_only=False)
+              .astype(np.int64)[corder]]]
     ok = orders["o_orderkey"].to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     oorder = np.argsort(ok, kind="stable")

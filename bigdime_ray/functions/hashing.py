@@ -158,6 +158,19 @@ def merge_checksums(a: int, b: int) -> int:
     return (a + b) & 0xFFFFFFFFFFFFFFFF
 
 
+def column_hashes(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """uint64 per-row hash of an Arrow key column of any type —
+    integers via mix64, everything else via the string SipHash. The
+    shared kernel behind hash-bucketing (stages.shuffle.add_hash_bucket),
+    as-of join tagging and pack-id fingerprints."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return mix64(col.to_numpy(zero_copy_only=False)
+                     .astype(np.int64).view(np.uint64))
+    return hash_string_column(col)
+
+
 def u64_to_i64(x: int | np.ndarray):
     """Reinterpret uint64 bits as int64 (for Arrow/parquet storage)."""
     if isinstance(x, np.ndarray):

@@ -233,10 +233,8 @@ def label_propagation_components(pairs, id_a: str = "id_a",
     from bigdime_ray.stages.shuffle import drop_empty_blocks, ensure_schema
 
     if num_partitions is None:
-        import ray as _ray
-        num_partitions = max(2, min(16,
-                                    int(_ray.cluster_resources()
-                                        .get("CPU", 4))))
+        from bigdime_ray.stages.shuffle import default_join_partitions
+        num_partitions = default_join_partitions()
     if isinstance(pairs, pd.DataFrame):
         pairs = rd.from_pandas(pairs[[id_a, id_b]].reset_index(drop=True))
 
@@ -406,8 +404,8 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
     pair_rows = pair_ds.to_pandas()
     capped_buckets = int(pair_rows["capped"].sum())
     cand = pair_rows[["id_a", "id_b"]].drop_duplicates()
-    cand_ids = sorted(set(cand.id_a) | set(cand.id_b))
-    id_set = pa.array(cand_ids)
+    id_set = pa.array(np.unique(np.concatenate(
+        [cand.id_a.to_numpy(), cand.id_b.to_numpy()])))
 
     def sigs_for_candidates(batch: pa.Table) -> pa.Table:
         hit = batch.filter(pc.is_in(batch[id_col], value_set=id_set))
@@ -440,17 +438,15 @@ def _verify_sig_pairs(num_perm: int, threshold: float):
     """map_batches fn: estimated Jaccard from attached sig_a/sig_b."""
     def fn(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        if n == 0 or batch.num_columns == 0:
-            # schema-less empty shuffle blocks: pin the id type to int64
-            # (callers re-normalize with ensure_schema)
-            t = (batch["id_a"].type if "id_a" in batch.column_names
-                 else pa.int64())
-            return pa.table({"id_a": pa.array([], type=t),
-                             "id_b": pa.array([], type=t),
-                             "similarity": pa.array([], type=pa.float64())})
-        empty = pa.table({"id_a": pa.array([], type=batch["id_a"].type),
-                          "id_b": pa.array([], type=batch["id_b"].type),
+        # schema-less empty shuffle blocks: pin the id type to int64
+        # (callers re-normalize with ensure_schema)
+        t = (batch["id_a"].type if "id_a" in batch.column_names
+             else pa.int64())
+        empty = pa.table({"id_a": pa.array([], type=t),
+                          "id_b": pa.array([], type=t),
                           "similarity": pa.array([], type=pa.float64())})
+        if n == 0 or batch.num_columns == 0:
+            return empty
         sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
                            dtype=np.uint64).reshape(n, num_perm)
         sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
@@ -490,8 +486,8 @@ def _minhash_distributed(ds: Dataset, pair_ds: Dataset, all_sigs,
             return pa.table({"__id": b[id_col], col: b["sig"]})
         return fn
 
-    import ray as _ray
-    nparts = max(2, min(16, int(_ray.cluster_resources().get("CPU", 4))))
+    from bigdime_ray.stages.shuffle import default_join_partitions
+    nparts = default_join_partitions()
     # materialize + drop empties BETWEEN the two joins: chaining two
     # hash-shuffle joins in one streaming graph deadlocks on small CPU
     # counts, and join outputs can carry schemaless empty blocks that

@@ -16,11 +16,10 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from bigdime_ray.functions.hashing import mix64
+from bigdime_ray.functions.hashing import column_hashes, mix64
 
 
 def pack_block(lengths: np.ndarray, max_len: int
@@ -66,7 +65,7 @@ def pack_sequences(ds: Dataset, max_len: int, len_col: str = "n_tok",
         lengths = batch[len_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         local, offset = pack_block(np.minimum(lengths, max_len), max_len)
-        idh = np.sort(_id_hashes(batch[id_col]))
+        idh = np.sort(column_hashes(batch[id_col]))
         with np.errstate(over="ignore"):
             block_tag = np.int64(int(mix64(
                 np.asarray([idh.sum()], dtype=np.uint64))[0]
@@ -80,13 +79,6 @@ def pack_sequences(ds: Dataset, max_len: int, len_col: str = "n_tok",
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
 
-
-def _id_hashes(col) -> np.ndarray:
-    from bigdime_ray.functions.hashing import hash_string_column
-    if pa.types.is_integer(col.type):
-        return mix64(col.to_numpy(zero_copy_only=False)
-                     .astype(np.int64).view(np.uint64))
-    return hash_string_column(col)
 
 
 def packing_stats(packed: Dataset, max_len: int,

@@ -49,11 +49,6 @@ def tumbling_window(ds: Dataset, key: str, ts_col: str, value_col: str,
                        Sum(value_col, alias_name="total")))
 
 
-def _bucketed(ds: Dataset, key: str, num_buckets: int) -> Dataset:
-    from bigdime_ray.stages.shuffle import add_hash_bucket
-    return add_hash_bucket(ds, key, num_buckets)
-
-
 def _segment_starts(k: np.ndarray) -> np.ndarray:
     return np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
 
@@ -82,7 +77,8 @@ def running_aggregate(ds: Dataset, key: str, ts_col: str, value_col: str,
         g["running_total"] = cs - offset
         return g
 
-    return (_bucketed(ds, key, num_buckets).groupby("__bucket")
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
@@ -126,7 +122,8 @@ def session_windows(ds: Dataset, key: str, ts_col: str,
             out["value_total"] = np.add.reduceat(v, starts)
         return pd.DataFrame(out)
 
-    return (_bucketed(ds, key, num_buckets).groupby("__bucket")
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
@@ -183,16 +180,12 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
     (positions are monotone, so any in-key candidate would have won the
     cummax) → null. No-match is NaN directly (negative ids are legal;
     float64 caps exact ids at 2^53 — documented)."""
-    from bigdime_ray.functions.hashing import hash_string_column, mix64
+    from bigdime_ray.functions.hashing import column_hashes
 
     def tag(id_col: str, side: int):
         def fn(b: pa.Table) -> pa.Table:
             kcol = b[key]
-            if pa.types.is_integer(kcol.type):
-                kh = mix64(kcol.to_numpy(zero_copy_only=False)
-                           .astype(np.int64).view(np.uint64))
-            else:
-                kh = hash_string_column(kcol)
+            kh = column_hashes(kcol)
             return pa.table({
                 "bucket": pa.array((kh % np.uint64(num_buckets))
                                    .astype(np.int32)),

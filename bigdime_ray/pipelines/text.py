@@ -182,7 +182,6 @@ def document_frequency(ds, text_col: str = "text", min_df: int = 1,
     lexsort); the final aggregate is a small shuffle over (word, cnt)
     partials. Returns a Dataset (word, df) with df ≥ ``min_df``.
     """
-    import pyarrow.types  # noqa: F401
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -311,19 +311,22 @@ def add_hash_bucket(ds: Dataset, key: str, num_buckets: int = 64,
     bucket gives ``num_buckets`` vectorizable chunks that each hold
     COMPLETE key groups, instead of one pandas group per key (~0.2 ms
     fixed overhead each — the dominant cost at 10⁵+ groups)."""
+    from bigdime_ray.functions.hashing import column_hashes
 
     def add(b: pa.Table) -> pa.Table:
-        kcol = b[key]
-        if pa.types.is_integer(kcol.type):
-            kh = mix64(kcol.to_numpy(zero_copy_only=False)
-                       .astype(np.int64).view(np.uint64))
-        else:
-            kh = hash_string_column(kcol)
+        kh = column_hashes(b[key])
         return b.append_column(
             col, pa.array((kh % np.uint64(num_buckets)).astype(np.int32)))
 
     return ds.map_batches(add, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def default_join_partitions(cap: int = 16) -> int:
+    """Partition count for Dataset.join sized to the cluster (capped —
+    oversized hash-join pools deadlock small CPU counts)."""
+    import ray as _ray
+    return max(2, min(cap, int(_ray.cluster_resources().get("CPU", 4))))
 
 
 def drop_empty_blocks(ds: Dataset) -> Dataset:
