@@ -444,6 +444,9 @@ def _q_events_hourly(sf_dir: str):
     def extract(batch: pa.Table):
         t = (batch["ts"].to_numpy(zero_copy_only=False)
              .astype("datetime64[us]").view(np.int64))
+        if len(t) and t.min() < 0:
+            # pre-epoch hours would make the packed key ambiguous
+            raise ValueError("events_hourly packing assumes ts >= 1970")
         uid = batch["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         keys = uid * SHIFT + t // US_PER_H

@@ -170,3 +170,41 @@ def test_asof_join_negative_right_ids():
         "eid": np.asarray([-5], dtype=np.int64)}))
     out = asof_join_grouped(left, right, "u", "ts", "eid", "eid").to_pandas()
     assert out.matched_id.tolist() == [-5.0]
+
+
+def test_asof_join_randomized_vs_duckdb():
+    """Randomized inputs (several seeds, ts collisions forced) vs the
+    DuckDB ASOF JOIN oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from bigdime_ray.pipelines.stream import asof_join_grouped
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 250
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 4, n),
+            # coarse second grid → plenty of exact-ts ties
+            "ts": pd.to_datetime("2026-03-01")
+            + pd.to_timedelta(rng.integers(0, 120, n), unit="s"),
+            "event_type": rng.choice(["l", "r"], n)})
+        ds = ray.data.from_pandas(df).repartition(3)
+        out = (asof_join_grouped(ds.filter(expr="event_type == 'l'"),
+                                 ds.filter(expr="event_type == 'r'"),
+                                 "user_id", "ts", "event_id", "event_id")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type='l'), "
+            "c AS (SELECT user_id, ts, MAX(event_id) AS cid FROM events "
+            "WHERE event_type='r' GROUP BY user_id, ts) "
+            "SELECT p.event_id, CAST(c.cid AS DOUBLE) AS m "
+            "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id "
+            "AND p.ts >= c.ts ORDER BY p.event_id").fetchdf()
+        a = out.matched_id.to_numpy()
+        b = exp.m.to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), seed
