@@ -696,27 +696,35 @@ def _q_stratified_sample(sf_dir: str):
 
 
 def _q_hopping_window(sf_dir: str):
-    """Overlapping 1h windows hopping every 30 min (size/hop = 2 rows
-    per event through the exchange)."""
-    from bigdime_ray.pipelines.stream import hopping_window
+    """Overlapping 1h windows hopping every 30 min — each event lands in
+    size/hop = 2 windows; the (user, window) aggregate goes through the
+    packed-cell sum exchange like events_hourly (the library's general
+    ``hopping_window`` demonstrates the groupby form)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    HOP_US = 1_800_000_000
+    SHIFT = np.int64(1) << np.int64(25)  # half-hour index < 2^25
 
-    def scale(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "user_id": b["user_id"], "ts": b["ts"],
-            "value_s": _scaled_i64(
-                b["value"].to_numpy(zero_copy_only=False), 10_000)})
+    def extract(batch: pa.Table):
+        t = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        widx = t // HOP_US
+        val_s = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                         * 10_000 + 0.5).astype(np.int64)
+        # window starts at widx and widx-1 (size = 2 hops)
+        keys = np.concatenate([uid * SHIFT + widx,
+                               uid * SHIFT + widx - 1])
+        v2 = np.concatenate([val_s, val_s])
+        return keys, [np.ones(len(keys), dtype=np.int64), v2]
 
-    ds = ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
-    out = hopping_window(ds, "user_id", "ts", "value_s",
-                         size_seconds=3600, hop_seconds=1800)
-
-    def unit_us(b: pa.Table) -> pa.Table:
-        i = b.schema.get_field_index("window_start")
-        return b.set_column(i, "window_start",
-                            pc.cast(b["window_start"], pa.timestamp("us")))
-
-    return out.map_batches(unit_us, batch_format="pyarrow")
+    keys, (cnt, total) = grouped_int_sums_exchange(ds, extract, 2)
+    win = ((keys % SHIFT) * HOP_US).astype("datetime64[us]")
+    return pa.table({
+        "user_id": pa.array(keys // SHIFT),
+        "window_start": pa.array(win, type=pa.timestamp("us")),
+        "cnt": pa.array(cnt), "total": pa.array(total)})
 
 
 def _q_grouped_median(sf_dir: str):

@@ -371,19 +371,35 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
     band_rows = ds.map_batches(to_bands, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "capped": []})
-        ids = sorted(g[id_col].unique())
-        capped = len(ids) > bucket_cap
-        ids = ids[:bucket_cap]
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        # flag only the FIRST pair of a capped bucket → sum == #buckets
-        flags = [1 if capped else 0] + [0] * (len(a) - 1)
-        return pd.DataFrame({"id_a": a, "id_b": b, "capped": flags})
+    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized singleton-bucket elimination FIRST (the vast
+        # majority of (band, bh) buckets hold one id — looping Ray or
+        # pandas groups over all of them cost ~30 s at 5k docs); the
+        # pair loop then only visits genuine collision buckets
+        df = df.drop(columns=["__bucket"])
+        sizes = df.groupby(["band", "bh"], sort=False)["bh"] \
+            .transform("size")
+        df = df[sizes >= 2]
+        out_a, out_b, out_f = [], [], []
+        for _, g in df.groupby(["band", "bh"], sort=False):
+            ids = sorted(g[id_col].unique())
+            if len(ids) < 2:
+                continue
+            capped = len(ids) > bucket_cap
+            ids = ids[:bucket_cap]
+            a, b = zip(*[(x, y) for i, x in enumerate(ids)
+                         for y in ids[i + 1:]])
+            out_a.extend(a)
+            out_b.extend(b)
+            # flag only the FIRST pair of a capped bucket → sum == #buckets
+            out_f.extend([1 if capped else 0] + [0] * (len(a) - 1))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "capped": out_f})
 
-    pair_ds = (band_rows.groupby(["band", "bh"])
-               .map_groups(bucket_pairs, batch_format="pandas").materialize())
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    pair_ds = (add_hash_bucket(band_rows, "bh", 32)
+               .groupby("__bucket")
+               .map_groups(chunk_pairs, batch_format="pandas").materialize())
     n_pair_rows = pair_ds.count()
     if n_pair_rows == 0:
         return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
@@ -608,9 +624,23 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
                                 "similarity": [-1.0], "capped": [1]})
         return out
 
+    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized singleton elimination before the per-bucket loop
+        # (same fix as minhash: looping all 4×2¹⁶ LSH buckets is the
+        # dominant cost; only collision buckets need the pair kernel)
+        sizes = df.groupby(["chunk", "ch"], sort=False)["ch"] \
+            .transform("size")
+        df = df[sizes >= 2]
+        outs = [bucket_pairs(g)
+                for _, g in df.groupby(["chunk", "ch"], sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
     return _verified_pairs_result(
-        rows.groupby(["chunk", "ch"]).map_groups(
-            bucket_pairs, batch_format="pandas"),
+        add_hash_bucket(rows, "ch", 32).groupby("__bucket")
+        .map_groups(lambda df: chunk_pairs(df.drop(columns=["__bucket"])),
+                    batch_format="pandas"),
         cc_max_driver_pairs)
 
 
@@ -746,7 +776,19 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
                                 "similarity": [-1.0], "capped": [1]})
         return out
 
+    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # singleton hyperplane buckets dominate — eliminate vectorized
+        sizes = df.groupby("bucket", sort=False)["bucket"] \
+            .transform("size")
+        df = df[sizes >= 2]
+        outs = [bucket_pairs(g)
+                for _, g in df.groupby("bucket", sort=False)]
+        outs = [o for o in outs if len(o)]
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
     return _verified_pairs_result(
-        rows.groupby("bucket").map_groups(bucket_pairs,
-                                          batch_format="pandas"),
+        add_hash_bucket(rows, "bucket", 16).groupby("__bucket")
+        .map_groups(lambda df: chunk_pairs(df.drop(columns=["__bucket"])),
+                    batch_format="pandas"),
         cc_max_driver_pairs)
