@@ -727,6 +727,24 @@ def _q_hopping_window(sf_dir: str):
         "cnt": pa.array(cnt), "total": pa.array(total)})
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: customers never appearing in orders — the
+    orders key set ships once (projected Arrow pull + is_in), customer
+    streams through a filter; no shuffle."""
+    import ray as _ray
+    keys = pa.concat_tables(_ray.get(
+        _read(sf_dir, "orders", columns=["o_custkey"]).to_arrow_refs())
+    )["o_custkey"].combine_chunks()
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.invert(
+            pc.is_in(batch["c_custkey"], value_set=keys)))
+
+    out = ds.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(out, pa.schema([("c_custkey", pa.int64())]))
+
+
 def _q_grouped_median(sf_dir: str):
     """Exact per-group median (n_chars per source) via map_groups —
     exact for bounded group counts; the huge-cardinality path is the
@@ -866,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
         "events_asof_join": _q_asof_join,
+        "customers_without_orders": _q_customers_without_orders,
         "grouped_median": _q_grouped_median,
         "revenue_by_region": _q_revenue_by_region,
         "media_features": _q_media_features,
@@ -1003,6 +1022,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.cid AS DOUBLE) AS click_event_id "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "customers_without_orders":
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders)",
         "grouped_median":
             "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
             "AS BIGINT) AS med FROM documents GROUP BY source",
