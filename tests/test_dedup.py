@@ -116,7 +116,10 @@ def test_minhash_distributed_equals_driver(doc_ds):
     drv = minhash_lsh_dedup(doc_ds, threshold=0.5)
     dist = minhash_lsh_dedup(doc_ds, threshold=0.5, cc_max_driver_pairs=0)
     assert dist.pairs_ds is not None and dist.clusters_ds is not None
-    key = lambda df: sorted((frozenset((a, b)), round(s, 9)) for a, b, s
+    # NOTE: sort keys must be totally ordered — frozensets compare by
+    # subset relation, which makes sorted() output ill-defined
+    key = lambda df: sorted((tuple(sorted((a, b))), round(s, 9))
+                            for a, b, s
                             in zip(df.id_a, df.id_b, df.similarity))
     assert key(dist.pairs) == key(drv.pairs)
     cl = lambda df: sorted(map(tuple, df[["id", "rep"]].to_numpy()))
@@ -126,7 +129,8 @@ def test_minhash_distributed_equals_driver(doc_ds):
 def test_simhash_distributed_equals_driver(doc_ds):
     drv = simhash_dedup(doc_ds, max_hamming=3)
     dist = simhash_dedup(doc_ds, max_hamming=3, cc_max_driver_pairs=0)
-    key = lambda df: sorted((frozenset((a, b)), round(s, 9)) for a, b, s
+    key = lambda df: sorted((tuple(sorted((a, b))), round(s, 9))
+                            for a, b, s
                             in zip(df.id_a, df.id_b, df.similarity))
     assert key(dist.pairs) == key(drv.pairs)
     cl = lambda df: sorted(map(tuple, df[["id", "rep"]].to_numpy()))
