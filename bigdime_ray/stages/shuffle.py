@@ -123,8 +123,24 @@ def block_preagg_counts(ds: Dataset, keys: list[str],
     return partials.groupby(keys).aggregate(*aggs)
 
 
+AUTO_EXCHANGE_ROWS_PER_BUCKET = 50_000_000  # ~800 MB of (key, cnt) cells
+
+
+def _auto_buckets(ds: Dataset, num_buckets) -> int:
+    """Resolve num_buckets=None from the dataset's (metadata-cheap) row
+    count — same auto-dispatch discipline as the validators: the driver
+    merge is used only while the merged cells fit comfortably."""
+    if num_buckets is not None:
+        return num_buckets
+    try:
+        n = ds.count()
+    except Exception:
+        return 1
+    return max(1, -(-n // AUTO_EXCHANGE_ROWS_PER_BUCKET))
+
+
 def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
-                         num_buckets: int = 1) -> pa.Table:
+                         num_buckets: int | None = None) -> pa.Table:
     """Exact per-key counts ≥ ``min_count`` over an int64 key — the
     exchange-optimized replacement for ``groupby(key).count()``.
 
@@ -138,7 +154,7 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
     bucket's merge is an independent task over a bounded key range).
     Returns a pa.Table (key_col, cnt) with cnt ≥ min_count.
     """
-    from bigdime_ray.functions.hashing import mix64
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def pack(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -205,7 +221,7 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
 
 
 def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
-                              num_buckets: int = 1
+                              num_buckets: int | None = None
                               ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Generalized packed-cell aggregate: exact per-key SUMS of
     ``num_values`` int64 value columns over an int64 key.
@@ -216,9 +232,10 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
     exchange economics as ``duplicate_key_counts`` (16–32 B per distinct
     key per block, #blocks × #buckets cells instead of a row shuffle).
     Composite keys pack into one int64 (e.g. user_id·2²⁰ + hour index).
-    Returns (keys, [sums] × num_values); num_buckets>1 is the scale path.
+    Returns (keys, [sums] × num_values); num_buckets>1 is the scale path
+    (auto-selected from the row count when not pinned).
     """
-    from bigdime_ray.functions.hashing import mix64
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     vcols = [f"v{i}" for i in range(num_values)]
 
