@@ -643,10 +643,16 @@ def _q_asof_join(sf_dir: str):
     """As-of join: each purchase matched to the user's latest prior (or
     simultaneous) click — per-key co-partitioned searchsorted."""
     from bigdime_ray.pipelines.stream import asof_join_grouped
-    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
-                                          "event_type"])
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
+    # row-filter pushdown AT THE READ (row-group pruning) — only the
+    # two relevant event types ever leave storage
+    cols = ["event_id", "user_id", "ts", "event_type"]
+
+    def _typed(t):
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=cols,
+            filter=(pc.field("event_type") == t))
+
+    purchases, clicks = _typed("purchase"), _typed("click")
     out = asof_join_grouped(purchases, clicks, key="user_id", ts_col="ts",
                             left_id="event_id", right_id="event_id",
                             out_col="click_event_id")
