@@ -125,3 +125,22 @@ def test_misra_gries_guarantee_under_splits(keys, n_chunks, cap):
     for key, cnt in true.items():
         if cnt > bound:
             assert key in merged.keys, (key, cnt, bound)
+
+
+@given(st.lists(st.integers(1, 2000), min_size=1, max_size=300),
+       st.integers(100, 2048))
+@settings(**SETTINGS)
+def test_pack_block_invariants_random(lengths, max_len):
+    from bigdime_ray.pipelines.pack import pack_block
+    ln = np.asarray(lengths, dtype=np.int64)
+    capped = np.minimum(ln, max_len)
+    packs, offsets = pack_block(capped, max_len)
+    # every row assigned; per-pack totals within budget; offsets gap-free
+    import pandas as pd
+    df = pd.DataFrame({"p": packs, "o": offsets, "l": capped})
+    assert (df.groupby("p")["l"].sum() <= max_len).all()
+    for _, g in df.groupby("p"):
+        g = g.sort_values("o")
+        assert g.o.iloc[0] == 0
+        assert (g.o.iloc[1:].to_numpy()
+                == (g.o + g.l).iloc[:-1].to_numpy()).all()

@@ -85,3 +85,38 @@ def test_duplicate_key_counts_matches_groupby():
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert got.k.tolist() == expect.k.tolist(), nb
         assert got.cnt.tolist() == expect.cnt.tolist(), nb
+
+
+def test_grouped_int_sums_exchange_buckets_equal():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 300, 5000)
+    v1 = rng.integers(-50, 50, 5000)
+    v2 = rng.integers(0, 10, 5000)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64()),
+        "v1": pa.array(v1, type=pa.int64()),
+        "v2": pa.array(v2, type=pa.int64())})).repartition(4)
+
+    def extract(b):
+        return (b["k"].to_numpy(zero_copy_only=False).astype(np.int64),
+                [b["v1"].to_numpy(zero_copy_only=False),
+                 b["v2"].to_numpy(zero_copy_only=False)])
+
+    results = {}
+    for nb in (1, 4):
+        k, (s1, s2) = grouped_int_sums_exchange(ds, extract, 2,
+                                                num_buckets=nb)
+        o = np.argsort(k)
+        results[nb] = (k[o], s1[o], s2[o])
+    for a, b in zip(results[1], results[4]):
+        assert np.array_equal(a, b)
+    import pandas as pd
+    exp = pd.DataFrame({"k": keys, "v1": v1, "v2": v2}).groupby("k").sum()
+    k, s1, s2 = results[1]
+    assert np.array_equal(k, exp.index.to_numpy())
+    assert np.array_equal(s1, exp.v1.to_numpy())
+    assert np.array_equal(s2, exp.v2.to_numpy())
