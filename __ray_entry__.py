@@ -525,10 +525,12 @@ def _q_top_orders(sf_dir: str):
         rev_s = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
         return keys, [rev_s]
 
-    # packed-cell sum exchange (no row-level hash shuffle), then the
-    # top-10 is a driver argsort over the merged (key, revenue) arrays —
-    # at extreme scale use num_buckets>1 + per-bucket top-k merge
-    keys, (rev,) = grouped_int_sums_exchange(ds, extract, 1)
+    # packed-cell sum exchange with per-bucket top-k prune: each merge
+    # (bucketed or driver) keeps only its top-10, so the driver never
+    # holds every distinct order key (VERDICT r2 #8); complete key
+    # groups per bucket make the union of per-bucket top-10 a superset
+    # of the global top-10
+    keys, (rev,) = grouped_int_sums_exchange(ds, extract, 1, topk=(0, 10))
     order = np.lexsort((keys, -rev))[:10]
     return pa.table({
         "l_orderkey": pa.array(keys[order], type=pa.int64()),
@@ -714,6 +716,12 @@ def _q_hopping_window(sf_dir: str):
     def extract(batch: pa.Table):
         t = (batch["ts"].to_numpy(zero_copy_only=False)
              .astype("datetime64[us]").view(np.int64))
+        if len(t) and t.min() < HOP_US:
+            # widx==0 would make `widx - 1` wrap into user uid-1's key
+            # space (ADVICE r2); pre-epoch ts is ambiguous the same way.
+            # The library `hopping_window` handles this via floor division.
+            raise ValueError("events_hopping packing assumes ts >= "
+                             "1970-01-01 00:30 (one hop past epoch)")
         uid = batch["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         widx = t // HOP_US
@@ -835,8 +843,10 @@ def _q_revenue_by_region(sf_dir: str):
             zero_copy_only=False)[hit]
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
         rev_s = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
-        rev = np.bincount(rid, weights=rev_s.astype(np.float64),
-                          minlength=n_regions).astype(np.int64)
+        # int64 accumulator (np.add.at), never float: the weighted
+        # bincount sums fixed-point through float64, exact only < 2^53
+        rev = np.zeros(n_regions, dtype=np.int64)
+        np.add.at(rev, rid, rev_s)
         cnt = np.bincount(rid, minlength=n_regions).astype(np.int64)
         return pa.table({"rid": pa.array(np.arange(n_regions)),
                          "revenue": pa.array(rev), "cnt": pa.array(cnt)})

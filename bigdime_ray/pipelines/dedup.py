@@ -74,39 +74,91 @@ def add_fingerprint_column(batch: pa.Table, col: str = "text",
 
 def exact_dedup_groups(ds: Dataset, col: str = "text",
                        id_col: str = "doc_id",
-                       normalize: bool = False) -> Dataset:
+                       normalize: bool = False,
+                       keep_fingerprint: bool = False) -> Dataset:
     """One row per distinct content: (keep_id = min id, cnt).
 
     hash-partition + per-group first — only (fingerprint, id) is
     shuffled, never the payload. 64-bit fingerprint collision odds are
     ~n²/2⁶⁵ (negligible below ~10⁹ distinct docs; widen to 128 bits by
-    salting twice if that matters).
+    salting twice if that matters). ``keep_fingerprint=True`` retains
+    the fingerprint column (the join-path filter needs it).
     """
     proj = ds.map_batches(lambda b: add_fingerprint_column(
         b, col, normalize=normalize),
                           batch_format="pyarrow", zero_copy_batch=True
                           ).select_columns(["fingerprint", id_col])
-    return (proj.groupby("fingerprint")
-            .aggregate(Min(id_col, alias_name="keep_id"),
-                       Count(alias_name="cnt"))
-            .drop_columns(["fingerprint"]))
+    out = (proj.groupby("fingerprint")
+           .aggregate(Min(id_col, alias_name="keep_id"),
+                      Count(alias_name="cnt")))
+    return out if keep_fingerprint else out.drop_columns(["fingerprint"])
+
+
+DEDUP_BROADCAST_MAX_IDS = 100_000_000  # ~800 MB of int64 keep ids
 
 
 def exact_dedup(ds: Dataset, col: str = "text",
-                id_col: str = "doc_id", normalize: bool = False) -> Dataset:
+                id_col: str = "doc_id", normalize: bool = False,
+                strategy: str = "auto") -> Dataset:
     """Filter to one representative row (min id) per distinct content.
 
-    Second pass is a broadcast semi-join on the kept-id set when it fits;
-    callers at extreme scale should instead join on fingerprint.
+    Strategies for the second (filter) pass, auto-dispatched on the
+    distinct-group count (VERDICT r2 #3):
+
+    - ``broadcast`` — driver pull of the keep-id set + ``is_in`` filter;
+      no payload shuffle at all. Right while the keep ids fit the driver
+      (≤ ``DEDUP_BROADCAST_MAX_IDS``).
+    - ``join`` — the >memory path: the (fingerprint, keep_id) table
+      stays a Dataset; rows gain their fingerprint and co-partition-join
+      it, keeping rows whose id == keep_id. The payload moves through
+      ONE hash shuffle (unavoidable without broadcast), the keep side
+      stays narrow. Equivalence with broadcast is pinned in
+      tests/test_dedup.py.
     """
-    keep = exact_dedup_groups(ds, col, id_col, normalize=normalize)
-    keep_ids = pa.array(
-        [r["keep_id"] for r in keep.select_columns(["keep_id"]).take_all()])
+    if strategy not in ("auto", "broadcast", "join"):
+        raise ValueError("strategy must be auto|broadcast|join")
+    keep = exact_dedup_groups(ds, col, id_col, normalize=normalize,
+                              keep_fingerprint=True).materialize()
+    if strategy == "auto":
+        strategy = ("broadcast" if keep.count() <= DEDUP_BROADCAST_MAX_IDS
+                    else "join")
 
-    def flt(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch[id_col], value_set=keep_ids))
+    if strategy == "broadcast":
+        keep_ids = pa.array([r["keep_id"] for r in
+                             keep.select_columns(["keep_id"]).take_all()])
 
-    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+        def flt(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch[id_col],
+                                         value_set=keep_ids))
+
+        return ds.map_batches(flt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # join path: narrow keep side, payload through one hash shuffle.
+    # keep came through a groupby → drop its schemaless empty blocks
+    # before the join (Ray hash-shuffle empty-block poison).
+    from bigdime_ray.stages.shuffle import (default_join_partitions,
+                                            drop_empty_blocks)
+    keep_n = drop_empty_blocks(keep.map_batches(
+        lambda b: pa.table({"__fp": b["fingerprint"],
+                            "keep_id": b["keep_id"]}),
+        batch_format="pyarrow").materialize())
+    fds = ds.map_batches(lambda b: add_fingerprint_column(
+        b, col, normalize=normalize),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = fds.join(keep_n, join_type="inner",
+                      num_partitions=default_join_partitions(),
+                      on=("fingerprint",), right_on=("__fp",))
+    drop_cols = ["fingerprint", "keep_id"]
+
+    def flt_join(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return batch
+        hit = batch.filter(pc.equal(batch[id_col], batch["keep_id"]))
+        return hit.drop_columns([c for c in drop_cols
+                                 if c in hit.column_names])
+
+    return joined.map_batches(flt_join, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- minhash
@@ -709,7 +761,8 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
                        id_col: str = "vec_id", threshold: float = 0.98,
                        planes: int = 12, seed: int = 77,
                        bucket_cap: int = 256,
-                       cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
+                       cc_max_driver_pairs: int = 5_000_000,
+                       shuffle_dtype: str = "float32") -> NearDupResult:
     """Near-dup vectors: random-hyperplane LSH bucket → in-bucket cosine.
 
     One shuffle of (id, bucket, vec) rows; pairwise cosine only inside
@@ -717,7 +770,16 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
     ≥ threshold almost surely share a bucket when ``planes`` is small
     relative to the angle margin. Clustering dispatches to distributed
     label propagation above ``cc_max_driver_pairs`` pairs.
+
+    ``shuffle_dtype`` is the precision the normalized vectors travel
+    through the bucket shuffle at. float32 (default) scores exactly;
+    "float16" halves shuffle bytes but perturbs cosine by up to ~1e-3,
+    which can flip pairs borderline at tight thresholds like 0.98 —
+    opt-in only (ADVICE r2).
     """
+    if shuffle_dtype not in ("float32", "float16"):
+        raise ValueError("shuffle_dtype must be 'float32' or 'float16'")
+    ship_t = np.float16 if shuffle_dtype == "float16" else np.float32
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)
@@ -735,14 +797,13 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
         bucket = np.zeros(len(x), dtype=np.int64)
         for p in range(planes):
             bucket |= bits[:, p].astype(np.int64) << p
-        # ship HALF-precision normalized vectors through the bucket
-        # shuffle (4 B→2 B per component; cosine ≥0.9-grade thresholds
-        # are unaffected — fp16 holds ~3 decimal digits); at extreme
-        # scale quantize harder or ship (id, bucket) + fetch
+        # normalized vectors travel at ``shuffle_dtype`` precision; at
+        # extreme scale pass shuffle_dtype="float16" (half the bytes,
+        # ~1e-3 cosine perturbation) or ship (id, bucket) + re-fetch
         return pa.table({
             id_col: batch[id_col],
             "bucket": pa.array(bucket),
-            "vec": pa.array(list(x.astype(np.float16))),
+            "vec": pa.array(list(x.astype(ship_t))),
         })
 
     rows = ds.map_batches(to_buckets, batch_format="pyarrow",

@@ -90,29 +90,68 @@ def heavy_hitters(ds: Dataset, key_col: str, threshold: int,
                      "cnt": pa.array(total[m])})
 
 
-def distinct_count(ds: Dataset, key_col: str) -> int:
+def distinct_count(ds: Dataset, key_col: str,
+                   num_buckets: int | None = None) -> int:
     """Exact COUNT(DISTINCT key) — per-block sorted distinct values as
-    one packed cell, numpy merge on the driver (bucket it for >10⁹
-    distincts; see ``stages.shuffle.duplicate_key_counts`` for the
-    bucketed pattern)."""
+    packed cells; the merge auto-dispatches (VERDICT r2 #3): below
+    ``AUTO_EXCHANGE_ROWS_PER_BUCKET`` rows a single driver numpy merge,
+    above it per-hash-bucket merge tasks that each count their own
+    bounded key range and return ONE int (the driver sums ints, never
+    holds the distinct keys). Buckets partition by key hash, so no key
+    is double-counted across buckets. ``num_buckets=None`` auto-selects
+    from the (read-rooted) row count; pin it on derived inputs."""
+    from bigdime_ray.functions.hashing import mix64 as _mix64
+    from bigdime_ray.stages.shuffle import _auto_buckets
+
+    num_buckets = _auto_buckets(ds, num_buckets)
 
     def pack(batch: pa.Table) -> pa.Table:
         u = np.unique(batch[key_col].to_numpy(zero_copy_only=False)
                       .astype(np.int64))
-        return pa.table({"keys": pa.array([u.tobytes()],
-                                          type=pa.binary())})
+        if num_buckets == 1:
+            return pa.table({"bucket": pa.array([0], type=pa.int32()),
+                             "keys": pa.array([u.tobytes()],
+                                              type=pa.binary())})
+        if len(u) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int32()),
+                             "keys": pa.array([], type=pa.binary())})
+        b = (_mix64(u.view(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        order = np.argsort(b, kind="stable")
+        bs, ks = b[order], u[order]
+        bounds = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+        ends = np.r_[bounds[1:], len(bs)]
+        return pa.table({
+            "bucket": pa.array(bs[bounds], type=pa.int32()),
+            "keys": pa.array([ks[s:e].tobytes()
+                              for s, e in zip(bounds, ends)],
+                             type=pa.binary())})
 
-    rows = (ds.select_columns([key_col])
-            .map_batches(pack, batch_format="pyarrow",
-                         zero_copy_batch=True).take_all())
-    if not rows:
-        return 0
-    allk = np.concatenate([np.frombuffer(r["keys"], dtype=np.int64)
-                           for r in rows])
-    allk.sort(kind="stable")
-    if len(allk) == 0:
-        return 0
-    return int(1 + (allk[1:] != allk[:-1]).sum())
+    def count_distinct(bufs) -> int:
+        allk = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                               for b in bufs])
+        if len(allk) == 0:
+            return 0
+        allk.sort(kind="stable")
+        return int(1 + (allk[1:] != allk[:-1]).sum())
+
+    cells = (ds.select_columns([key_col])
+             .map_batches(pack, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    if num_buckets == 1:
+        rows = cells.take_all()
+        if not rows:
+            return 0
+        return count_distinct([r["keys"] for r in rows])
+
+    import pandas as pd
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [count_distinct(list(g["keys"]))]})
+
+    out = (cells.groupby("bucket")
+           .map_groups(per_bucket, batch_format="pandas").take_all())
+    return int(sum(r["n"] for r in out))
 
 
 def approx_distinct_count(ds: Dataset, key_col: str, p: int = 12) -> float:

@@ -57,14 +57,22 @@ def pack_sequences(ds: Dataset, max_len: int, len_col: str = "n_tok",
     """Assign every row to a training pack: returns
     (id_col, len_col, pack_id int64, pack_offset int64).
 
-    pack_id is deterministic and globally unique: the high bits are a
-    hash of the block's sorted id set, the low 20 bits the block-local
-    pack index."""
+    pack_id is deterministic: high 43 bits a hash of the block's id set,
+    low 20 bits the block-local pack index (asserted < 2²⁰). Collision
+    odds between two BLOCKS are birthday-bounded at ~B²/2⁴⁴ — negligible
+    to ~10⁵ blocks, but at 10⁷+ blocks a few tag collisions are expected
+    (ADVICE r2); pipelines that need strict global uniqueness at that
+    scale should compose pack_id with an external shard/file ordinal
+    (e.g. read-task index) rather than rely on content hashing alone."""
 
     def assign(batch: pa.Table) -> pa.Table:
         lengths = batch[len_col].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         local, offset = pack_block(np.minimum(lengths, max_len), max_len)
+        if len(local) and int(local.max()) >= (1 << 20):
+            raise ValueError(
+                "block produced >= 2^20 local packs — pack ids would "
+                "bleed into the tag bits; use smaller blocks")
         idh = np.sort(column_hashes(batch[id_col]))
         with np.errstate(over="ignore"):
             block_tag = np.int64(int(mix64(

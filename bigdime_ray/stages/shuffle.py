@@ -126,17 +126,26 @@ def block_preagg_counts(ds: Dataset, keys: list[str],
 AUTO_EXCHANGE_ROWS_PER_BUCKET = 50_000_000  # ~800 MB of (key, cnt) cells
 
 
-def _auto_buckets(ds: Dataset, num_buckets) -> int:
-    """Resolve num_buckets=None from the dataset's (metadata-cheap) row
-    count — same auto-dispatch discipline as the validators: the driver
-    merge is used only while the merged cells fit comfortably."""
+def _auto_buckets(ds: Dataset, num_buckets, approx_rows: int | None = None
+                  ) -> int:
+    """Resolve num_buckets=None from the row count — same auto-dispatch
+    discipline as the validators: the driver merge is used only while the
+    merged cells fit comfortably.
+
+    CAVEAT (ADVICE r2): ``ds.count()`` is metadata-cheap ONLY on
+    read-rooted datasets (parquet footers). On a derived dataset
+    (map_batches breaks Ray's metadata count) it executes the upstream
+    plan, so auto-selection would run the pipeline twice — callers with a
+    derived input must either pin ``num_buckets`` or pass
+    ``approx_rows`` (e.g. from input file metadata)."""
     if num_buckets is not None:
         return num_buckets
-    try:
-        n = ds.count()
-    except Exception:
-        return 1
-    return max(1, -(-n // AUTO_EXCHANGE_ROWS_PER_BUCKET))
+    if approx_rows is None:
+        try:
+            approx_rows = ds.count()
+        except Exception:
+            return 1
+    return max(1, -(-approx_rows // AUTO_EXCHANGE_ROWS_PER_BUCKET))
 
 
 def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
@@ -160,6 +169,12 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, counts = np.unique(k, return_counts=True)
         counts = counts.astype(np.int64)
+        if len(uniq) == 0:
+            # empty batch in the bucketed path: bounds=[0] would index an
+            # empty bucket array (ADVICE r2) — emit an empty cell table
+            return pa.table({"bucket": pa.array([], type=pa.int32()),
+                             "keys": pa.array([], type=pa.binary()),
+                             "cnts": pa.array([], type=pa.binary())})
         if num_buckets == 1:
             return pa.table({
                 "bucket": pa.array([0], type=pa.int32()),
@@ -221,7 +236,8 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
 
 
 def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
-                              num_buckets: int | None = None
+                              num_buckets: int | None = None,
+                              topk: tuple[int, int] | None = None
                               ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Generalized packed-cell aggregate: exact per-key SUMS of
     ``num_values`` int64 value columns over an int64 key.
@@ -234,14 +250,36 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
     Composite keys pack into one int64 (e.g. user_id·2²⁰ + hour index).
     Returns (keys, [sums] × num_values); num_buckets>1 is the scale path
     (auto-selected from the row count when not pinned).
+
+    ``topk=(value_idx, k)`` prunes each merge to the k keys with the
+    largest ``sums[value_idx]`` (ties → smaller key). Correct because
+    every bucket holds COMPLETE key groups, so the global top-k is
+    contained in the union of per-bucket top-k: the driver sees at most
+    num_buckets × k rows instead of every distinct key (VERDICT r2 #8).
+    Callers re-sort the returned ≤ num_buckets×k rows.
     """
     num_buckets = _auto_buckets(ds, num_buckets)
+
+    def _topk_prune(keys: np.ndarray, sums: list[np.ndarray]
+                    ) -> tuple[np.ndarray, list[np.ndarray]]:
+        if topk is None or len(keys) <= topk[1]:
+            return keys, sums
+        vi, k = topk
+        sel = np.lexsort((keys, -sums[vi]))[:k]
+        return keys[sel], [s[sel] for s in sums]
 
     vcols = [f"v{i}" for i in range(num_values)]
 
     def pack(batch: pa.Table) -> pa.Table:
         keys, values = extract(batch)
         uniq, inv = np.unique(keys, return_inverse=True)
+        if len(uniq) == 0:
+            # empty batch: same bounds=[0] hazard as duplicate_key_counts
+            cols = {"bucket": pa.array([], type=pa.int32()),
+                    "keys": pa.array([], type=pa.binary())}
+            for c in vcols:
+                cols[c] = pa.array([], type=pa.binary())
+            return pa.table(cols)
         partials = []
         for v in values:
             acc = np.zeros(len(uniq), dtype=np.int64)
@@ -289,10 +327,10 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
         if not rows:
             e = np.empty(0, dtype=np.int64)
             return e, [e.copy() for _ in range(num_values)]
-        return merge_cells(rows)
+        return _topk_prune(*merge_cells(rows))
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        keys, sums = merge_cells(g.to_dict("records"))
+        keys, sums = _topk_prune(*merge_cells(g.to_dict("records")))
         out = {"k": keys}
         for c, s in zip(vcols, sums):
             out[c] = s
@@ -303,8 +341,8 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
     if len(out) == 0:
         e = np.empty(0, dtype=np.int64)
         return e, [e.copy() for _ in range(num_values)]
-    return (out["k"].to_numpy().astype(np.int64),
-            [out[c].to_numpy().astype(np.int64) for c in vcols])
+    return _topk_prune(out["k"].to_numpy().astype(np.int64),
+                       [out[c].to_numpy().astype(np.int64) for c in vcols])
 
 
 def ensure_schema(schema: pa.Schema):

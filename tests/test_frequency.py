@@ -102,3 +102,11 @@ def test_label_propagation_nonconvergence_raises():
                           "id_b": list(range(1, 7))})
     with _pytest.raises(RuntimeError, match="did not converge"):
         label_propagation_components(chain, max_iter=2).to_pandas()
+
+
+def test_distinct_count_bucketed_equals_driver(key_ds):
+    """VERDICT r2 #3: the bucketed merge path (per-bucket count, driver
+    sums ints) must equal the driver merge and the true nunique."""
+    ds, series = key_ds
+    for nb in (1, 3, 8):
+        assert distinct_count(ds, "k", num_buckets=nb) == series.nunique()
