@@ -266,7 +266,9 @@ class NearDupResult:
 
 def label_propagation_components(pairs, id_a: str = "id_a",
                                  id_b: str = "id_b", max_iter: int = 50,
-                                 num_partitions: int | None = None) -> Dataset:
+                                 num_partitions: int | None = None,
+                                 checkpoint_dir: str | None = None,
+                                 checkpoint_token: str = "") -> Dataset:
     """Distributed connected components: hash-to-min label propagation.
 
     The >memory alternative to driver union-find (VERDICT r1 item 3):
@@ -279,7 +281,20 @@ def label_propagation_components(pairs, id_a: str = "id_a",
     no label changes. Returns Dataset(id, rep), rep = component min —
     identical to ``_union_find_clusters`` (equality-tested in
     tests/test_dedup.py).
+
+    ``checkpoint_dir`` makes a multi-hour clustering run RESUMABLE
+    (VERDICT r2 #4): each round's label table is written as parquet
+    (write-temp + rename, then an atomic state-JSON update — the
+    ``state.manifest`` discipline), so a killed run restarts from its
+    last completed round instead of round 0. Resume is refused when
+    ``checkpoint_token`` (default: edge count + id type) doesn't match —
+    a different graph never silently adopts stale labels. On a multi-node
+    cluster point this at shared storage.
     """
+    import json
+    import os
+    import shutil
+
     import ray.data as rd
 
     from bigdime_ray.stages.shuffle import drop_empty_blocks, ensure_schema
@@ -310,16 +325,77 @@ def label_propagation_components(pairs, id_a: str = "id_a",
             return stable(build(b))
         return fn
 
-    # initial label: min(self, min neighbor) — one groupby, no join
-    labels = drop_empty_blocks(
-        edges.groupby("src").aggregate(Min("dst", alias_name="lbl"))
-        .map_batches(guarded(lbl_schema, lambda b: pa.table({
-            "id": b["src"],
-            "lbl": pc.min_element_wise(b["src"], b["lbl"])})),
-            batch_format="pyarrow").materialize())
+    # ----- checkpoint plumbing (no-op when checkpoint_dir is None)
+    state_path = (os.path.join(checkpoint_dir, "cc_state.json")
+                  if checkpoint_dir else None)
+    token = checkpoint_token
+    if checkpoint_dir and not token:
+        # order-independent content fingerprint of the edge set (one
+        # narrow pass — negligible vs the join rounds): edge count alone
+        # would let a different graph of equal size adopt stale labels
+        from bigdime_ray.functions.hashing import column_hashes
 
-    converged = False
-    for _ in range(max_iter):
+        def _fp(b: pa.Table) -> pa.Table:
+            with np.errstate(over="ignore"):
+                h = mix64(column_hashes(b["src"]) ^
+                          _rotl(column_hashes(b["dst"]), np.uint64(31)))
+                acc = np.uint64(h.sum())
+            return pa.table({"h": pa.array([int(acc)], type=pa.uint64())})
+
+        parts = edges.map_batches(_fp, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+        with np.errstate(over="ignore"):
+            fp = int(np.sum(np.array([r["h"] for r in parts],
+                                     dtype=np.uint64), dtype=np.uint64))
+        token = f"{edges.count()}|{id_type}|{fp:x}"
+
+    def _save_round(r: int, labels_ds: Dataset, converged: bool) -> None:
+        if not checkpoint_dir:
+            return
+        rdir = os.path.join(checkpoint_dir, f"labels_r{r:05d}")
+        tmp = rdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        labels_ds.write_parquet(tmp)
+        shutil.rmtree(rdir, ignore_errors=True)
+        os.rename(tmp, rdir)
+        stmp = state_path + ".tmp"
+        with open(stmp, "w") as f:
+            json.dump({"round": r, "converged": converged,
+                       "token": token}, f)
+        os.replace(stmp, state_path)  # atomic: state always names a
+        # fully-written round; a kill mid-write resumes one round back
+        prev = os.path.join(checkpoint_dir, f"labels_r{r - 1:05d}")
+        shutil.rmtree(prev, ignore_errors=True)
+
+    start_round, resumed_labels, converged = 0, None, False
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                st = json.load(f)
+            if st.get("token") == token:
+                start_round = int(st["round"]) + 1
+                converged = bool(st.get("converged"))
+                resumed_labels = drop_empty_blocks(rd.read_parquet(
+                    os.path.join(checkpoint_dir,
+                                 f"labels_r{st['round']:05d}"))
+                    .map_batches(ensure_schema(lbl_schema),
+                                 batch_format="pyarrow").materialize())
+
+    if resumed_labels is not None:
+        labels = resumed_labels
+    else:
+        # initial label: min(self, min neighbor) — one groupby, no join
+        labels = drop_empty_blocks(
+            edges.groupby("src").aggregate(Min("dst", alias_name="lbl"))
+            .map_batches(guarded(lbl_schema, lambda b: pa.table({
+                "id": b["src"],
+                "lbl": pc.min_element_wise(b["src"], b["lbl"])})),
+                batch_format="pyarrow").materialize())
+
+    for r in range(start_round, max_iter):
+        if converged:
+            break
         msgs = edges.join(labels, join_type="inner",
                           num_partitions=num_partitions,
                           on=("src",), right_on=("id",))
@@ -340,8 +416,9 @@ def label_propagation_components(pairs, id_a: str = "id_a",
             join_type="inner", num_partitions=num_partitions, on=("id",))
             .filter(expr="lbl != lbl_old").count())
         labels = new
-        if changed == 0:
-            converged = True
+        converged = changed == 0
+        _save_round(r, labels, converged)
+        if converged:
             break
     if not converged:
         # never return silently-split components: a diameter > max_iter

@@ -199,3 +199,42 @@ def test_embedding_near_dup_fp16_optin():
         assert frozenset((3, 20)) in got, dt
     with pytest.raises(ValueError):
         embedding_near_dup(ray.data.from_arrow(tbl), shuffle_dtype="int8")
+
+
+def test_label_propagation_checkpoint_resume(tmp_path):
+    """VERDICT r2 #4: a clustering run killed after round k resumes from
+    its checkpoint to the identical fixed point (never round 0)."""
+    import json
+    import os
+    from bigdime_ray.pipelines.dedup import (_union_find_clusters,
+                                             label_propagation_components)
+    # a diameter-6 chain forces many propagation rounds
+    chain = pd.DataFrame({"id_a": list(range(0, 7)),
+                          "id_b": list(range(1, 8))})
+    ckpt = str(tmp_path / "cc")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_propagation_components(chain, max_iter=2,
+                                     checkpoint_dir=ckpt).to_pandas()
+    state = json.load(open(os.path.join(ckpt, "cc_state.json")))
+    assert state["round"] == 1 and not state["converged"]
+
+    got = (label_propagation_components(chain, max_iter=20,
+                                        checkpoint_dir=ckpt)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    state2 = json.load(open(os.path.join(ckpt, "cc_state.json")))
+    assert state2["converged"] and state2["round"] > 1
+    expect = _union_find_clusters(list(zip(chain.id_a, chain.id_b)),
+                                  set(range(8))).sort_values("id") \
+        .reset_index(drop=True)
+    assert got.id.tolist() == expect.id.tolist()
+    assert got.rep.tolist() == expect.rep.tolist()
+    # only the latest round's labels remain on disk (bounded space)
+    rounds = [d for d in os.listdir(ckpt) if d.startswith("labels_r")]
+    assert len(rounds) == 1
+
+    # a DIFFERENT graph must refuse the stale checkpoint (token check)
+    other = pd.DataFrame({"id_a": [10, 11, 12], "id_b": [11, 12, 13]})
+    got2 = (label_propagation_components(other, max_iter=20,
+                                         checkpoint_dir=ckpt)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got2.rep.tolist() == [10, 10, 10, 10]
