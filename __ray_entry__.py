@@ -286,6 +286,23 @@ def _q_minhash_dedup(sf_dir: str):
         preserve_index=False)
 
 
+def _q_ngram_jaccard_dedup(sf_dir: str):
+    """Near-dup pairs by EXACT word-3-gram Jaccard (LSH candidates +
+    full shingle-set verification; rows-only check — exact-Jaccard
+    equality vs brute force is pinned in tests/test_dedup.py)."""
+    from bigdime_ray.pipelines.dedup import ngram_jaccard_dedup
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    res = ngram_jaccard_dedup(ds, threshold=0.5)
+    return pa.Table.from_pandas(
+        res.pairs.astype({"id_a": "int64", "id_b": "int64",
+                          "similarity": "float64"})
+        if len(res.pairs) else
+        pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                      "id_b": pd.Series(dtype="int64"),
+                      "similarity": pd.Series(dtype="float64")}),
+        preserve_index=False)
+
+
 def _q_simhash_dedup(sf_dir: str):
     from bigdime_ray.pipelines.dedup import simhash_dedup
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -876,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_stats_salted": _q_per_source_stats_salted,
         "exact_dedup_groups": _q_exact_dedup,
         "exact_dedup_normalized": _q_exact_dedup_normalized,
+        "ngram_jaccard_dedup_pairs": _q_ngram_jaccard_dedup,
         "minhash_dedup_pairs": _q_minhash_dedup,
         "simhash_dedup_pairs": _q_simhash_dedup,
         "embedding_near_dup_pairs": _q_embedding_near_dup,

@@ -468,23 +468,12 @@ def _arrow_type(ds: Dataset, name: str) -> pa.DataType:
         return pa.string()  # pandas object dtype → string ids
 
 
-def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
-                      id_col: str = "doc_id", num_perm: int = 128,
-                      bands: int = 32, shingle_w: int = 3,
-                      threshold: float = 0.7, bucket_cap: int = 64,
-                      cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
-    """MinHash + banded LSH near-duplicate detection.
-
-    Pass 1 (map_batches): signatures → (id, band, band_hash) rows.
-    Shuffle: groupby (band, band_hash); buckets ≥2 → candidate pairs
-    (bucket capped at ``bucket_cap`` ids; cap hits are reported, not
-    silent). Candidate handling auto-dispatches on the candidate count:
-    ≤ ``cc_max_driver_pairs`` → signatures re-derived for candidate ids
-    only (broadcast semi-join), driver verify + union-find; above it →
-    the >memory path: full (id, sig) Dataset, two co-partitioned joins
-    to attach sig_a/sig_b, vectorized verify in map_batches, and
-    distributed ``label_propagation_components``.
-    """
+def _lsh_candidate_pairs(ds: Dataset, text_col: str, id_col: str,
+                         num_perm: int, bands: int, shingle_w: int,
+                         bucket_cap: int) -> Dataset:
+    """Shared LSH candidate generator (minhash + ngram-jaccard verify
+    paths): signatures → (id, band, band_hash) rows → bucketed groupby →
+    materialized candidate pair Dataset (id_a, id_b, capped)."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         sig = minhash_signatures(batch[text_col], num_perm, shingle_w)
@@ -526,9 +515,30 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
                              "capped": out_f})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    pair_ds = (add_hash_bucket(band_rows, "bh", 32)
-               .groupby("__bucket")
-               .map_groups(chunk_pairs, batch_format="pandas").materialize())
+    return (add_hash_bucket(band_rows, "bh", 32)
+            .groupby("__bucket")
+            .map_groups(chunk_pairs, batch_format="pandas").materialize())
+
+
+def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 128,
+                      bands: int = 32, shingle_w: int = 3,
+                      threshold: float = 0.7, bucket_cap: int = 64,
+                      cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
+    """MinHash + banded LSH near-duplicate detection.
+
+    Pass 1 (map_batches): signatures → (id, band, band_hash) rows.
+    Shuffle: groupby (band, band_hash); buckets ≥2 → candidate pairs
+    (bucket capped at ``bucket_cap`` ids; cap hits are reported, not
+    silent). Candidate handling auto-dispatches on the candidate count:
+    ≤ ``cc_max_driver_pairs`` → signatures re-derived for candidate ids
+    only (broadcast semi-join), driver verify + union-find; above it →
+    the >memory path: full (id, sig) Dataset, two co-partitioned joins
+    to attach sig_a/sig_b, vectorized verify in map_batches, and
+    distributed ``label_propagation_components``.
+    """
+    pair_ds = _lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands,
+                                   shingle_w, bucket_cap)
     n_pair_rows = pair_ds.count()
     if n_pair_rows == 0:
         return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
@@ -609,8 +619,10 @@ def _verify_sig_pairs(num_perm: int, threshold: float):
 
 def _minhash_distributed(ds: Dataset, pair_ds: Dataset, all_sigs,
                          id_col: str, num_perm: int,
-                         threshold: float) -> NearDupResult:
-    """>memory candidate handling: everything stays a Dataset."""
+                         threshold: float, verify=None) -> NearDupResult:
+    """>memory candidate handling: everything stays a Dataset.
+    ``verify`` overrides the signature-estimate kernel (ngram exact-set
+    verify reuses this join plumbing with its own kernel)."""
     from bigdime_ray.stages.shuffle import drop_empty_blocks, ensure_schema
 
     id_type = _arrow_type(pair_ds, "id_a")
@@ -647,7 +659,8 @@ def _minhash_distributed(ds: Dataset, pair_ds: Dataset, all_sigs,
                           join_type="inner", num_partitions=nparts,
                           on=("id_b",), right_on=("__id",))
     verified = with_ab.map_batches(
-        _verify_sig_pairs(num_perm, threshold), batch_format="pyarrow"
+        verify or _verify_sig_pairs(num_perm, threshold),
+        batch_format="pyarrow"
     ).map_batches(
         ensure_schema(pa.schema([("id_a", id_type), ("id_b", id_type),
                                  ("similarity", pa.float64())])),
@@ -830,6 +843,129 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     if not ga and not gb:
         return 1.0
     return len(ga & gb) / len(ga | gb)
+
+
+def _ngram_sets(text, n: int) -> list[np.ndarray]:
+    """Per-row sorted-unique n-gram shingle-hash SET (u64) — the exact
+    verify payload (vs the minhash signature estimate). One vectorized
+    lexsort + adjacent-dedupe over the flat shingle buffer, not a
+    per-row ``np.unique`` loop."""
+    sh, starts, counts = _shingle_hashes(text, n)
+    n_rows = len(counts)
+    if len(sh) == 0:
+        return [np.empty(0, dtype=np.uint64)] * n_rows
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    order = np.lexsort((sh, row_idx))
+    r, h = row_idx[order], sh[order]
+    keep = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
+    ur, uh = r[keep], h[keep]
+    bounds = np.nonzero(np.r_[True, ur[1:] != ur[:-1]])[0]
+    # counts >= 1 per row (empty rows carry a sentinel shingle), so
+    # every row appears in ur and split yields exactly n_rows arrays
+    return np.split(uh, bounds[1:])
+
+
+def _exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+def ngram_jaccard_dedup(ds: Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_perm: int = 128, bands: int = 32,
+                        threshold: float = 0.7, bucket_cap: int = 64,
+                        cc_max_driver_pairs: int = 5_000_000
+                        ) -> NearDupResult:
+    """Near-dup by EXACT word-n-gram Jaccard.
+
+    Same LSH candidate generation as ``minhash_lsh_dedup`` (recall is
+    governed by bands/num_perm: P[candidate] = 1-(1-j^(perm/bands))^bands),
+    but verification compares the full hashed shingle SETS — the exact
+    Jaccard, not the ±1/√num_perm signature estimate. Use when the
+    threshold must be sharp (e.g. contamination checks). Dispatch mirrors
+    minhash: ≤ ``cc_max_driver_pairs`` candidates → sets fetched for
+    candidate ids only (broadcast semi-join) + driver verify/union-find;
+    above → sets stay a Dataset, two co-partitioned joins attach
+    set_a/set_b, verify in map_batches, distributed label propagation.
+    Pinned against brute-force ``ngram_jaccard`` in tests/test_dedup.py.
+    """
+    pair_ds = _lsh_candidate_pairs(ds, text_col, id_col, num_perm, bands,
+                                   n, bucket_cap)
+    n_pair_rows = pair_ds.count()
+    if n_pair_rows == 0:
+        return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
+                                           "similarity": []}),
+                             pd.DataFrame({"id": [], "rep": []}), 0, 0)
+
+    def all_sets(batch: pa.Table) -> pa.Table:
+        sets = _ngram_sets(batch[text_col], n)
+        return pa.table({id_col: batch[id_col],
+                         "sig": pa.array([s.tobytes() for s in sets],
+                                         type=pa.binary())})
+
+    if n_pair_rows > cc_max_driver_pairs:
+        return _minhash_distributed(ds, pair_ds, all_sets, id_col,
+                                    num_perm, threshold,
+                                    verify=_verify_set_pairs(threshold))
+
+    # driver path: fetch sets for candidate ids only
+    pair_rows = pair_ds.to_pandas()
+    capped_buckets = int(pair_rows["capped"].sum())
+    cand = pair_rows[["id_a", "id_b"]].drop_duplicates()
+    id_set = pa.array(np.unique(np.concatenate(
+        [cand.id_a.to_numpy(), cand.id_b.to_numpy()])))
+
+    def sets_for_candidates(batch: pa.Table) -> pa.Table:
+        hit = batch.filter(pc.is_in(batch[id_col], value_set=id_set))
+        if hit.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=batch[id_col].type),
+                             "sig": pa.array([], type=pa.binary())})
+        return all_sets(hit)
+
+    rows = ds.map_batches(sets_for_candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    set_by_id = {r[id_col]: np.frombuffer(r["sig"], dtype=np.uint64)
+                 for r in rows}
+    keep = []
+    for a, b in zip(cand.id_a, cand.id_b):
+        sa, sb = set_by_id.get(a), set_by_id.get(b)
+        if sa is None or sb is None:
+            continue
+        jac = _exact_jaccard(sa, sb)
+        if jac >= threshold:
+            keep.append((a, b, jac))
+    pairs = pd.DataFrame(keep, columns=["id_a", "id_b", "similarity"])
+    dup_ids = set(pairs.id_a) | set(pairs.id_b)
+    clusters = _union_find_clusters([(a, b) for a, b, _ in keep], dup_ids)
+    return NearDupResult(pairs, clusters, int(len(cand)), capped_buckets)
+
+
+def _verify_set_pairs(threshold: float):
+    """map_batches fn: exact Jaccard from attached variable-length
+    shingle-hash sets (sig_a/sig_b bytes)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        t = (batch["id_a"].type if "id_a" in batch.column_names
+             else pa.int64())
+        empty = pa.table({"id_a": pa.array([], type=t),
+                          "id_b": pa.array([], type=t),
+                          "similarity": pa.array([], type=pa.float64())})
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return empty
+        sims = np.empty(batch.num_rows, dtype=np.float64)
+        sa_col, sb_col = batch["sig_a"].to_pylist(), \
+            batch["sig_b"].to_pylist()
+        for i, (ba, bb) in enumerate(zip(sa_col, sb_col)):
+            sims[i] = _exact_jaccard(np.frombuffer(ba, dtype=np.uint64),
+                                     np.frombuffer(bb, dtype=np.uint64))
+        m = sims >= threshold
+        if not m.any():
+            return empty
+        idx = pa.array(np.nonzero(m)[0])
+        return pa.table({"id_a": batch["id_a"].take(idx),
+                         "id_b": batch["id_b"].take(idx),
+                         "similarity": pa.array(sims[m])})
+    return fn
 
 
 # ---------------------------------------------------------- embeddings

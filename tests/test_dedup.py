@@ -238,3 +238,35 @@ def test_label_propagation_checkpoint_resume(tmp_path):
                                          checkpoint_dir=ckpt)
             .to_pandas().sort_values("id").reset_index(drop=True))
     assert got2.rep.tolist() == [10, 10, 10, 10]
+
+
+def test_ngram_jaccard_dedup_exact_verification(doc_ds):
+    """ngram_jaccard_dedup: similarities are the EXACT n-gram Jaccard
+    (== brute-force ngram_jaccard on the raw texts), and the planted
+    near-dup pair (1, 51) is found while the exact dup scores 1.0."""
+    from bigdime_ray.pipelines.dedup import ngram_jaccard_dedup
+    texts = {r["doc_id"]: r["text"] for r in doc_ds.take_all()}
+    res = ngram_jaccard_dedup(doc_ds, threshold=0.5, n=3, bands=32)
+    found = {frozenset((a, b)): s for a, b, s in
+             zip(res.pairs.id_a, res.pairs.id_b, res.pairs.similarity)}
+    assert frozenset((0, 50)) in found and found[frozenset((0, 50))] == 1.0
+    assert frozenset((1, 51)) in found
+    for pair, sim in found.items():
+        a, b = sorted(pair)
+        assert abs(sim - ngram_jaccard(texts[a], texts[b], 3)) < 1e-12
+
+
+def test_ngram_jaccard_dedup_distributed_equals_driver(doc_ds):
+    """Forcing the >memory join-verify path (cc_max_driver_pairs=0)
+    must yield the same verified pairs and clusters."""
+    from bigdime_ray.pipelines.dedup import ngram_jaccard_dedup
+    drv = ngram_jaccard_dedup(doc_ds, threshold=0.5)
+    dist = ngram_jaccard_dedup(doc_ds, threshold=0.5,
+                               cc_max_driver_pairs=0)
+    def norm_pairs(df):
+        return sorted((min(a, b), max(a, b), round(s, 9)) for a, b, s in
+                      zip(df.id_a, df.id_b, df.similarity))
+    assert norm_pairs(drv.pairs) == norm_pairs(dist.pairs)
+    def norm_cl(df):
+        return sorted(map(tuple, df[["id", "rep"]].to_numpy().tolist()))
+    assert norm_cl(drv.clusters) == norm_cl(dist.clusters)
