@@ -208,3 +208,74 @@ def test_asof_join_randomized_vs_duckdb():
         a = out.matched_id.to_numpy()
         b = exp.m.to_numpy()
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), seed
+
+
+def test_asof_join_packed_equals_grouped():
+    """VERDICT r2 #5: the packed-cell as-of exchange must reproduce the
+    generic grouped path exactly (random keys/ts, ties included)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import (asof_join_grouped,
+                                              asof_join_packed)
+    rng = np.random.default_rng(21)
+    nl, nr = 800, 1200
+    base = np.datetime64("2024-01-01", "us")
+
+    def mk(n, id0):
+        return pa.table({
+            "k": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+            "ts": pa.array(base + rng.integers(0, 10_000, n)
+                           .astype("timedelta64[us]") * 1_000_000,
+                           type=pa.timestamp("us")),
+            "eid": pa.array(np.arange(id0, id0 + n), type=pa.int64())})
+
+    left = rd.from_arrow(mk(nl, 0)).repartition(4)
+    right = rd.from_arrow(mk(nr, 10_000)).repartition(5)
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+
+    a = norm(asof_join_grouped(left, right, key="k", ts_col="ts",
+                               left_id="eid", right_id="eid"))
+    b = norm(asof_join_packed(left, right, key="k", ts_col="ts",
+                              left_id="eid", right_id="eid"))
+    assert len(a) == nl == len(b)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_asof_join_packed_tagged_equals_two_sided():
+    """Single-scan tagged variant == two-Dataset packed variant (rows
+    carrying an unrelated side value are dropped)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import (asof_join_packed,
+                                              asof_join_packed_tagged)
+    rng = np.random.default_rng(33)
+    n = 1500
+    base = np.datetime64("2024-01-01", "us")
+    side = rng.choice(["buy", "click", "view"], n)  # "view" must drop
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 30, n), type=pa.int64()),
+        "ts": pa.array(base + rng.integers(0, 5_000, n)
+                       .astype("timedelta64[us]") * 1_000_000,
+                       type=pa.timestamp("us")),
+        "eid": pa.array(np.arange(n), type=pa.int64()),
+        "etype": pa.array(side)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    tagged = asof_join_packed_tagged(
+        ds, key="k", ts_col="ts", id_col="eid", side_col="etype",
+        left_value="buy", right_value="click").to_pandas()
+    two = asof_join_packed(
+        ds.filter(expr="etype == 'buy'"),
+        ds.filter(expr="etype == 'click'"),
+        key="k", ts_col="ts", left_id="eid",
+        right_id="eid").to_pandas()
+    a = tagged.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    b = two.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    assert len(a) == (side == "buy").sum()
+    pd.testing.assert_frame_equal(a, b[a.columns])
