@@ -275,10 +275,84 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
     return out
 
 
+def run_cliff_check(num_cpus: int = 8) -> dict:
+    """Regression guard for the retired scan batch-size cliff
+    (SURVEY §7.2 #2): before the fused kernel, >16k-row × 480-token
+    batches ran ~4× slower than 10k-row ones (aggregate worker
+    intermediates). Runs the suite steady-state at the auto batch size
+    and pinned 32k / 64k rows; PASS iff every pinned run is within 1.5×
+    of auto."""
+    import shutil
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from bigdime_ray.pipelines.validate import (ValidationRunConfig,
+                                                run_validation)
+    from bigdime_ray.validators import DEFAULT_SUITE
+    bench_dir = _ensure_bench_data()
+    _warm_page_cache([os.path.join(bench_dir, "data")])
+    run_dir = os.path.join(bench_dir, "run_cliff")
+
+    def once(th: dict) -> float:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_validation(ValidationRunConfig(
+            input_dir=bench_dir, run_dir=run_dir,
+            profile_path=os.path.join(bench_dir, "reference_profile.json"),
+            suite=list(DEFAULT_SUITE), thresholds=dict(th)))
+        return time.perf_counter() - t0
+
+    once({})  # warmup: worker spawn is per-process, not pipeline
+    out = {}
+    for label, th in (("auto", {}), ("32k", {"scan_batch_rows": 32768}),
+                      ("64k", {"scan_batch_rows": 65536})):
+        out[label] = round(min(once(th), once(th)), 3)
+    ray.shutdown()
+    worst = max(out["32k"], out["64k"]) / out["auto"]
+    return {"metric": "scan batch-size cliff check (suite sec by "
+                      "scan_batch_rows)", "value": round(worst, 3),
+            "unit": "worst_ratio_vs_auto", "pass": worst < 1.5,
+            "timings": out, "num_cpus": num_cpus}
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+    if "--cliff-check" in sys.argv:
+        print(json.dumps(run_cliff_check(
+            int(os.environ.get("RAY_GRAFT_CPUS", 8)))))
+    elif "--scaling" in sys.argv:
+        # BIGDIME_SCALE_WINDOWS > 1 → repeat the whole two-leg protocol
+        # N times (timestamped) so the efficiency claim rests on a
+        # distribution of measurement windows, not a best run
+        # (VERDICT r2 #9); the shared host's effective-core budget
+        # drifts on ~minutes timescales.
+        windows = int(os.environ.get("BIGDIME_SCALE_WINDOWS", 1))
+        if windows <= 1:
+            r = run_scaling(sf_dir)
+            r["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            print(json.dumps(r))
+        else:
+            runs = []
+            for w in range(windows):
+                r = run_scaling(sf_dir)
+                r["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+                r.pop("queries", None)  # keep the multi-window line small
+                runs.append(r)
+                print(f"# window {w}: raw={r['value']} norm="
+                      f"{r.get('host_normalized_efficiency')}",
+                      file=sys.stderr)
+            raws = sorted(x["value"] for x in runs)
+            print(json.dumps({
+                "metric": f"scaling efficiency across {windows} windows",
+                "value": raws[len(raws) // 2],
+                "unit": "median_raw_efficiency",
+                "raw_all": [x["value"] for x in runs],
+                "normalized_all": [x.get("host_normalized_efficiency")
+                                   for x in runs],
+                "windows": runs}))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
         print(json.dumps(run_bench(sf_dir, ncpu)))

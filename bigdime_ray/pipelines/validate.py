@@ -215,6 +215,14 @@ AUTO_SCAN_MAX_ROWS = 100_000_000       # 8 B/row packed-hash union ≈ 0.8 GB
 AUTO_PACKED_MAX_ROWS = 100_000_000     # 16 B/row × two sides ≈ 3.2 GB
 AUTO_DRIVER_MERGE_MAX_BLOCKS = 10_000  # scan-state cells pulled to driver
 AUTO_BUCKET_BYTES = 256 << 20          # target slice per uniqueness bucket
+#: aggregate on-disk bytes in flight across ALL concurrent scan workers
+#: (SURVEY §7.2 #2): the r1 "4× cliff" was not batch-local — it was
+#: N workers × per-batch intermediates blowing the shared cache /
+#: allocator budget. Sizing each batch to budget/concurrency keeps the
+#: aggregate constant at any pool width. (The fused scan kernel also
+#: shrank per-batch temporaries from ~5 full-size arrays to one
+#: L2-resident chunk, which is what retired the cliff itself.)
+SCAN_BUDGET_BYTES = 96 << 20
 
 
 def _auto_scale_dispatch(cfg: ValidationRunConfig, ctx: ValidationContext,
@@ -235,19 +243,23 @@ def _auto_scale_dispatch(cfg: ValidationRunConfig, ctx: ValidationContext,
         except Exception:
             pass  # unreadable footer → schema gate reports it
     ctx.estimated_rows = est_rows
-    # scanner batch size: target ~5 MB of on-disk bytes per batch
-    # (parquet compresses the token payload ~2×, so ~10 MB decoded).
-    # Measured: big enough that per-batch states stop dominating the
-    # driver drain (the scanner's bare ~10k-row slices at tiny rows),
-    # and safely below a sharp cliff where the scan's multi-pass
-    # intermediates (several 8 B/token arrays × workers) blow past the
-    # cache/allocator budget — 24k-row × 480-tok batches ran 4× slower
-    # than 10k-row ones on this box.
+    # scanner batch size: WORKER-COUNT-AWARE (SURVEY §7.2 #2) — each
+    # batch gets budget/concurrency on-disk bytes so the aggregate
+    # in-flight footprint is constant regardless of pool width (the old
+    # fixed ~5 MB/batch target let 32 workers carry 6× the aggregate of
+    # 8 workers). Floor 4k rows (per-batch state overhead dominates
+    # below), cap 1M rows.
     if est_rows:
         avg_row = max(1, est_bytes // est_rows)
+        conc = resolve_concurrency(cfg.scan_concurrency)
+        if not conc:
+            conc = max(1, int(ray.cluster_resources().get("CPU", 4)))
+        budget = int(ctx.thresholds.get("scan_budget_bytes",
+                                        SCAN_BUDGET_BYTES))
+        per_worker = max(1 << 20, budget // conc)
         ctx.thresholds.setdefault(
             "scan_batch_rows",
-            int(min(1 << 20, max(1 << 12, (5 << 20) // avg_row))))
+            int(min(1 << 20, max(1 << 12, per_worker // avg_row))))
     th = ctx.thresholds
     scan_max = int(th.get("auto_scan_max_rows", AUTO_SCAN_MAX_ROWS))
     if "uniqueness_strategy" not in th:

@@ -65,8 +65,9 @@ class ScanCache:
     the ~500 B/row token payload is wall-clock (measured via bench.py).
     All attributes are lazy."""
 
-    def __init__(self, tbl: pa.Table):
+    def __init__(self, tbl: pa.Table, vocab: Optional[int] = None):
         self.tbl = tbl
+        self.vocab = vocab  # enables the fused single-pass kernel
         self._cache: dict = {}
 
     def _get(self, key, fn):
@@ -116,10 +117,36 @@ class ScanCache:
                          lambda: hash_string_column(self.tbl["doc_id"]))
 
     @property
+    def fused(self):
+        """Fused hash+histogram+range results (SURVEY.md §7.2 #1): one
+        chunked cache-resident pass over the flattened payload instead
+        of ~4 full-array traversals. Requires ``vocab``."""
+        from bigdime_ray.functions.fused import fused_token_scan
+        return self._get("fused", lambda: fused_token_scan(
+            self.flat, self.offsets, self.lengths_np, self.vocab))
+
+    @property
     def tokens_hash(self):
-        from bigdime_ray.functions.hashing import hash_int_list_column
-        return self._get("tokens_hash",
-                         lambda: hash_int_list_column(self.tokens))
+        import numpy as _np
+        from bigdime_ray.functions.hashing import (_GOLDEN, _NULL_ROW,
+                                                   hash_int_list_column,
+                                                   mix64)
+
+        def mk():
+            if self.vocab is None:
+                return hash_int_list_column(self.tokens)
+            # finalize from the fused pass (same tail as
+            # hash_int_list_column — bit-equality pinned in tests)
+            with _np.errstate(over="ignore"):
+                out = mix64(self.fused["row_sums"] +
+                            _GOLDEN * self.lengths_np.astype(_np.uint64))
+            col = self.tokens
+            if col.null_count:
+                import pyarrow.compute as _pc
+                out[_pc.is_null(col).to_numpy(zero_copy_only=False)] = \
+                    _NULL_ROW
+            return out
+        return self._get("tokens_hash", mk)
 
     @property
     def row_hash(self):
@@ -158,7 +185,7 @@ class ScanWorker:
                 tbl = batch
             else:
                 tbl = batch.filter(pc.equal(part_col, pid))
-            cache = ScanCache(tbl)
+            cache = ScanCache(tbl, vocab=self.ctx.vocab)
             for v in self.validators:
                 res = v.scan_partition(tbl, pid, self.ctx, cache=cache)
                 n_v = len(res.viol_doc_ids)

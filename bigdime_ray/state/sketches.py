@@ -196,6 +196,18 @@ class HistogramState(PartialState):
         return HistogramState(size=size, ids=ids.astype(np.int64),
                               counts=cts.astype(np.int64))
 
+    @staticmethod
+    def from_dense(dense: np.ndarray, size: int) -> "HistogramState":
+        """From a precomputed dense count array (the fused scan kernel's
+        histogram) — same compaction as ``from_values``."""
+        ids = np.nonzero(dense)[0]
+        cts = dense[ids]
+        if size < 2**31 and (len(cts) == 0 or cts.max() < 2**31):
+            return HistogramState(size=size, ids=ids.astype(np.int32),
+                                  counts=cts.astype(np.int32))
+        return HistogramState(size=size, ids=ids.astype(np.int64),
+                              counts=cts.astype(np.int64))
+
     def merge(self, other: "HistogramState") -> "HistogramState":
         size = max(self.size, other.size)
         if len(self.ids) == 0:

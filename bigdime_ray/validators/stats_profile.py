@@ -79,12 +79,20 @@ class ColumnStatsValidator(Validator):
         tok = tbl["tokens"]
         st.column_stats["tokens"] = ColumnStatsState(
             count=len(tok), null_count=pc.count(tok, mode="only_null").as_py())
-        flat = (cache.flat if cache is not None else
-                pc.list_flatten(tok if not isinstance(tok, pa.ChunkedArray)
-                                else tok.combine_chunks()))
-        vals = (flat.to_numpy(zero_copy_only=False) if flat.null_count == 0
-                else pc.drop_null(flat).to_numpy(zero_copy_only=False))
-        st.token_histogram = HistogramState.from_values(vals, ctx.vocab)
+        if cache is not None and cache.vocab == ctx.vocab:
+            # fused scan kernel: histogram was accumulated in the shared
+            # chunked pass — zero extra payload traversals here
+            st.token_histogram = HistogramState.from_dense(
+                cache.fused["hist"], ctx.vocab)
+        else:
+            flat = (cache.flat if cache is not None else
+                    pc.list_flatten(tok if not isinstance(tok,
+                                                          pa.ChunkedArray)
+                                    else tok.combine_chunks()))
+            vals = (flat.to_numpy(zero_copy_only=False)
+                    if flat.null_count == 0
+                    else pc.drop_null(flat).to_numpy(zero_copy_only=False))
+            st.token_histogram = HistogramState.from_values(vals, ctx.vocab)
         ntok = pc.drop_null(tbl["n_tok"]).to_numpy(zero_copy_only=False)
         st.ntok_digest = TDigestState.from_values(ntok.astype(np.float64))
         return ScanResult(state=st)

@@ -27,8 +27,19 @@ class TokenRangeValidator(Validator):
 
     def scan_partition(self, tbl: pa.Table, partition_id: str,
                        ctx: ValidationContext, cache=None) -> ScanResult:
-        if cache is not None:
+        if cache is not None and cache.vocab == ctx.vocab:
+            # fused single-pass kernel: bad/null POSITIONS come from the
+            # shared chunked pass — no extra traversal of the payload
+            col, offsets = cache.tokens, cache.offsets
+            f = cache.fused
+            bad_pos, vals = f["bad_pos"], f["vals"]
+            null_set = f["null_pos"]
+            inner_null_at = (np.isin(bad_pos, null_set)
+                             if len(null_set) else
+                             np.zeros(len(bad_pos), dtype=bool))
+        elif cache is not None:
             col, offsets, flat = cache.tokens, cache.offsets, cache.flat
+            bad_pos, vals, inner_null_at = self._scan_flat(flat, ctx)
         else:
             col = tbl["tokens"]
             if isinstance(col, pa.ChunkedArray):
@@ -38,18 +49,10 @@ class TokenRangeValidator(Validator):
             offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
             np.cumsum(lengths, out=offsets[1:])
             flat = pc.list_flatten(col)
-        if flat.null_count:
-            inner_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
-            vals = pc.fill_null(flat, 0).to_numpy(zero_copy_only=False)
-        else:
-            inner_null = np.zeros(len(flat), dtype=bool)
-            vals = flat.to_numpy(zero_copy_only=False)
-        bad_elem = inner_null | (vals < 0) | (vals >= ctx.vocab)
+            bad_pos, vals, inner_null_at = self._scan_flat(flat, ctx)
         null_rows = pc.is_null(col).to_numpy(zero_copy_only=False)
-        n_bad_elems = int(bad_elem.sum())
-        if n_bad_elems == 0 and not null_rows.any():
+        if len(bad_pos) == 0 and not null_rows.any():
             return ScanResult(state=CountState(0))
-        bad_pos = np.nonzero(bad_elem)[0]
         bad_row_idx = np.searchsorted(offsets, bad_pos, side="right") - 1
         bad_rows = np.unique(np.concatenate(
             [bad_row_idx, np.nonzero(null_rows)[0]]))
@@ -60,13 +63,28 @@ class TokenRangeValidator(Validator):
             if null_rows[r]:
                 details.append("tokens is null")
             else:
-                k = bad_pos[bad_row_idx == r][0]
-                v = "null" if inner_null[k] else str(vals[k])
+                j = np.nonzero(bad_row_idx == r)[0][0]
+                k = bad_pos[j]
+                v = "null" if inner_null_at[j] else str(vals[k])
                 details.append(f"token[{k - offsets[r]}]={v} outside [0,{ctx.vocab})")
         return ScanResult(state=CountState(int(len(bad_rows))),
                           viol_doc_ids=doc_ids,
                           viol_reason="token out of range or null",
                           viol_details=details)
+
+    @staticmethod
+    def _scan_flat(flat: pa.Array, ctx: ValidationContext):
+        """Unfused fallback: full boolean pass over the flat values.
+        Returns (bad_pos, vals, inner_null_at_bad_pos)."""
+        if flat.null_count:
+            inner_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+            vals = pc.fill_null(flat, 0).to_numpy(zero_copy_only=False)
+        else:
+            inner_null = np.zeros(len(flat), dtype=bool)
+            vals = flat.to_numpy(zero_copy_only=False)
+        bad_elem = inner_null | (vals < 0) | (vals >= ctx.vocab)
+        bad_pos = np.nonzero(bad_elem)[0]
+        return bad_pos, vals, inner_null[bad_pos]
 
     def finalize(self, partition_id: str, state: Optional[PartialState],
                  ctx: ValidationContext) -> ValidationResponse:

@@ -79,3 +79,77 @@ def test_u64_i64_roundtrip():
 def test_mix64_bijective_ish():
     xs = np.arange(10_000, dtype=np.uint64)
     assert len(np.unique(mix64(xs))) == 10_000
+
+
+# ------------------------- fused single-pass kernel (SURVEY §7.2 #1)
+
+def _fused_reference(col, vocab):
+    """The three separate kernels the fused pass must reproduce."""
+    import pyarrow.compute as pc
+    from bigdime_ray.state.sketches import HistogramState
+    lengths = (pc.fill_null(pc.list_value_length(col), 0)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = pc.list_flatten(col)
+    # range (token_range's boolean path)
+    if flat.null_count:
+        inner_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+        vals = pc.fill_null(flat, 0).to_numpy(zero_copy_only=False)
+    else:
+        inner_null = np.zeros(len(flat), dtype=bool)
+        vals = flat.to_numpy(zero_copy_only=False)
+    bad = np.nonzero(inner_null | (vals < 0) | (vals >= vocab))[0]
+    # histogram (stats_profile path)
+    hv = (vals[~inner_null] if inner_null.any() else vals)
+    hist = HistogramState.from_values(hv, vocab)
+    return offsets, lengths, flat, bad, hist
+
+
+def _check_fused(data, vocab, chunk_elems):
+    from bigdime_ray.functions.fused import fused_token_scan
+    from bigdime_ray.state.sketches import HistogramState
+    col = _lists(data)
+    offsets, lengths, flat, bad_ref, hist_ref = _fused_reference(col, vocab)
+    f = fused_token_scan(flat, offsets, lengths, vocab,
+                         chunk_elems=chunk_elems)
+    assert np.array_equal(np.sort(f["bad_pos"]), bad_ref)
+    got_hist = HistogramState.from_dense(f["hist"], vocab)
+    assert np.array_equal(got_hist.ids, hist_ref.ids)
+    assert np.array_equal(got_hist.counts, hist_ref.counts)
+    # hash tail: via ScanCache against the separate kernel
+    import pyarrow as _pa
+    from bigdime_ray.stages.scan import ScanCache
+    tbl = _pa.table({"tokens": col})
+    cache = ScanCache(tbl, vocab=vocab)
+    assert np.array_equal(cache.tokens_hash, hash_int_list_column(col))
+
+
+def test_fused_token_scan_matches_separate_kernels():
+    cases = [
+        [[1, 2, 3], [4, 5], [], [7]],
+        [None, [], [1], [1, None, 3]],
+        [[0, 9, 9, 9], [-1, 100], None, [5]],
+        [[]] * 5,
+        [[3] * 50, [1], [2] * 17],
+    ]
+    for data in cases:
+        for chunk in (4, 7, 1 << 18):   # force multi-chunk splits
+            _check_fused(data, vocab=10, chunk_elems=chunk)
+
+
+def test_fused_token_scan_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    rows = st.lists(
+        st.one_of(st.none(),
+                  st.lists(st.one_of(st.none(),
+                                     st.integers(-5, 30)), max_size=12)),
+        min_size=0, max_size=25)
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows, st.integers(1, 3))
+    def run(data, chunk):
+        _check_fused(data, vocab=20, chunk_elems=chunk)
+
+    run()
