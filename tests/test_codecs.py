@@ -1,0 +1,200 @@
+"""Real pure-numpy media codecs (PPM / WAV / PPM-stream) and the real
+multimodal decode→resize→frame-sample paths built on them."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from bigdime_ray.functions.codecs import (audio_features, decode_ppm,
+                                          decode_wav, encode_ppm,
+                                          encode_ppm_stream, encode_wav,
+                                          image_features, iter_ppm_stream,
+                                          resize_nearest)
+
+
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    out = decode_ppm(encode_ppm(px))
+    assert out.shape == (17, 23, 3)
+    assert np.array_equal(out, px)
+
+
+def test_ppm_header_comments_and_whitespace():
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    raw = b"P6 # a comment\n# another\n 3\t2 \n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(raw), px)
+
+
+def test_ppm_rejects_bad_input():
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):  # truncated pixel data
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+
+
+def test_resize_nearest_exact():
+    # 2x2 checkerboard upsampled 2x: each source pixel becomes a 2x2 block
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 1] = px[1, 0] = 255
+    up = resize_nearest(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.array_equal(up[:2, :2], np.zeros((2, 2, 3), dtype=np.uint8))
+    assert (up[:2, 2:] == 255).all() and (up[2:, :2] == 255).all()
+    # identity resize is a no-op
+    assert np.array_equal(resize_nearest(px, 2, 2), px)
+
+
+def test_ppm_stream_roundtrip():
+    rng = np.random.default_rng(4)
+    frames = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+              for _ in range(4)]
+    payload = encode_ppm_stream(frames)
+    idx = iter_ppm_stream(payload)
+    assert len(idx) == 4
+    for (start, ln, w, h), f in zip(idx, frames):
+        assert (w, h) == (7, 5)
+        assert np.array_equal(decode_ppm(payload, start), f)
+        # each frame slice is an independently decodable PPM
+        assert np.array_equal(decode_ppm(payload[start:start + ln]), f)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, 1000).astype(np.int16)
+    out, sr = decode_wav(encode_wav(s, 16000))
+    assert sr == 16000
+    assert np.array_equal(out, s)
+
+
+def test_wav_chunk_walk_and_stereo():
+    # non-canonical chunk order (LIST before data) + stereo downmix
+    import struct
+    s = np.arange(-10, 10, dtype=np.int16)
+    stereo = np.empty(2 * len(s), dtype=np.int16)
+    stereo[0::2] = s          # channel 0
+    stereo[1::2] = 99         # channel 1 (dropped)
+    data = stereo.tobytes()
+    fmt = struct.pack("<4sI", b"fmt ", 16) + struct.pack(
+        "<HHIIHH", 1, 2, 22050, 22050 * 4, 4, 16)
+    lst = struct.pack("<4sI", b"LIST", 5) + b"INFO\x00\x00"  # padded odd
+    dat = struct.pack("<4sI", b"data", len(data)) + data
+    body = lst + fmt + dat
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    out, sr = decode_wav(payload)
+    assert sr == 22050
+    assert np.array_equal(out, s)
+
+
+def test_features_deterministic_and_bounded():
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    f1, f2 = image_features(px), image_features(px)
+    assert np.array_equal(f1, f2) and len(f1) == 8
+    assert (f1 >= 0).all() and (f1 <= 1).all()
+    s = (np.sin(np.arange(800) / 10) * 20000).astype(np.int16)
+    a = audio_features(s, 16000)
+    assert len(a) == 8 and np.array_equal(a, audio_features(s, 16000))
+    assert np.array_equal(audio_features(np.empty(0, np.int16), 16000),
+                          np.zeros(8))
+
+
+# --------------------------- real multimodal pipeline over real media
+
+def test_synth_real_media_all_decodable():
+    from bigdime_ray.pipelines.multimodal import synth_real_media_table
+    t = synth_real_media_table(60, seed=9)
+    assert t.equals(synth_real_media_table(60, seed=9))  # deterministic
+    for row in t.to_pylist():
+        p = row["payload"]
+        if row["kind"] == "audio":
+            s, sr = decode_wav(p)
+            assert sr == row["sample_rate"] and len(s) > 0
+        elif row["kind"] == "image":
+            px = decode_ppm(p)
+            assert px.shape == (row["height"], row["width"], 3)
+        else:
+            idx = iter_ppm_stream(p)
+            assert 3 <= len(idx) <= 5
+            assert all((w, h) == (row["width"], row["height"])
+                       for _, _, w, h in idx)
+
+
+def test_extractor_auto_real_media():
+    from bigdime_ray.pipelines.multimodal import (MediaFeatureExtractor,
+                                                  synth_real_media_table)
+    t = synth_real_media_table(40, seed=10)
+    out = MediaFeatureExtractor(decoder="auto")(t)
+    assert out["decode_ok"].to_pylist() == [True] * 40
+    df = out.to_pandas()
+    src = t.to_pandas()
+    vis = src.kind != "audio"
+    assert (df.decoded_width[vis].to_numpy()
+            == src.width[vis].to_numpy()).all()
+    assert (df.decoded_width[~vis] == 0).all()
+    # real pixel features vary across images (not a constant stub)
+    feats = np.stack(df.features[vis].to_numpy())
+    assert len(np.unique(feats, axis=0)) == len(feats)
+    assert feats.std(axis=0).max() > 1e-4
+
+
+def test_resize_media_auto_really_resamples():
+    from bigdime_ray.pipelines.multimodal import (resize_media,
+                                                  synth_real_media_table)
+    t = synth_real_media_table(30, seed=11)
+    out = resize_media(ray.data.from_arrow(t), 16, 12,
+                       concurrency=2).to_pandas().set_index("media_id")
+    for row in t.to_pylist():
+        got = out.loc[row["media_id"]]
+        if row["kind"] == "audio":
+            assert got["payload"] == row["payload"]  # untouched
+        elif row["kind"] == "image":
+            px = decode_ppm(got["payload"])
+            assert px.shape == (12, 16, 3)
+            # resample of the source, not garbage: spot-check one pixel
+            src = decode_ppm(row["payload"])
+            assert np.array_equal(px, resize_nearest(src, 16, 12))
+        else:
+            idx = iter_ppm_stream(got["payload"])
+            assert all((w, h) == (16, 12) for _, _, w, h in idx)
+            assert len(idx) == len(iter_ppm_stream(row["payload"]))
+        if row["kind"] != "audio":
+            assert (got["width"], got["height"]) == (16, 12)
+
+
+def test_frame_sample_auto_real_frames():
+    from bigdime_ray.pipelines.multimodal import (frame_sample,
+                                                  synth_real_media_table)
+    t = synth_real_media_table(50, seed=12)
+    vids = {r["media_id"]: r for r in t.to_pylist() if r["kind"] == "video"}
+    out = frame_sample(ray.data.from_arrow(t).repartition(3),
+                       num_frames=3).to_pandas()
+    counts = out.groupby("media_id").size()
+    for mid, row in vids.items():
+        n_src = len(iter_ppm_stream(row["payload"]))
+        assert counts[mid] == min(3, n_src)
+    # every emitted frame payload is an independently decodable PPM
+    for _, r in out.iterrows():
+        px = decode_ppm(r["payload"])
+        src = vids[r["media_id"]]
+        assert px.shape == (src["height"], src["width"], 3)
+
+
+def test_media_pipeline_end_to_end_real():
+    """Real decode → real resize → real frame split, chained as Ray
+    actor-pool stages (the shape the 100 TB pipeline runs)."""
+    from bigdime_ray.pipelines.multimodal import (MediaFeatureExtractor,
+                                                  extract_media_features,
+                                                  frame_sample,
+                                                  resize_media,
+                                                  synth_real_media_table)
+    ds = ray.data.from_arrow(synth_real_media_table(48, seed=13)) \
+        .repartition(4)
+    resized = resize_media(ds, 10, 10, concurrency=2)
+    frames = frame_sample(resized, num_frames=2).to_pandas()
+    assert len(frames) > 0
+    for p in frames.payload:
+        assert decode_ppm(p).shape == (10, 10, 3)
+    feats = extract_media_features(ds, concurrency=2).to_pandas()
+    assert feats.decode_ok.all()

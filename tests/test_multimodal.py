@@ -51,7 +51,8 @@ def test_resize_media():
     from bigdime_ray.pipelines.multimodal import (MediaFeatureExtractor,
                                                   resize_media)
     ds = ray.data.from_arrow(synth_media_table(30))
-    out = resize_media(ds, 64, 64, concurrency=2).materialize()
+    out = resize_media(ds, 64, 64, concurrency=2,
+                       decoder="fake").materialize()
     pdf = out.to_pandas()
     imgs = pdf[pdf.kind != "audio"]
     assert (imgs.width == 64).all() and (imgs.height == 64).all()
@@ -91,7 +92,7 @@ def test_resize_tolerates_corrupt_payloads():
     ]
     tbl = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
     out = resize_media(ray.data.from_arrow(tbl), 128, 128,
-                       concurrency=None if False else 1).to_pandas()
+                       concurrency=1, decoder="fake").to_pandas()
     out = out.set_index("media_id")
     assert out.loc["m-bad", "payload"] == b"\x01\x02"  # untouched
     ok = out.loc["m-ok", "payload"]
