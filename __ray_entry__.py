@@ -695,20 +695,95 @@ def _q_asof_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_asof_join_windowed(sf_dir: str):
+    """As-of join with a match-window tolerance (attribution semantics):
+    each purchase matched to the latest prior click of the same user
+    WITHIN 2 hours — older clicks are no match. Same packed-cell
+    exchange as events_asof_join."""
+    from bigdime_ray.pipelines.stream import asof_join_packed_tagged
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    p = os.path.join(sf_dir, "events.parquet")
+    nb = max(4, os.path.getsize(p) // (32 << 20) + 1)
+    kw = {"override_num_blocks": int(nb)} if nb <= 128 else {}
+    ev = ray.data.read_parquet(
+        p, columns=cols,
+        filter=(pc.field("event_type").isin(["purchase", "click"])), **kw)
+    out = asof_join_packed_tagged(ev, key="user_id", ts_col="ts",
+                                  id_col="event_id",
+                                  side_col="event_type",
+                                  left_value="purchase",
+                                  right_value="click",
+                                  out_col="click_event_id",
+                                  tolerance_us=2 * 3_600_000_000)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["k"], pa.int64()), "ts": b["ts"],
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "click_event_id": pc.cast(b["click_event_id"], pa.float64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_interval_overlap(sf_dir: str):
+    """Range-join aggregate: for every click, how many purchase windows
+    [purchase_ts, purchase_ts + 2h] of the same user were active —
+    exact under arbitrary overlap via two merged-lexsort ranks per
+    bucket (#lo<=ts − #hi<ts), never an interval enumeration."""
+    from bigdime_ray.pipelines.stream import interval_overlap_count
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    p = os.path.join(sf_dir, "events.parquet")
+    nb = max(4, os.path.getsize(p) // (32 << 20) + 1)
+    kw = {"override_num_blocks": int(nb)} if nb <= 128 else {}
+
+    def _typed(t):
+        return ray.data.read_parquet(
+            p, columns=cols, filter=(pc.field("event_type") == t), **kw)
+
+    H2 = 2 * 3_600_000_000  # µs
+
+    def widen(b: pa.Table) -> pa.Table:
+        ts = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        return pa.table({
+            "user_id": b["user_id"],
+            "lo": pa.array(ts.view("datetime64[us]"),
+                           type=pa.timestamp("us")),
+            "hi": pa.array((ts + H2).view("datetime64[us]"),
+                           type=pa.timestamp("us"))})
+
+    intervals = _typed("purchase").map_batches(widen,
+                                               batch_format="pyarrow",
+                                               zero_copy_batch=True)
+    out = interval_overlap_count(_typed("click"), intervals,
+                                 key="user_id", ts_col="ts",
+                                 lo_col="lo", hi_col="hi",
+                                 event_id="event_id")
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()), "ts": b["ts"],
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "n_active": pc.cast(b["n_active"], pa.int64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing end-to-end through the driver surface:
-    deterministic synthetic media table → actor-pool decode/feature
-    stage → resize → frame sampling (rows-only; codec slots stubbed,
-    the Ray-side pipeline is real)."""
+    """Multimodal pipeline end-to-end through the driver surface with
+    REAL codecs: deterministic real media (binary PPM images, PCM16 WAV
+    audio, concatenated-P6 video — `functions/codecs.py`, pure
+    numpy/struct) → actor-pool decode/feature stage → real
+    nearest-neighbor resize → real frame splitting (rows-only)."""
     import ray.data as rd
     from bigdime_ray.pipelines.multimodal import (extract_media_features,
                                                   frame_sample,
                                                   resize_media,
-                                                  synth_media_table)
-    tbl = synth_media_table(n=300, seed=11)
+                                                  synth_real_media_table)
+    tbl = synth_real_media_table(n=300, seed=11)
     ds = rd.from_arrow(tbl).repartition(4)
     feats = extract_media_features(ds, concurrency=2).to_pandas()
-    resized = resize_media(ds, 128, 128, concurrency=2)
+    resized = resize_media(ds, 24, 24, concurrency=2)
     frames = frame_sample(resized, num_frames=3).to_pandas()
     out = pd.DataFrame({
         "media_id": feats["media_id"], "kind": feats["kind"],
@@ -928,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
         "events_asof_join": _q_asof_join,
+        "events_asof_join_windowed": _q_asof_join_windowed,
+        "events_interval_overlap": _q_interval_overlap,
         "customers_without_orders": _q_customers_without_orders,
         "grouped_median": _q_grouped_median,
         "revenue_by_region": _q_revenue_by_region,
@@ -1066,6 +1143,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.cid AS DOUBLE) AS click_event_id "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "events_asof_join_windowed":
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, MAX(event_id) AS cid FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT user_id, ts, event_id, click_event_id FROM ("
+            "SELECT p.user_id, p.ts, p.event_id, "
+            "CAST(c.cid AS DOUBLE) AS click_event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY p.event_id "
+            "ORDER BY c.ts DESC NULLS LAST) AS rn "
+            "FROM p LEFT JOIN c ON p.user_id = c.user_id "
+            "AND c.ts <= p.ts "
+            "AND c.ts >= p.ts - INTERVAL 2 HOUR) WHERE rn = 1",
+        "events_interval_overlap":
+            "WITH iv AS (SELECT user_id, ts AS lo, "
+            "ts + INTERVAL 2 HOUR AS hi FROM events "
+            "WHERE event_type = 'purchase'), "
+            "ev AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT ev.user_id, ev.ts, ev.event_id, "
+            "CAST(COUNT(iv.lo) AS BIGINT) AS n_active "
+            "FROM ev LEFT JOIN iv ON ev.user_id = iv.user_id "
+            "AND ev.ts BETWEEN iv.lo AND iv.hi "
+            "GROUP BY ev.user_id, ev.ts, ev.event_id",
         "customers_without_orders":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",

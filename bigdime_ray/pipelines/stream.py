@@ -19,6 +19,15 @@ needs no global order).
   of the two tagged narrow projections, then a vectorized searchsorted
   inside each group. Partitioning assumption: a single key's rows fit a
   task (salt the key upstream if a key is pathologically hot).
+- ``asof_join_packed`` / ``asof_join_packed_tagged`` — the int64-key
+  fast path: packed binary cells through the shuffle instead of rows
+  (#blocks × #buckets cells); the tagged variant does it from ONE scan
+  when both sides live in the same table. Optional ``tolerance_us``
+  bounds the match window (attribution semantics).
+- ``interval_overlap_count`` — range-join aggregate: per-event count of
+  covering [lo, hi] intervals of the same key, exact under arbitrary
+  overlap via two merged-lexsort ranks (#lo≤ts − #hi<ts), no pair
+  enumeration and no per-key loop.
 """
 
 from __future__ import annotations
@@ -212,12 +221,15 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
 
 
 def _asof_kernel(k: np.ndarray, ts: np.ndarray, ids: np.ndarray,
-                 side: np.ndarray
+                 side: np.ndarray, tolerance: int | None = None
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized as-of core over one co-located group: rights before
     lefts at equal (k, ts), positional ``maximum.accumulate``
-    forward-fill, cross-key fills nulled. Returns (k, ts, id, matched
-    float64) for the LEFT rows; no-match is NaN."""
+    forward-fill, cross-key fills nulled. ``tolerance`` (same unit as
+    ts; µs for timestamps) bounds the match window: a right row older
+    than ``left.ts - tolerance`` is no match (pandas ``merge_asof
+    tolerance`` / attribution-window semantics). Returns (k, ts, id,
+    matched float64) for the LEFT rows; no-match is NaN."""
     n = len(k)
     # rights before lefts at equal (k, ts); rights at equal ts sort
     # by id ascending so the cummax lands on the max id
@@ -232,6 +244,13 @@ def _asof_kernel(k: np.ndarray, ts: np.ndarray, ids: np.ndarray,
     ok = fidx >= 0
     if ok.any():
         same_key = ks[fidx[ok]] == ks[lmask][ok]
+        if tolerance is not None:
+            # the cummax candidate is the LATEST prior right row, so if
+            # it is outside the window no earlier one can be inside
+            ts_np = np.asarray(tss).astype(np.int64, copy=False)
+            lts = ts_np[lmask][ok]
+            rts = ts_np[fidx[ok]]
+            same_key = same_key & (lts - rts <= int(tolerance))
         take = np.nonzero(ok)[0][same_key]
         matched[take] = idss[fidx[ok][same_key]].astype(np.float64)
     return ks[lmask], tss[lmask], idss[lmask], matched
@@ -240,7 +259,8 @@ def _asof_kernel(k: np.ndarray, ts: np.ndarray, ids: np.ndarray,
 def asof_join_packed(left: Dataset, right: Dataset, key: str, ts_col: str,
                      left_id: str, right_id: str,
                      out_col: str = "matched_id",
-                     num_buckets: int = 16) -> Dataset:
+                     num_buckets: int = 16,
+                     tolerance_us: int | None = None) -> Dataset:
     """Packed-cell as-of join — the int64-key fast path.
 
     Same semantics as ``asof_join_grouped``, different exchange: each
@@ -300,13 +320,14 @@ def asof_join_packed(left: Dataset, right: Dataset, key: str, ts_col: str,
              .union(right.map_batches(pack(right_id, 1),
                                       batch_format="pyarrow",
                                       zero_copy_batch=True)))
-    return _asof_merge_cells(cells, left_id, out_col)
+    return _asof_merge_cells(cells, left_id, out_col, tolerance_us)
 
 
 def asof_join_packed_tagged(ds: Dataset, key: str, ts_col: str,
                             id_col: str, side_col: str, left_value,
                             right_value, out_col: str = "matched_id",
-                            num_buckets: int = 16) -> Dataset:
+                            num_buckets: int = 16,
+                            tolerance_us: int | None = None) -> Dataset:
     """``asof_join_packed`` over ONE input whose rows carry their side in
     ``side_col`` (e.g. an event_type column): a single scan + a single
     pack stage replace the two filtered reads — at 100 TB that halves
@@ -355,7 +376,7 @@ def asof_join_packed_tagged(ds: Dataset, key: str, ts_col: str,
 
     cells = ds.map_batches(pack, batch_format="pyarrow",
                            zero_copy_batch=True)
-    return _asof_merge_cells(cells, id_col, out_col)
+    return _asof_merge_cells(cells, id_col, out_col, tolerance_us)
 
 
 _ASOF_EMPTY_CELLS = pa.table({
@@ -367,7 +388,8 @@ _ASOF_EMPTY_CELLS = pa.table({
 
 
 def _asof_merge_cells(cells: Dataset, left_id: str,
-                      out_col: str) -> Dataset:
+                      out_col: str,
+                      tolerance_us: int | None = None) -> Dataset:
     """Shared reduce leg: per-bucket concat of packed cells + the
     vectorized as-of kernel."""
 
@@ -380,10 +402,123 @@ def _asof_merge_cells(cells: Dataset, left_id: str,
                               for b in g["rid"]])
         side = np.repeat(g["side"].to_numpy().astype(np.int8),
                          [len(a) for a in ks])
-        kl, tsl, idl, matched = _asof_kernel(k, ts, ids, side)
+        kl, tsl, idl, matched = _asof_kernel(k, ts, ids, side,
+                                             tolerance=tolerance_us)
         return pd.DataFrame({
             "k": kl, "ts": pd.Series(tsl.view("datetime64[us]")),
             left_id: idl, out_col: matched})
+
+    return cells.groupby("bucket").map_groups(merge,
+                                              batch_format="pandas")
+
+
+def _rank_within_key(k_iv: np.ndarray, v_iv: np.ndarray,
+                     k_ev: np.ndarray, v_ev: np.ndarray,
+                     intervals_first_on_tie: bool) -> np.ndarray:
+    """For every event (k, v): the number of interval values v_iv of the
+    SAME key that precede it in the merged (k, value) order. With
+    intervals winning ties → #(v_iv <= v); events winning → #(v_iv < v).
+    One lexsort over the merged arrays — no per-key loop (the asof
+    kernel's segment-base trick)."""
+    n_iv, n_ev = len(k_iv), len(k_ev)
+    k = np.concatenate([k_iv, k_ev])
+    v = np.concatenate([v_iv, v_ev])
+    is_ev = np.r_[np.zeros(n_iv, dtype=np.int8), np.ones(n_ev, dtype=np.int8)]
+    tie = is_ev if intervals_first_on_tie else -is_ev
+    order = np.lexsort((tie, v, k))
+    ks, es = k[order], is_ev[order]
+    c = np.cumsum(es == 0)  # intervals seen so far (inclusive)
+    new_key = np.r_[True, ks[1:] != ks[:-1]]
+    key_starts = np.nonzero(new_key)[0]
+    base = c[key_starts] - (es[key_starts] == 0)
+    per_row_base = np.repeat(base, np.diff(np.r_[key_starts, n_iv + n_ev]))
+    ranks_sorted = c - per_row_base
+    # map back to the original EVENT order
+    out = np.empty(n_ev, dtype=np.int64)
+    ev_pos = np.nonzero(es == 1)[0]
+    out[order[ev_pos] - n_iv] = ranks_sorted[ev_pos]
+    return out
+
+
+def interval_overlap_count(events: Dataset, intervals: Dataset, key: str,
+                           ts_col: str, lo_col: str, hi_col: str,
+                           event_id: str, num_buckets: int = 16) -> Dataset:
+    """Range-join aggregate: for every event, the COUNT of intervals of
+    the same key with ``lo <= ts <= hi`` (concurrency / active-session
+    counting; SQL: LEFT JOIN ON k AND ts BETWEEN lo AND hi + COUNT).
+
+    Handles arbitrarily overlapping intervals exactly without
+    enumerating pairs: within each co-located bucket,
+    ``count = #(lo <= ts) − #(hi < ts)`` per key, each side one
+    vectorized merged-lexsort rank (``_rank_within_key``). The exchange
+    is the same packed-cell pattern as ``asof_join_packed`` — binary
+    cells per (block, bucket), never a row-level shuffle. Integer keys /
+    ids; ts/lo/hi timestamp[us]-compatible.
+    """
+    from bigdime_ray.functions.hashing import mix64
+
+    empty_cells = pa.table({
+        "bucket": pa.array([], type=pa.int32()),
+        "k": pa.array([], type=pa.binary()),
+        "a": pa.array([], type=pa.binary()),
+        "b": pa.array([], type=pa.binary()),
+        "side": pa.array([], type=pa.int8())})
+
+    def _ts64(col) -> np.ndarray:
+        return (col.to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").view(np.int64))
+
+    def pack(side: int, a_col: str, b_col: str, b_is_ts: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(k) == 0:
+                return empty_cells
+            a = _ts64(t[a_col])
+            b = (_ts64(t[b_col]) if b_is_ts else
+                 t[b_col].to_numpy(zero_copy_only=False).astype(np.int64))
+            bkt = (mix64(k.view(np.uint64)) % np.uint64(num_buckets)) \
+                .astype(np.int32)
+            order = np.argsort(bkt, kind="stable")
+            bs = bkt[order]
+            ks, av, bv = k[order], a[order], b[order]
+            bounds = np.nonzero(np.r_[True, bs[1:] != bs[:-1]])[0]
+            ends = np.r_[bounds[1:], len(bs)]
+            return pa.table({
+                "bucket": pa.array(bs[bounds], type=pa.int32()),
+                "k": pa.array([ks[s:e].tobytes()
+                               for s, e in zip(bounds, ends)],
+                              type=pa.binary()),
+                "a": pa.array([av[s:e].tobytes()
+                               for s, e in zip(bounds, ends)],
+                              type=pa.binary()),
+                "b": pa.array([bv[s:e].tobytes()
+                               for s, e in zip(bounds, ends)],
+                              type=pa.binary()),
+                "side": pa.array(np.full(len(bounds), side,
+                                         dtype=np.int8))})
+        return fn
+
+    cells = (events.map_batches(pack(0, ts_col, event_id, False),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .union(intervals.map_batches(pack(1, lo_col, hi_col, True),
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sides = g["side"].to_numpy().astype(np.int8)
+        def cat(col, m):
+            bufs = [np.frombuffer(b, dtype=np.int64)
+                    for b, s in zip(g[col], sides) if s == m]
+            return (np.concatenate(bufs) if bufs
+                    else np.empty(0, dtype=np.int64))
+        k_ev, ts_ev, id_ev = cat("k", 0), cat("a", 0), cat("b", 0)
+        k_iv, lo_iv, hi_iv = cat("k", 1), cat("a", 1), cat("b", 1)
+        n_lo = _rank_within_key(k_iv, lo_iv, k_ev, ts_ev, True)
+        n_hi = _rank_within_key(k_iv, hi_iv, k_ev, ts_ev, False)
+        return pd.DataFrame({
+            key: k_ev, ts_col: pd.Series(ts_ev.view("datetime64[us]")),
+            event_id: id_ev, "n_active": n_lo - n_hi})
 
     return cells.groupby("bucket").map_groups(merge,
                                               batch_format="pandas")

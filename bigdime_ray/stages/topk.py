@@ -65,7 +65,13 @@ def grouped_topk(ds: Dataset, group_cols: list[str], sort_cols: list[str],
 
 def cap_violations(violations: pa.Table, k: int) -> pa.Table:
     """B-T1: keep the deterministic first-k violation rows per
-    (partition_id, validator_id), ordered by doc_id."""
+    (partition_id, validator_id), ordered by doc_id.
+
+    Driver-sized BY CONSTRUCTION: the input is the scan union's
+    violation rows, already capped per block upstream
+    (``ctx.violation_cap_per_block``), so this table is at most
+    blocks × validators × cap rows regardless of input size — the
+    ``to_pandas`` here never sees raw data volume."""
     if violations.num_rows == 0:
         return violations
     df = violations.to_pandas()

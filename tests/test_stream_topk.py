@@ -279,3 +279,90 @@ def test_asof_join_packed_tagged_equals_two_sided():
     b = two.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
     assert len(a) == (side == "buy").sum()
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_asof_join_packed_tolerance_brute_force():
+    """tolerance_us bounds the match window: compare against a
+    brute-force latest-prior-within-window matcher."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import asof_join_packed
+    rng = np.random.default_rng(8)
+    nl, nr, TOL = 600, 900, 1_000_000 * 3600  # 1h window
+    base = np.datetime64("2024-01-01", "us")
+
+    def mk(n, id0):
+        return pa.table({
+            "k": pa.array(rng.integers(0, 25, n), type=pa.int64()),
+            "ts": pa.array(base + (rng.integers(0, 400, n) * 600_000_000)
+                           .astype("timedelta64[us]"),
+                           type=pa.timestamp("us")),
+            "eid": pa.array(np.arange(id0, id0 + n), type=pa.int64())})
+
+    lt, rt = mk(nl, 0), mk(nr, 10_000)
+    got = (asof_join_packed(rd.from_arrow(lt).repartition(3),
+                            rd.from_arrow(rt).repartition(4),
+                            key="k", ts_col="ts", left_id="eid",
+                            right_id="eid", tolerance_us=TOL)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    # brute force
+    ldf, rdf = lt.to_pandas(), rt.to_pandas()
+    exp = []
+    for _, row in ldf.iterrows():
+        cand = rdf[(rdf.k == row.k) & (rdf.ts <= row.ts) &
+                   (rdf.ts >= row.ts - pd.Timedelta(microseconds=TOL))]
+        if len(cand):
+            best = cand[cand.ts == cand.ts.max()].eid.max()
+            exp.append(float(best))
+        else:
+            exp.append(np.nan)
+    ldf["expect"] = exp
+    ldf = ldf.sort_values("eid").reset_index(drop=True)
+    assert np.allclose(got["matched_id"].to_numpy(),
+                       ldf["expect"].to_numpy(), equal_nan=True)
+    # sanity: the window excluded at least one would-be match
+    unb = (asof_join_packed(rd.from_arrow(lt), rd.from_arrow(rt),
+                            key="k", ts_col="ts", left_id="eid",
+                            right_id="eid")
+           .to_pandas())
+    assert unb.matched_id.notna().sum() > got.matched_id.notna().sum()
+
+
+def test_interval_overlap_count_brute_force():
+    """n_active == brute-force interval containment count under heavy
+    overlap, including events with zero covering intervals."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import interval_overlap_count
+    rng = np.random.default_rng(14)
+    ne, ni = 700, 300
+    base = np.datetime64("2024-03-01", "us")
+    ev = pa.table({
+        "k": pa.array(rng.integers(0, 20, ne), type=pa.int64()),
+        "ts": pa.array(base + (rng.integers(0, 500, ne) * 60_000_000)
+                       .astype("timedelta64[us]"), type=pa.timestamp("us")),
+        "eid": pa.array(np.arange(ne), type=pa.int64())})
+    lo = rng.integers(0, 450, ni) * 60_000_000
+    length = rng.integers(1, 120, ni) * 60_000_000
+    iv = pa.table({
+        "k": pa.array(rng.integers(0, 20, ni), type=pa.int64()),
+        "lo": pa.array(base + lo.astype("timedelta64[us]"),
+                       type=pa.timestamp("us")),
+        "hi": pa.array(base + (lo + length).astype("timedelta64[us]"),
+                       type=pa.timestamp("us"))})
+    got = (interval_overlap_count(
+        rd.from_arrow(ev).repartition(3), rd.from_arrow(iv).repartition(2),
+        key="k", ts_col="ts", lo_col="lo", hi_col="hi", event_id="eid")
+        .to_pandas().sort_values("eid").reset_index(drop=True))
+    edf, idf = ev.to_pandas(), iv.to_pandas()
+    exp = [int(((idf.k == r.k) & (idf.lo <= r.ts) &
+                (idf.hi >= r.ts)).sum()) for _, r in edf.iterrows()]
+    edf["expect"] = exp
+    edf = edf.sort_values("eid").reset_index(drop=True)
+    assert len(got) == ne
+    assert got["n_active"].tolist() == edf["expect"].tolist()
+    assert (edf["expect"] == 0).any()  # zero-match events exercised
