@@ -631,6 +631,65 @@ def _q_running_sum(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_latest_event(sf_dir: str):
+    """Keep-latest reducer (newest-version dedup shape): the most recent
+    event per user, ties broken by event_id — grouped top-1 descending,
+    block-pruned so the shuffle sees ≤ blocks × 1 rows per user."""
+    from bigdime_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = grouped_topk(ds, ["user_id"], ["ts", "event_id"], k=1,
+                       descending=True)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "ts", "event_id"]),
+        batch_format="pyarrow")
+
+
+def _q_lag_delta(sf_dir: str):
+    """LAG shape: per-user inter-event gap in µs (-1 for the first
+    event; encoded instead of null so the column stays plain int64)."""
+    from bigdime_ray.pipelines.stream import lag_delta
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    out = lag_delta(ds, "user_id", "ts", "event_id")
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "delta_us"]),
+        batch_format="pyarrow")
+
+
+def _q_rolling_sum(sf_dir: str):
+    """Trailing 1-hour RANGE-window sum of value per user (rate-feature
+    shape); per-row fixed-point BEFORE the prefix sums so the windowed
+    sums are integer-exact on both engines."""
+    from bigdime_ray.pipelines.stream import rolling_window_sum
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+    out = rolling_window_sum(ds, "user_id", "ts", "value", "event_id",
+                             window_us=3_600_000_000, scale=10_000)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "window_total"]),
+        batch_format="pyarrow")
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Per-group exact COUNT(DISTINCT): distinct users per event type
+    via the key-hash-bucketed packed-pair exchange."""
+    from bigdime_ray.pipelines.frequency import grouped_distinct_count
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_distinct_count(ds, "event_type", "user_id")
+
+
+def _q_redact(sf_dir: str):
+    """Regex redaction (PII-scrub shape) over documents: replace two
+    term patterns, count matches per doc. Arrow and DuckDB both run
+    RE2, so the oracle evaluates the identical pattern semantics."""
+    from bigdime_ray.pipelines.text import redact_text
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = redact_text(ds, patterns={"keyish": r"\b(key|hash)\b",
+                                    "digits": r"\d{3,}"})
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "text", "n_redactions"]),
+        batch_format="pyarrow")
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-minute gap) per user."""
     from bigdime_ray.pipelines.stream import session_windows
@@ -999,6 +1058,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_topk": _q_grouped_topk,
         "events_running_sum": _q_running_sum,
+        "events_lag_delta": _q_lag_delta,
+        "latest_event_per_user": _q_latest_event,
+        "events_rolling_sum": _q_rolling_sum,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "documents_redacted": _q_redact,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -1118,6 +1182,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, CAST(FLOOR(SUM(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) * 10000 + 0.5) "
             "AS BIGINT) AS running_total FROM events",
+        "latest_event_per_user":
+            "SELECT user_id, ts, event_id FROM ("
+            "SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1",
+        "events_lag_delta":
+            "SELECT user_id, event_id, COALESCE(CAST(date_diff("
+            "'microsecond', LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), ts) AS BIGINT), -1) AS delta_us "
+            "FROM events",
+        "events_rolling_sum":
+            "SELECT user_id, event_id, CAST(SUM(CAST(FLOOR(value * 10000"
+            " + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS window_total FROM events",
+        "distinct_users_by_type":
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type",
+        "documents_redacted":
+            "SELECT doc_id, regexp_replace(regexp_replace(text, "
+            "'\\d{3,}', '[REDACTED]', 'g'), '\\b(key|hash)\\b', "
+            "'[REDACTED]', 'g') AS text, "
+            "CAST(len(regexp_extract_all(text, '\\d{3,}')) + "
+            "len(regexp_extract_all(text, '\\b(key|hash)\\b')) "
+            "AS BIGINT) AS n_redactions FROM documents",
         "events_sessions":
             "WITH g AS (SELECT user_id, ts, CASE WHEN "
             "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "

@@ -162,3 +162,78 @@ def approx_distinct_count(ds: Dataset, key_col: str, p: int = 12) -> float:
             mix64(b[key_col].to_numpy(zero_copy_only=False)
                   .astype(np.int64).view(np.uint64)), p))
     return merge_states(states).estimate()
+
+
+def grouped_distinct_count(ds: Dataset, group_col: str, key_col: str,
+                           num_buckets: int | None = None) -> pa.Table:
+    """Per-group exact COUNT(DISTINCT key) — e.g. distinct users per
+    event type. Returns a small (group, n_distinct) Arrow table.
+
+    Shape: block-local vectorized (group, key) pair dedupe (Arrow
+    group_by) → packed key cells per (block, bucket, group), where the
+    bucket partitions the KEY hash space so every (group, key) pair
+    lands in exactly ONE bucket → per-bucket tasks count each group's
+    distinct keys over a bounded key range → the driver sums partials
+    that are ≤ |groups| × num_buckets rows BY CONSTRUCTION (the
+    cap_violations bound argument), never the keys themselves.
+
+    Scale assumption: moderate group cardinality (cells scale with
+    blocks × buckets × groups). For millions of groups, pack the group
+    INTO the cell key (one int64 of mix64(group) ^ key) and use
+    ``distinct_count``'s single-column exchange per group-hash instead.
+    """
+    from bigdime_ray.functions.hashing import mix64 as _mix64
+    from bigdime_ray.stages.shuffle import _auto_buckets
+
+    num_buckets = _auto_buckets(ds, num_buckets)
+    empty = pa.table({"bucket": pa.array([], type=pa.int32()),
+                      group_col: pa.array([], type=pa.string()),
+                      "keys": pa.array([], type=pa.binary())})
+
+    def pack(batch: pa.Table) -> pa.Table:
+        pairs = (batch.select([group_col, key_col])
+                 .group_by([group_col, key_col]).aggregate([]))
+        if pairs.num_rows == 0:
+            return empty
+        enc = pairs[group_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = pairs[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_mix64(k.view(np.uint64)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+        order = np.lexsort((k, b, codes))
+        cs, bs, ks = codes[order], b[order], k[order]
+        bounds = np.nonzero(np.r_[True, (cs[1:] != cs[:-1])
+                                  | (bs[1:] != bs[:-1])])[0]
+        ends = np.r_[bounds[1:], len(ks)]
+        groups = enc.dictionary.take(pa.array(cs[bounds]))
+        return pa.table({
+            "bucket": pa.array(bs[bounds].astype(np.int32)),
+            group_col: pa.array(groups, type=pa.string()),
+            "keys": pa.array([ks[s:e].tobytes()
+                              for s, e in zip(bounds, ends)],
+                             type=pa.binary())})
+
+    import pandas as pd
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for grp, sub in g.groupby(group_col, sort=False):
+            allk = np.concatenate([np.frombuffer(b, dtype=np.int64)
+                                   for b in sub["keys"]])
+            allk.sort(kind="stable")
+            out_g.append(grp)
+            out_n.append(int(1 + (allk[1:] != allk[:-1]).sum())
+                         if len(allk) else 0)
+        return pd.DataFrame({group_col: out_g, "n": out_n})
+
+    cells = ds.map_batches(pack, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    partials = (cells.groupby("bucket")
+                .map_groups(per_bucket, batch_format="pandas").take_all())
+    agg: dict[str, int] = {}
+    for r in partials:
+        agg[r[group_col]] = agg.get(r[group_col], 0) + int(r["n"])
+    names = sorted(agg)
+    return pa.table({group_col: pa.array(names, type=pa.string()),
+                     "n_distinct": pa.array([agg[x] for x in names],
+                                            type=pa.int64())})

@@ -522,3 +522,97 @@ def interval_overlap_count(events: Dataset, intervals: Dataset, key: str,
 
     return cells.groupby("bucket").map_groups(merge,
                                               batch_format="pandas")
+
+
+def lag_delta(ds: Dataset, key: str, ts_col: str, id_col: str,
+              num_buckets: int = 64) -> Dataset:
+    """Per-key previous-event gap — the ``LAG(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)`` shape (inter-event time, a core feature for
+    sessionization / bot detection / rate features).
+
+    Returns the input rows plus ``delta_us`` (int64 µs since the key's
+    previous event; -1 for the key's first event — encoded instead of
+    null so the column stays a plain int64 through every engine).
+    Bucketed vectorized kernel: one lexsort by (key, ts, id), one
+    shifted diff, key-boundary rows reset — no per-key loop. The only
+    shuffle co-partitions hash buckets of keys."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, ts.view(np.int64), k))
+        k, ts, ids = k[order], ts[order], ids[order]
+        n = len(k)
+        delta = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            ti = ts.view(np.int64)
+            delta[1:] = ti[1:] - ti[:-1]
+            delta[np.r_[True, k[1:] != k[:-1]]] = -1
+        elif n == 1:
+            delta[0] = -1
+        return pd.DataFrame({key: k, ts_col: ts, id_col: ids,
+                             "delta_us": delta})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def rolling_window_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
+                       id_col: str, window_us: int,
+                       scale: int | None = None,
+                       num_buckets: int = 64) -> Dataset:
+    """Trailing-window aggregate: for every event, SUM(value) over the
+    key's events with ts in ``[ts - window, ts]`` — SQL ``SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)``, peers at the current ts included on both sides.
+
+    Exact and loop-free under arbitrary tie/window structure: within
+    each co-located hash bucket the rows are lexsorted by (key, ts)
+    once; the window's END index is the tie-run boundary of (key, ts);
+    its START index is the merged-lexsort rank of ``ts - window`` among
+    the key's timestamps (``_rank_within_key`` — the interval-overlap
+    kernel); the sum is two gathers into one segmented prefix-sum array.
+    ``scale`` fixed-point-encodes a float value column per row BEFORE
+    the prefix sum (floor(v*scale+0.5) int64) so the windowed sums are
+    integer-exact and order-independent — the repo-wide oracle
+    discipline. Returns (key, ts, id, window_total)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        v = g[value_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        ti = ts.view(np.int64)
+        order = np.lexsort((ti, k))
+        k, ti, v, ids = k[order], ti[order], v[order], ids[order]
+        n = len(k)
+        if scale is not None:
+            v = np.floor(np.asarray(v, dtype=np.float64) * scale + 0.5) \
+                .astype(np.int64)
+        # prefix with a leading 0: sum of sorted rows [a, b) = cs0[b]-cs0[a]
+        cs0 = np.zeros(n + 1, dtype=v.dtype)
+        np.cumsum(v, out=cs0[1:])
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        key_starts = np.nonzero(new_key)[0]
+        seg_start = np.repeat(key_starts,
+                              np.diff(np.r_[key_starts, n]))
+        # window end: one past the last peer of this (key, ts) tie-run
+        new_run = new_key | np.r_[True, ti[1:] != ti[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_ends = np.r_[np.nonzero(new_run)[0][1:], n]
+        hi = run_ends[run_id]
+        # window start: #(ts' < ts - window) within the key, as a rank
+        lo_rank = _rank_within_key(k, ti, k, ti - int(window_us),
+                                   intervals_first_on_tie=False)
+        lo = seg_start + lo_rank
+        out = {key: k, ts_col: pd.Series(ti.view("datetime64[us]")),
+               id_col: ids, "window_total": cs0[hi] - cs0[lo]}
+        return pd.DataFrame(out)
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

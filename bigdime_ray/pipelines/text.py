@@ -285,3 +285,48 @@ def analyze_text(ds, concurrency: int | None = 4, batch_size: int = 4096):
                               num_cpus=1)
     return ds.map_batches(TextAnalyzer(), batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# PII-scrub defaults: RE2 syntax (Arrow's regex engine; DuckDB uses RE2
+# too, so the oracle evaluates the IDENTICAL pattern semantics).
+REDACT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_text(ds, patterns: dict[str, str] | None = None,
+                text_col: str = "text",
+                replacement: str = "[REDACTED]"):
+    """Regex redaction (PII-scrub shape) over a text column — the
+    mandatory pre-training scrub pass. Patterns apply in sorted-name
+    order; adds ``n_redactions`` (total matches removed per document).
+
+    Pure vectorized Arrow kernels (``replace_substring_regex`` /
+    ``count_substring_regex`` — RE2, compiled once per pattern per
+    batch, no Python row loop), stateless map — streams at any scale
+    with zero shuffle."""
+    pats = patterns if patterns is not None else REDACT_PATTERNS
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # counts are taken over the ORIGINAL text for every pattern
+        # (replacements must not create or hide later-pattern matches in
+        # the tally); replacements then apply sequentially
+        total = np.zeros(len(text), dtype=np.int64)
+        for name in sorted(pats):
+            total += (pc.count_substring_regex(text, pats[name])
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        for name in sorted(pats):
+            text = pc.replace_substring_regex(text, pats[name],
+                                              replacement)
+        idx = batch.schema.get_field_index(text_col)
+        out = batch.set_column(idx, text_col, text)
+        return out.append_column("n_redactions",
+                                 pa.array(total, type=pa.int64()))
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -18,10 +18,12 @@ from ray.data import Dataset
 
 
 def _topk_table(tbl: pa.Table, group_cols: list[str], sort_cols: list[str],
-                k: int) -> pa.Table:
+                k: int, descending: bool = False) -> pa.Table:
     if tbl.num_rows == 0:
         return tbl
-    order = [(c, "ascending") for c in group_cols + sort_cols]
+    sdir = "descending" if descending else "ascending"
+    order = [(c, "ascending") for c in group_cols] + \
+        [(c, sdir) for c in sort_cols]
     tbl = tbl.sort_by(order)
     df_keys = tbl.select(group_cols).to_pandas()
     codes = (pd.MultiIndex.from_frame(df_keys).factorize()[0]
@@ -38,8 +40,11 @@ def _topk_table(tbl: pa.Table, group_cols: list[str], sort_cols: list[str],
 
 
 def grouped_topk(ds: Dataset, group_cols: list[str], sort_cols: list[str],
-                 k: int, num_buckets: int = 64) -> Dataset:
-    """Deterministic first-k rows per group ordered by ``sort_cols``.
+                 k: int, num_buckets: int = 64,
+                 descending: bool = False) -> Dataset:
+    """Deterministic first-k rows per group ordered by ``sort_cols``
+    (``descending=True`` flips the sort direction — k=1 descending is
+    the keep-latest / keep-newest-version dedup reducer).
 
     Final merge runs per hash BUCKET of the leading group column (a
     bucket holds complete groups since all of a group's rows share it),
@@ -47,7 +52,7 @@ def grouped_topk(ds: Dataset, group_cols: list[str], sort_cols: list[str],
     pandas group per group key (0.2 ms × 10⁵ groups dominated the op)."""
 
     def prune(batch: pa.Table) -> pa.Table:
-        return _topk_table(batch, group_cols, sort_cols, k)
+        return _topk_table(batch, group_cols, sort_cols, k, descending)
 
     pruned = ds.map_batches(prune, batch_format="pyarrow",
                             zero_copy_batch=True)
@@ -57,7 +62,8 @@ def grouped_topk(ds: Dataset, group_cols: list[str], sort_cols: list[str],
     def final(df: pd.DataFrame) -> pd.DataFrame:
         tbl = pa.Table.from_pandas(df.drop(columns=["__bucket"]),
                                    preserve_index=False)
-        return _topk_table(tbl, group_cols, sort_cols, k).to_pandas()
+        return _topk_table(tbl, group_cols, sort_cols, k,
+                           descending).to_pandas()
 
     return bucketed.groupby("__bucket").map_groups(final,
                                                    batch_format="pandas")

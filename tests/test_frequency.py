@@ -110,3 +110,22 @@ def test_distinct_count_bucketed_equals_driver(key_ds):
     ds, series = key_ds
     for nb in (1, 3, 8):
         assert distinct_count(ds, "k", num_buckets=nb) == series.nunique()
+
+
+def test_grouped_distinct_count_equals_pandas():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_distinct_count
+    rng = np.random.default_rng(31)
+    n = 5000
+    t = pa.table({
+        "g": pa.array(np.asarray(["a", "b", "c", "dd"])[
+            rng.integers(0, 4, n)], type=pa.string()),
+        "k": pa.array(rng.integers(0, 400, n), type=pa.int64())})
+    for nb in (1, 8):
+        got = grouped_distinct_count(
+            rd.from_arrow(t).repartition(5), "g", "k",
+            num_buckets=nb).to_pandas().set_index("g")["n_distinct"]
+        exp = t.to_pandas().groupby("g")["k"].nunique()
+        assert got.sort_index().tolist() == exp.sort_index().tolist()

@@ -366,3 +366,95 @@ def test_interval_overlap_count_brute_force():
     assert len(got) == ne
     assert got["n_active"].tolist() == edf["expect"].tolist()
     assert (edf["expect"] == 0).any()  # zero-match events exercised
+
+
+def test_lag_delta_brute_force():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import lag_delta
+    rng = np.random.default_rng(21)
+    n = 800
+    base = np.datetime64("2024-05-01", "us")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 30, n), type=pa.int64()),
+        "ts": pa.array(base + (rng.integers(0, 2000, n) * 1_000_000)
+                       .astype("timedelta64[us]"), type=pa.timestamp("us")),
+        "eid": pa.array(rng.permutation(n), type=pa.int64())})
+    got = (lag_delta(rd.from_arrow(t).repartition(3), "k", "ts", "eid")
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    df = t.to_pandas().sort_values(["k", "ts", "eid"])
+    prev = df.groupby("k")["ts"].shift()
+    exp = ((df.ts - prev).dt.total_seconds() * 1e6).fillna(-1).astype(
+        np.int64)
+    df["expect"] = exp
+    df = df.sort_values("eid").reset_index(drop=True)
+    assert got["delta_us"].tolist() == df["expect"].tolist()
+    assert (got["delta_us"] == -1).sum() == df.k.nunique()
+
+
+def test_rolling_window_sum_brute_force():
+    """Trailing RANGE-window sum with heavy ts ties: peers at the
+    current ts are included (SQL RANGE semantics), boundary ts-W rows
+    are in the window."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import rolling_window_sum
+    rng = np.random.default_rng(22)
+    n, W = 700, 40 * 1_000_000  # 40 s window
+    base = np.datetime64("2024-06-01", "us")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 15, n), type=pa.int64()),
+        # coarse grid => many exact ties and exact-boundary hits
+        "ts": pa.array(base + (rng.integers(0, 50, n) * 10_000_000)
+                       .astype("timedelta64[us]"), type=pa.timestamp("us")),
+        "v": pa.array(rng.uniform(-5, 5, n)),
+        "eid": pa.array(np.arange(n), type=pa.int64())})
+    got = (rolling_window_sum(rd.from_arrow(t).repartition(4),
+                              "k", "ts", "v", "eid", window_us=W,
+                              scale=10_000)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    df = t.to_pandas()
+    vi = np.floor(df.v.to_numpy() * 10_000 + 0.5).astype(np.int64)
+    exp = []
+    for _, r in df.iterrows():
+        m = ((df.k == r.k) & (df.ts <= r.ts) &
+             (df.ts >= r.ts - pd.Timedelta(microseconds=W)))
+        exp.append(int(vi[m.to_numpy()].sum()))
+    df["expect"] = exp
+    df = df.sort_values("eid").reset_index(drop=True)
+    assert got["window_total"].tolist() == df["expect"].tolist()
+    # ties exercised: some (k, ts) pairs repeat
+    assert df.duplicated(["k", "ts"]).any()
+
+
+def test_grouped_topk_descending_keep_latest():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.stages.topk import grouped_topk
+    rng = np.random.default_rng(23)
+    n = 600
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+        "v": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+        "id": pa.array(np.arange(n), type=pa.int64())})
+    got = (grouped_topk(rd.from_arrow(t).repartition(4), ["k"],
+                        ["v", "id"], k=1, descending=True)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (t.to_pandas().sort_values(["k", "v", "id"],
+                                     ascending=[True, False, False])
+           .groupby("k").head(1).sort_values("k").reset_index(drop=True))
+    assert got[["k", "v", "id"]].values.tolist() == \
+        exp[["k", "v", "id"]].values.tolist()
+    # ascending still the default behavior
+    got_a = (grouped_topk(rd.from_arrow(t), ["k"], ["v", "id"], k=1)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    exp_a = (t.to_pandas().sort_values(["k", "v", "id"])
+             .groupby("k").head(1).sort_values("k")
+             .reset_index(drop=True))
+    assert got_a[["k", "v", "id"]].values.tolist() == \
+        exp_a[["k", "v", "id"]].values.tolist()

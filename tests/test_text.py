@@ -146,3 +146,45 @@ def test_add_rolling_fingerprints_stage():
     out = add_rolling_fingerprints(ds).to_pandas()
     assert (out.n_fingerprints >= 1).all()
     assert len(out.fingerprints.iloc[0]) == out.n_fingerprints.iloc[0]
+
+
+def test_redact_text_matches_python_re():
+    import re
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.text import redact_text
+    docs = [
+        "contact me at bob.smith+x@example.co.uk or 415-555-0199 now",
+        "ssn 123-45-6789 twice 123-45-6789",
+        "no pii here at all",
+        "",
+        "edge key123 and plain key hash words",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs, type=pa.string())})
+    pats = {"keyish": r"\b(key|hash)\b", "digits": r"\d{3,}"}
+    out = (redact_text(rd.from_arrow(t), patterns=pats)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, s in enumerate(docs):
+        n = sum(len(re.findall(p, s)) for p in pats.values())
+        red = s
+        for name in sorted(pats):
+            red = re.sub(pats[name], "[REDACTED]", red)
+        assert out.loc[i, "n_redactions"] == n
+        assert out.loc[i, "text"] == red
+    assert out.n_redactions.sum() > 0
+
+
+def test_redact_default_patterns():
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.text import redact_text
+    t = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                  "text": pa.array(
+                      ["mail a@b.io phone +1 (415) 555-0199 ssn "
+                       "123-45-6789"], type=pa.string())})
+    out = redact_text(rd.from_arrow(t)).to_pandas()
+    assert out.loc[0, "n_redactions"] >= 3
+    assert "a@b.io" not in out.loc[0, "text"]
+    assert "555-0199" not in out.loc[0, "text"]
