@@ -631,6 +631,29 @@ def _q_running_sum(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_ntile(sf_dir: str):
+    """Quantile binning (curriculum-bucketing shape): NTILE(4) of
+    n_chars per language, SQL tile-size rule, doc_id tiebreak."""
+    from bigdime_ray.pipelines.stream import ntile
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = ntile(ds, "lang", "n_chars", "doc_id", n_tiles=4)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "lang", "tile"]),
+        batch_format="pyarrow")
+
+
+def _q_event_pivot(sf_dir: str):
+    """Wide-format count features: one row per user, one count column
+    per event type (block pre-agg does all counting; the shuffle only
+    carries int64 partials)."""
+    from bigdime_ray.pipelines.frequency import pivot_counts
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_counts(ds, "user_id", "event_type",
+                       values=["click", "view", "purchase", "signup",
+                               "error"])
+    return out
+
+
 def _q_latest_event(sf_dir: str):
     """Keep-latest reducer (newest-version dedup shape): the most recent
     event per user, ties broken by event_id — grouped top-1 descending,
@@ -1060,6 +1083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": _q_running_sum,
         "events_lag_delta": _q_lag_delta,
         "latest_event_per_user": _q_latest_event,
+        "documents_ntile": _q_ntile,
+        "event_type_pivot": _q_event_pivot,
         "events_rolling_sum": _q_rolling_sum,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "documents_redacted": _q_redact,
@@ -1182,6 +1207,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, CAST(FLOOR(SUM(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) * 10000 + 0.5) "
             "AS BIGINT) AS running_total FROM events",
+        "documents_ntile":
+            "SELECT doc_id, lang, CAST(NTILE(4) OVER (PARTITION BY lang "
+            "ORDER BY n_chars, doc_id) AS BIGINT) AS tile FROM documents",
+        "event_type_pivot":
+            "SELECT user_id, "
+            "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_click, "
+            "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_view, "
+            "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_purchase, "
+            "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_signup, "
+            "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_error "
+            "FROM events GROUP BY user_id",
         "latest_event_per_user":
             "SELECT user_id, ts, event_id FROM ("
             "SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("

@@ -237,3 +237,40 @@ def grouped_distinct_count(ds: Dataset, group_col: str, key_col: str,
     return pa.table({group_col: pa.array(names, type=pa.string()),
                      "n_distinct": pa.array([agg[x] for x in names],
                                             type=pa.int64())})
+
+
+def pivot_counts(ds: Dataset, key_col: str, pivot_col: str,
+                 values: list[str], prefix: str = "n_") -> Dataset:
+    """Wide-format count features: one row per key with a count column
+    per pivot value — ``SUM(CASE WHEN pivot = v THEN 1 END)`` per key
+    (the classic per-user event-type feature table).
+
+    Block-local pre-aggregation does ALL the counting (np.unique keys +
+    one ``np.add.at`` into an n_keys × n_values matrix per block), so
+    the single shuffle carries ≤ #blocks × keys-per-block partial rows
+    of pure int64 — then a groupby-sum per column. Values outside
+    ``values`` are ignored (match the CASE list explicitly)."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"{prefix}{v}" for v in values]
+    value_set = pa.array(values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = (pc.fill_null(pc.index_in(batch[pivot_col],
+                                         value_set=value_set), -1)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        m = code >= 0
+        k, code = k[m], code[m]
+        uk, inv = np.unique(k, return_inverse=True)
+        mat = np.zeros((len(uk), len(values)), dtype=np.int64)
+        np.add.at(mat, (inv, code), 1)
+        out = {key_col: pa.array(uk)}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(mat[:, j])
+        return pa.table(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))

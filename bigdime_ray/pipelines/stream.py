@@ -616,3 +616,46 @@ def rolling_window_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def ntile(ds: Dataset, key: str, order_col: str, tiebreak: str,
+          n_tiles: int, out_col: str = "tile",
+          num_buckets: int = 64) -> Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order, tiebreak)``
+    — quantile binning per group (curriculum bucketing / difficulty
+    tiers over a corpus). 1-based tiles; when the group size n is not
+    divisible by ``n_tiles`` the first ``n % n_tiles`` tiles get the
+    extra row, exactly the SQL rule.
+
+    Bucketed vectorized kernel: one lexsort per bucket, per-segment
+    ranks via the segment-base trick, then the closed-form tile index —
+    no per-key loop."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        v = g[order_col].to_numpy()
+        tb = g[tiebreak].to_numpy()
+        order = np.lexsort((tb, v, k))
+        g = g.iloc[order].reset_index(drop=True)
+        k = k[order]
+        n = len(k)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        key_starts = np.nonzero(new_key)[0]
+        sizes = np.diff(np.r_[key_starts, n])
+        r = np.arange(n, dtype=np.int64) - np.repeat(key_starts, sizes)
+        gsz = np.repeat(sizes, sizes)
+        base = gsz // n_tiles          # small-tile size
+        rem = gsz % n_tiles            # first `rem` tiles get base+1
+        big_span = rem * (base + 1)    # rows covered by the big tiles
+        in_big = r < big_span
+        # guard base==0 (fewer rows than tiles): every tile is "big"
+        safe_base = np.maximum(base, 1)
+        tile = np.where(in_big, r // (base + 1),
+                        rem + (r - big_span) // safe_base)
+        g[out_col] = tile.astype(np.int64) + 1
+        return g
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

@@ -129,3 +129,28 @@ def test_grouped_distinct_count_equals_pandas():
             num_buckets=nb).to_pandas().set_index("g")["n_distinct"]
         exp = t.to_pandas().groupby("g")["k"].nunique()
         assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_pivot_counts_matches_crosstab():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import pivot_counts
+    rng = np.random.default_rng(32)
+    n = 4000
+    types = ["a", "b", "c"]
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 120, n), type=pa.int64()),
+        "tp": pa.array(np.asarray(types + ["zz"])[  # zz excluded
+            rng.integers(0, 4, n)], type=pa.string())})
+    got = (pivot_counts(rd.from_arrow(t).repartition(5), "k", "tp", types)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = t.to_pandas()
+    ct = pd.crosstab(df.k, df.tp).reindex(columns=types + ["zz"],
+                                          fill_value=0)
+    # keys whose only rows are 'zz' never appear; align on got's keys
+    assert set(got.k) == set(df[df.tp.isin(types)].k.unique())
+    for _, r in got.iterrows():
+        for tp in types:
+            assert r[f"n_{tp}"] == ct.loc[r.k, tp]

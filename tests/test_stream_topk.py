@@ -458,3 +458,35 @@ def test_grouped_topk_descending_keep_latest():
              .reset_index(drop=True))
     assert got_a[["k", "v", "id"]].values.tolist() == \
         exp_a[["k", "v", "id"]].values.tolist()
+
+
+def test_ntile_matches_sql_rule():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import ntile
+    rng = np.random.default_rng(24)
+    n, K = 657, 4  # sizes not divisible by K, incl. groups < K rows
+    t = pa.table({
+        "k": pa.array(np.r_[rng.integers(0, 25, n - 2), [90, 91]],
+                      type=pa.int64()),
+        "v": pa.array(rng.integers(0, 30, n), type=pa.int64()),
+        "id": pa.array(np.arange(n), type=pa.int64())})
+    got = (ntile(rd.from_arrow(t).repartition(4), "k", "v", "id", K)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    def sql_ntile(m):  # SQL rule: first (m % K) tiles get ceil(m/K)
+        base, rem = divmod(m, K)
+        out = []
+        for tile in range(1, K + 1):
+            out += [tile] * (base + (1 if tile <= rem else 0))
+        return out
+
+    df = t.to_pandas().sort_values(["k", "v", "id"])
+    exp = df.groupby("k", sort=False)["v"].transform(
+        lambda s: sql_ntile(len(s)))
+    df["expect"] = exp
+    df = df.sort_values("id").reset_index(drop=True)
+    assert got["tile"].tolist() == df["expect"].tolist()
+    # single-row and sub-K groups all land in tile 1..n
+    assert set(got[got.k >= 90].tile) == {1}
