@@ -631,6 +631,21 @@ def _q_running_sum(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label vector centroid statistic (fixed-point per-dimension
+    integer sums + counts; centroid = s_i / (scale * n))."""
+    from bigdime_ray.pipelines.similarity import group_centroids
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def widen(b: pa.Table) -> pa.Table:  # label int32 → int64 for SQL
+        return pa.table({"label": pc.cast(b["label"], pa.int64()),
+                         "embedding": b["embedding"]})
+
+    ds = ds.map_batches(widen, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return group_centroids(ds, "label", "embedding", dim=64)
+
+
 def _q_ntile(sf_dir: str):
     """Quantile binning (curriculum-bucketing shape): NTILE(4) of
     n_chars per language, SQL tile-size rule, doc_id tiebreak."""
@@ -1084,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_delta": _q_lag_delta,
         "latest_event_per_user": _q_latest_event,
         "documents_ntile": _q_ntile,
+        "embedding_centroids": _q_embedding_centroids,
         "event_type_pivot": _q_event_pivot,
         "events_rolling_sum": _q_rolling_sum,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1101,6 +1117,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "events_hopping_window": _q_hopping_window,
     }
+
+
+_CENTROID_SQL = (
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(
+        f"CAST(SUM(CAST(FLOOR(CAST(embedding[{j + 1}] AS DOUBLE) * 10000"
+        f" + 0.5) AS BIGINT)) AS BIGINT) AS s_{j}" for j in range(64))
+    + " FROM embeddings GROUP BY label")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1207,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, CAST(FLOOR(SUM(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) * 10000 + 0.5) "
             "AS BIGINT) AS running_total FROM events",
+        "embedding_centroids": _CENTROID_SQL,
         "documents_ntile":
             "SELECT doc_id, lang, CAST(NTILE(4) OVER (PARTITION BY lang "
             "ORDER BY n_chars, doc_id) AS BIGINT) AS tile FROM documents",

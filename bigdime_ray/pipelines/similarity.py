@@ -262,3 +262,47 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, nlist: int = 16,
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top
+
+
+def group_centroids(ds: Dataset, group_col: str, vec_col: str, dim: int,
+                    scale: int = 10_000) -> pa.Table:
+    """Per-group vector aggregation — the centroid statistic behind
+    cluster profiling / IVF refits / class-mean features. Returns one
+    row per group: ``n`` (count) and fixed-point per-dimension SUMS
+    ``s_0..s_{dim-1}`` (floor(v*scale+0.5) int64 per element BEFORE the
+    sum, so the result is integer-exact and order-independent — the
+    repo-wide oracle discipline; centroid = s_i / (scale * n)).
+
+    Block-local work is one reshape + one ``np.add.at`` into an
+    n_groups × dim int64 matrix; partials are ≤ |groups| × blocks rows
+    BY CONSTRUCTION, so the driver merge never sees raw vectors."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch[vec_col], dim)          # float64, exact
+        fx = np.floor(mat * scale + 0.5).astype(np.int64)
+        ug, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros((len(ug), dim), dtype=np.int64)
+        np.add.at(sums, inv, fx)
+        cnt = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        out = {group_col: pa.array(ug), "n": pa.array(cnt)}
+        for j in range(dim):
+            out[f"s_{j}"] = pa.array(sums[:, j])
+        return pa.table(out)
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all())
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for r in rows:
+        n0, s0 = agg.get(r[group_col], (0, np.zeros(dim, dtype=np.int64)))
+        agg[r[group_col]] = (n0 + int(r["n"]),
+                             s0 + np.asarray([r[f"s_{j}"]
+                                              for j in range(dim)],
+                                             dtype=np.int64))
+    keys = sorted(agg)
+    out = {group_col: pa.array(keys, type=pa.int64()),
+           "n": pa.array([agg[k][0] for k in keys], type=pa.int64())}
+    for j in range(dim):
+        out[f"s_{j}"] = pa.array([int(agg[k][1][j]) for k in keys],
+                                 type=pa.int64())
+    return pa.table(out)

@@ -94,3 +94,26 @@ def test_ivf_persisted_index(emb_ds, tmp_path):
     assert list(via_index.vec_id) == list(refit_free.vec_id)
     exact = set(_exact_topk(stored, q, 10))
     assert len(set(via_index.vec_id) & exact) >= 6
+
+
+def test_group_centroids_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.similarity import group_centroids
+    rng = np.random.default_rng(41)
+    n, d = 400, 8
+    lab = rng.integers(0, 5, n)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({"label": pa.array(lab, type=pa.int64()),
+                  "embedding": pa.array(list(mat),
+                                        type=pa.list_(pa.float32()))})
+    out = group_centroids(rd.from_arrow(t).repartition(4), "label",
+                          "embedding", dim=d).to_pandas()
+    fx = np.floor(mat.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
+    for _, r in out.iterrows():
+        m = lab == r.label
+        assert r.n == m.sum()
+        exp = fx[m].sum(axis=0)
+        assert [r[f"s_{j}"] for j in range(d)] == exp.tolist()
+    assert set(out.label) == set(np.unique(lab))
