@@ -169,7 +169,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     query_names = ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
                    "token_count", "events_hourly_window", "knn_cosine_top10",
                    "per_source_stats_salted", "events_asof_join",
-                   "heavy_hitters", "revenue_by_region"]
+                   "heavy_hitters", "revenue_by_region",
+                   "events_rolling_sum", "events_interval_overlap",
+                   "documents_redacted"]
     if os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "0":
         query_names = []
     queries = entry_mod.queries()
