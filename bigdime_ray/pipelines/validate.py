@@ -234,14 +234,18 @@ def _auto_scale_dispatch(cfg: ValidationRunConfig, ctx: ValidationContext,
     threshold-knowledge the caller must carry. Returns the resolved
     ``state_merge``."""
     files = [f for p in partitions for f in discovered.get(p, [])]
-    est_rows = 0
-    est_bytes = 0
-    for f in files:
+
+    def _file_meta(f: str) -> tuple[int, int]:
         try:
-            est_rows += pq.ParquetFile(f).metadata.num_rows
-            est_bytes += os.path.getsize(f)
+            return pq.ParquetFile(f).metadata.num_rows, os.path.getsize(f)
         except Exception:
-            pass  # unreadable footer → schema gate reports it
+            return 0, 0  # unreadable footer → schema gate reports it
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    with _TPE(max_workers=16) as _ex:
+        metas = list(_ex.map(_file_meta, files))
+    est_rows = sum(m[0] for m in metas)
+    est_bytes = sum(m[1] for m in metas)
     ctx.estimated_rows = est_rows
     # scanner batch size: WORKER-COUNT-AWARE (SURVEY §7.2 #2) — each
     # batch gets budget/concurrency on-disk bytes so the aggregate
@@ -347,8 +351,15 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                     "schema", p, ValidationResult.INCOMPLETE_SETUP, problem))
         else:
             schema_ok = []
-            for p in runnable:
-                resp = gate.check_partition_files(p, discovered[p], ctx)
+            # footer reads are tiny metadata I/O — one pool across ALL
+            # partitions (the per-partition pools degenerate to serial
+            # when each partition holds a single file)
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+            with _TPE(max_workers=16) as _ex:
+                gate_resps = list(_ex.map(
+                    lambda p: gate.check_partition_files(
+                        p, discovered[p], ctx), runnable))
+            for p, resp in zip(runnable, gate_resps):
                 responses.append(resp)
                 if resp.result == ValidationResult.PASSED:
                     schema_ok.append(p)
@@ -400,6 +411,7 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                                                        1 << 18))
 
         # --- Phase 1: single scan pass (actor pool, broadcast side inputs) ---
+        dup_future = None
         if scan_vids:
             ctx_ref = ray.put(ctx)
             scan_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
@@ -425,6 +437,18 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                 # and no per-row Python dicts (take_all's row iterator
                 # measured ~3.5 s on a 64-partition run)
                 import pyarrow.compute as _pc
+                # uniqueness states are only ever consumed GLOBALLY (the
+                # dup set), so skip their per-partition merge and feed
+                # the sorted block arrays straight into the incremental
+                # detector — bucketing runs on background threads while
+                # the driver idles waiting on the streaming executor
+                # (serial-tail shave, SURVEY §7.3 #1)
+                dup_detector = None
+                if ("uniqueness" in scan_vids and ctx.thresholds.get(
+                        "uniqueness_strategy", "scan") == "scan"):
+                    from bigdime_ray.validators.uniqueness import (
+                        IncrementalDupDetector)
+                    dup_detector = IncrementalDupDetector()
                 viol_tables: list[pa.Table] = []
                 by_key: dict = {}
                 for tbl in union.iter_batches(batch_size=None,
@@ -441,7 +465,18 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                         vids = st["validator_id"].to_pylist()
                         pays = st["payload"].to_pylist()
                         for p_, v_, b_ in zip(pids, vids, pays):
-                            by_key.setdefault((p_, v_), []).append(b_)
+                            if dup_detector is not None and v_ == "uniqueness":
+                                dup_detector.add_state_bytes(b_)
+                            else:
+                                by_key.setdefault((p_, v_), []).append(b_)
+                if dup_detector is not None:
+                    # per-bucket radix sorts release the GIL — overlap
+                    # them with the by_key merges and finalize below
+                    from concurrent.futures import ThreadPoolExecutor \
+                        as _TPE
+                    _dup_ex = _TPE(max_workers=1)
+                    dup_future = _dup_ex.submit(dup_detector.finish)
+                    _dup_ex.shutdown(wait=False)
                 _mark("scan_exec")
                 if viol_tables:
                     violations_parts.append(
@@ -499,6 +534,10 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
 
         _mark("finalize")
         # --- Phase 2: shuffle-phase validators ---
+        if dup_future is not None:
+            ctx.precomputed_dup_hashes = dup_future.result()
+        ctx.narrow_reader = lambda cols: read_tokens(
+            data_dir, columns=cols, partitions=schema_ok)
         for vid in global_vids:
             v = get_validator(vid)()
             src = getattr(v, "state_source", None) or vid

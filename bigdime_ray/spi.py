@@ -90,6 +90,16 @@ class ValidationContext:
     #: exact input row count from parquet footers (plan-time, cheap) —
     #: drives the automatic scale-strategy dispatch
     estimated_rows: int = 0
+    #: driver-side only (set after the broadcast ``ray.put``): global
+    #: duplicate doc_id hashes precomputed by the drain-overlapped
+    #: ``IncrementalDupDetector`` — uniqueness.run_global uses them
+    #: instead of re-deriving from per-partition states
+    precomputed_dup_hashes: Optional[Any] = None
+    #: driver-side only: ``columns -> Dataset`` factory for a fresh
+    #: column-pruned read of the run's input (projection does not push
+    #: through map stages, so re-reading ``ds`` would deserialize the
+    #: tokens payload again)
+    narrow_reader: Optional[Any] = None
 
 
 class Validator:

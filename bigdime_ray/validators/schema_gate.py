@@ -39,8 +39,11 @@ class SchemaGateValidator(Validator):
                 self.id, partition_id, ValidationResult.NOT_READY,
                 "partition has no data files")
         problems: list[str] = []
-        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-            schemas = list(ex.map(pq.read_schema, files))
+        if len(files) <= 2:  # pool spawn costs more than 1-2 footer reads
+            schemas = [pq.read_schema(f) for f in files]
+        else:
+            with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+                schemas = list(ex.map(pq.read_schema, files))
         for f, sch in zip(files, schemas):
             rep = check_schema(sch, ctx.declared_schema)
             if not rep.ok:

@@ -153,3 +153,31 @@ def test_fused_token_scan_property():
         _check_fused(data, vocab=20, chunk_elems=chunk)
 
     run()
+
+
+def test_incremental_dup_detector_equals_sorted_merge():
+    """Drain-overlapped detector == the one-shot sorted-arrays kernel,
+    including duplicates split across many block states and values
+    landing exactly on bucket edges."""
+    import numpy as np
+    from bigdime_ray.validators.uniqueness import (
+        IncrementalDupDetector, PackedHashState, _bucket_edges,
+        _dups_from_sorted_arrays)
+
+    rng = np.random.default_rng(7)
+    edges = _bucket_edges(8)
+    blocks = []
+    for i in range(12):
+        vals = rng.integers(-2**63, 2**63 - 1, 5000, dtype=np.int64)
+        # plant cross-block dups + edge-exact values
+        vals[:3] = [42, -42, int(edges[i % len(edges)])]
+        blocks.append(vals)
+    states = [PackedHashState.from_hashes(b.view(np.uint64)) for b in blocks]
+
+    det = IncrementalDupDetector(n_buckets=8)
+    for st in states:
+        det.add_state_bytes(st.to_bytes())
+    got = np.sort(det.finish())
+    want = np.sort(_dups_from_sorted_arrays([s.array() for s in states]))
+    np.testing.assert_array_equal(got, want)
+    assert 42 in got and -42 in got
