@@ -580,6 +580,44 @@ def _q_revenue_by_orderpriority(sf_dir: str):
                        Count(alias_name="cnt")))
 
 
+def _q_revenue_by_status_string_join(sf_dir: str):
+    """Large-large hash join on STRING keys: both sides derive a string
+    order key ('O' + orderkey), the exchange carries only an int64
+    xxhash of it, and string equality is verified post-join
+    (pipelines/join.py::string_key_join). Same fixed-point revenue
+    discipline as the int-keyed join query."""
+    from ray.data.aggregate import Count, Sum
+    from bigdime_ray.pipelines.join import string_key_join
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        skey = pc.binary_join_element_wise(
+            pa.scalar("O"), pc.cast(batch["l_orderkey"], pa.string()),
+            pa.scalar(""))
+        return pa.table({"l_skey": skey,
+                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        okey = pc.binary_join_element_wise(
+            pa.scalar("O"), pc.cast(batch["o_orderkey"], pa.string()),
+            pa.scalar(""))
+        return pa.table({"o_skey": okey,
+                         "o_orderstatus": batch["o_orderstatus"]})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus"]) \
+        .map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = string_key_join(li, orders, "l_skey", "o_skey",
+                             num_partitions=16)
+    return (joined.groupby("o_orderstatus")
+            .aggregate(Sum("rev_s", alias_name="revenue"),
+                       Count(alias_name="cnt")))
+
+
 def _q_validation_suite(sf_dir: str):
     """Flagship engine run (rows-only): verdict table of the full suite."""
     return entry()
@@ -704,6 +742,21 @@ def _q_rolling_sum(sf_dir: str):
                              window_us=3_600_000_000, scale=10_000)
     return out.map_batches(
         lambda b: b.select(["user_id", "event_id", "window_total"]),
+        batch_format="pyarrow")
+
+
+def _q_rolling_rows(sf_dir: str):
+    """ROWS-frame trailing sum (last 3 rows + current per user, ordered
+    by (ts, event_id)) — the row-count-frame sibling of
+    events_rolling_sum; per-row fixed-point keeps both engines
+    integer-exact."""
+    from bigdime_ray.pipelines.stream import rolling_rows_sum
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+    out = rolling_rows_sum(ds, "user_id", "ts", "value", "event_id",
+                           preceding=3, scale=10_000)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "rows_total"]),
         batch_format="pyarrow")
 
 
@@ -976,6 +1029,38 @@ def _q_grouped_median(sf_dir: str):
         "med": pa.array([r["med"] for r in rows], type=pa.int64())})
 
 
+def _q_order_price_quantiles(sf_dir: str):
+    """Per-priority p25/p50/p75 of o_totalprice via the vectorized
+    grouped-quantile kernel (quantile_cont interpolation). Oracle
+    discipline for interpolated floats: quantile over PRE-SCALED integer
+    cents, then ×4 — with q ∈ {.25,.5,.75} the interpolation fraction is
+    a quarter, so 4·quantile is an exact integer in float64 on both
+    engines and the final CAST cannot flap on a last-ulp."""
+    from bigdime_ray.pipelines.frequency import grouped_quantiles
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority",
+                                          "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64))})
+
+    out = grouped_quantiles(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "o_orderpriority", "cents", [0.25, 0.5, 0.75])
+
+    def fx(b: pa.Table) -> pa.Table:
+        cols = {"o_orderpriority": b["o_orderpriority"]}
+        for c in ("q25", "q50", "q75"):
+            v = b[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.floor(v * 4 + 0.5).astype(np.int64))
+        return pa.table(cols)
+
+    return out.map_batches(fx, batch_format="pyarrow")
+
+
 def _q_revenue_by_region(sf_dir: str):
     """Multi-hop dimension join resolved ENTIRELY by broadcast: the
     orders→customer→nation→region chain collapses on the driver into
@@ -1092,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders_by_revenue": _q_top_orders,
         "revenue_by_orderpriority": _q_revenue_by_orderpriority,
+        "revenue_by_status_string_join": _q_revenue_by_status_string_join,
         "validation_suite_synthetic": _q_validation_suite,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_topk": _q_grouped_topk,
@@ -1102,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "event_type_pivot": _q_event_pivot,
         "events_rolling_sum": _q_rolling_sum,
+        "events_rolling_rows_sum": _q_rolling_rows,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "documents_redacted": _q_redact,
         "events_sessions": _q_sessions,
@@ -1112,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_overlap": _q_interval_overlap,
         "customers_without_orders": _q_customers_without_orders,
         "grouped_median": _q_grouped_median,
+        "order_price_quantiles": _q_order_price_quantiles,
         "revenue_by_region": _q_revenue_by_region,
         "media_features": _q_media_features,
         "stratified_sample": _q_stratified_sample,
@@ -1223,6 +1311,14 @@ def oracle_sql() -> dict[str, str]:
             "AS revenue, COUNT(*) AS cnt "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority",
+        "revenue_by_status_string_join":
+            "SELECT o_orderstatus, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue, COUNT(*) AS cnt "
+            "FROM lineitem JOIN orders ON "
+            "('O' || CAST(l_orderkey AS VARCHAR)) = "
+            "('O' || CAST(o_orderkey AS VARCHAR)) "
+            "GROUP BY o_orderstatus",
         "grouped_topk":
             "SELECT l_orderkey, l_linenumber FROM ("
             "SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER ("
@@ -1264,6 +1360,11 @@ def oracle_sql() -> dict[str, str]:
             " + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "AS BIGINT) AS window_total FROM events",
+        "events_rolling_rows_sum":
+            "SELECT user_id, event_id, CAST(SUM(CAST(FLOOR(value * 10000"
+            " + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts,"
+            " event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS rows_total FROM events",
         "distinct_users_by_type":
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type",
@@ -1329,6 +1430,13 @@ def oracle_sql() -> dict[str, str]:
         "grouped_median":
             "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
             "AS BIGINT) AS med FROM documents GROUP BY source",
+        "order_price_quantiles":
+            "SELECT o_orderpriority, "
+            + ", ".join(
+                f"CAST(FLOOR(quantile_cont(CAST(FLOOR(o_totalprice * 100 "
+                f"+ 0.5) AS BIGINT), {q}) * 4 + 0.5) AS BIGINT) AS q{p}"
+                for q, p in ((0.25, 25), (0.5, 50), (0.75, 75)))
+            + " FROM orders GROUP BY o_orderpriority",
         "stratified_sample":
             f"SELECT doc_id, source FROM documents WHERE "
             f"((doc_id * {_CHK_MUL}) % {_CHK_MOD}) % 1000 < "

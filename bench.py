@@ -332,7 +332,28 @@ if __name__ == "__main__":
         # (VERDICT r2 #9); the shared host's effective-core budget
         # drifts on ~minutes timescales.
         windows = int(os.environ.get("BIGDIME_SCALE_WINDOWS", 1))
-        if windows <= 1:
+        # BIGDIME_SCALE_PAIRS="2:8,1:4" → run several N-vs-4N pairs in
+        # one window. The 1-vs-4 pair fits inside ~6 effective cores
+        # even when the shared host throttles, decoupling engine
+        # scalability from host capacity (SURVEY §7.3 #2); 2-vs-8
+        # remains the headline protocol.
+        pairs_env = os.environ.get("BIGDIME_SCALE_PAIRS", "")
+        pairs = [tuple(int(x) for x in p.split(":"))
+                 for p in pairs_env.split(",") if p]
+        if pairs and windows <= 1:
+            out = {"metric": "scaling efficiency at multiple N-vs-4N "
+                             "parallelism pairs",
+                   "unit": "efficiency", "pairs": {}}
+            for lo, hi in pairs:
+                r = run_scaling(sf_dir, lo, hi)
+                r["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+                r.pop("queries", None)
+                out["pairs"][f"{lo}v{hi}"] = r
+            # headline value: the first pair's efficiency
+            out["value"] = out["pairs"][f"{pairs[0][0]}v{pairs[0][1]}"][
+                "value"]
+            print(json.dumps(out))
+        elif windows <= 1:
             r = run_scaling(sf_dir)
             r["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
             print(json.dumps(r))

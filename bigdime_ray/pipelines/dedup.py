@@ -1066,3 +1066,37 @@ def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
         .map_groups(lambda df: chunk_pairs(df.drop(columns=["__bucket"])),
                     batch_format="pandas"),
         cc_max_driver_pairs)
+
+
+# ---------------------------------------------------------------- facade
+
+#: method name → implementation, mirroring the validator registry
+#: pattern (spi.register_validator): pipelines select a dedup method
+#: from config by name, without importing five functions.
+DEDUP_METHODS = {
+    "exact": exact_dedup,                  # -> Dataset (representatives)
+    "exact_groups": exact_dedup_groups,    # -> Dataset (keep_id, cnt)
+    "minhash": minhash_lsh_dedup,          # -> NearDupResult
+    "simhash": simhash_dedup,              # -> NearDupResult
+    "ngram_jaccard": ngram_jaccard_dedup,  # -> NearDupResult
+    "embedding": embedding_near_dup,       # -> NearDupResult
+}
+
+
+def dedup(ds: Dataset, method: str = "exact", **config):
+    """Single entry point for every dedup strategy (SURVEY §7.3 #4).
+
+    ``method`` ∈ ``DEDUP_METHODS``; ``config`` forwards to the chosen
+    implementation's keyword arguments (e.g. ``threshold=`` for the
+    near-dup methods, ``normalize=``/``strategy=`` for exact,
+    ``shuffle_dtype=`` for embedding). Exact methods return a
+    ``Dataset``; near-dup methods return a ``NearDupResult`` (pairs +
+    clusters + cap telemetry). Raises ``ValueError`` with the available
+    names on an unknown method — same ergonomics as the validator
+    registry."""
+    impl = DEDUP_METHODS.get(method)
+    if impl is None:
+        raise ValueError(
+            f"unknown dedup method {method!r}; available: "
+            f"{sorted(DEDUP_METHODS)}")
+    return impl(ds, **config)

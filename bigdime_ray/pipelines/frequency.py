@@ -274,3 +274,127 @@ def pivot_counts(ds: Dataset, key_col: str, pivot_col: str,
                            zero_copy_batch=True)
             .groupby(key_col)
             .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+def grouped_quantiles(ds: Dataset, key: str, value_col: str,
+                      qs: list[float], method: str = "exact",
+                      num_buckets: int = 64,
+                      compression: float = 200.0) -> Dataset:
+    """Per-group quantiles of ``value_col`` (SQL ``quantile_cont`` /
+    ``PERCENTILE_CONT``), multiple probabilities in one pass
+    (SURVEY §7.3 #3: multi-column grouped quantiles).
+
+    - ``method="exact"``: co-located hash buckets of whole key groups,
+      ONE lexsort per bucket, then every group's order statistics are
+      two gathers + a linear interpolation — vectorized across all
+      groups, no per-key loop. Interpolation rule is ``h = (n-1)·q``
+      with linear blend ``a + frac·(b-a)``, matching DuckDB/Postgres
+      ``quantile_cont`` exactly.
+    - ``method="tdigest"``: the huge-cardinality/huge-group path —
+      per-block mergeable t-digests per key (8 B/centroid instead of
+      8 B/row through the shuffle), merged per key, then the digest's
+      interpolated quantile. Error is O(q(1-q)/compression)
+      (``state.sketches.TDigestState``); equivalence vs exact is pinned
+      in tests with that ε.
+
+    Output: one row per key with columns ``q<percent>`` (e.g. q25,
+    q50, q75), float64.
+    """
+    names = [f"q{int(round(q * 100))}" for q in qs]
+
+    if method == "tdigest":
+        from bigdime_ray.state.sketches import TDigestState
+
+        def partials(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False)
+            v = batch[value_col].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            order = np.argsort(k, kind="stable")
+            k, v = k[order], v[order]
+            starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+            ends = np.r_[starts[1:], len(k)]
+            payloads = [TDigestState.from_values(
+                v[s:e], compression=compression).to_bytes()
+                for s, e in zip(starts, ends)]
+            return pa.table({key: pa.array(k[starts]),
+                             "payload": pa.array(payloads,
+                                                 type=pa.binary())})
+
+        def merge_quantiles(g) -> "pd.DataFrame":
+            import pandas as pd
+            sts = [TDigestState.from_bytes(b) for b in g["payload"]]
+            digest = TDigestState.merge_many(sts)
+            vals = digest.quantile(np.asarray(qs, dtype=np.float64))
+            out = {key: [g[key].iloc[0]]}
+            for name, val in zip(names, vals):
+                out[name] = [float(val)]
+            return pd.DataFrame(out)
+
+        return (ds.map_batches(partials, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(key).map_groups(merge_quantiles,
+                                         batch_format="pandas"))
+
+    import pandas as pd
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        v = g[value_col].to_numpy().astype(np.float64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        n = len(k)
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        sizes = np.diff(np.r_[starts, n])
+        out = {key: k[starts]}
+        for name, q in zip(names, qs):
+            h = (sizes - 1) * float(q)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            a = v[starts + lo]
+            b = v[starts + np.minimum(lo + 1, sizes - 1)]
+            out[name] = a + frac * (b - a)
+        return pd.DataFrame(out)
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def grouped_moments(ds: Dataset, key: str, value_col: str) -> Dataset:
+    """Per-group COUNT / SUM / SUM-of-squares of an integer column —
+    the exact building blocks of mean, variance and stddev
+    (``var_samp = (n·ss − s²) / (n·(n−1))``), kept in int64 end to end
+    so the grouped statistics are order-independent and oracle-exact
+    (float streaming variance differs in the last ulp between engines).
+
+    Block-local partials: one ``pc.index_in`` coding + three
+    ``np.add.at`` scatters per batch, so ≤ groups × blocks rows reach
+    the small groupby-sum exchange. Caller contract: value² × rows per
+    group must stay below 2⁶³ (raise/scale upstream otherwise — at
+    n_chars-like magnitudes that is ~10¹² rows per group)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        uniq = pc.unique(k)
+        code = pc.index_in(k, uniq).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = len(uniq)
+        n = np.bincount(code, minlength=g).astype(np.int64)
+        s = np.zeros(g, dtype=np.int64)
+        np.add.at(s, code, v)
+        ss = np.zeros(g, dtype=np.int64)
+        np.add.at(ss, code, v * v)
+        return pa.table({key: uniq, "n": pa.array(n),
+                         "s": pa.array(s), "ss": pa.array(ss)})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(key)
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss")))

@@ -1,0 +1,64 @@
+"""Distributed join helpers beyond the int-keyed ``Dataset.join``.
+
+``string_key_join`` — large-large hash join on STRING keys
+(SURVEY §7.3 #3: the existing co-partitioned join paths are int-keyed).
+Shipping raw strings through a hash exchange pays variable-width
+serialization plus string equality probes on every row; instead both
+sides get an int64 xxhash of the key (8 B/row through the shuffle), the
+join runs on the hash, and real string equality is verified AFTER the
+join so a 64-bit collision can never surface a wrong pair — the same
+verify-after-candidates discipline as the LSH dedup pipelines
+(``pipelines/dedup.py``).
+
+Partitioning: one co-partitioning exchange per side, sized by
+``num_partitions``; at 10¹²-row scale raise it so a partition's build
+side fits a task (the hash keys are uniform, so no salting is needed
+regardless of hot STRING values — the hot key hashes spread only if the
+VALUES differ; a single mega-hot identical key must be salted upstream,
+documented caveat shared with every hash join).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from bigdime_ray.functions.hashing import hash_string_column, u64_to_i64
+
+_JKL, _JKR = "__jk_l", "__jk_r"
+
+
+def string_key_join(left: Dataset, right: Dataset, left_key: str,
+                    right_key: str, num_partitions: int = 16) -> Dataset:
+    """Inner join ``left ⋈ right`` on string columns ``left_key`` ==
+    ``right_key`` (names must differ so post-join verification can see
+    both sides). Output carries all columns of both sides."""
+    if left_key == right_key:
+        raise ValueError(
+            "left_key and right_key must have distinct names "
+            "(rename one side) so collision verification can compare "
+            "both strings after the join")
+
+    def hasher(col: str, out: str):
+        def add(batch: pa.Table) -> pa.Table:
+            h = u64_to_i64(hash_string_column(batch[col]))
+            return batch.append_column(out, pa.array(h))
+        return add
+
+    lh = left.map_batches(hasher(left_key, _JKL), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rh = right.map_batches(hasher(right_key, _JKR), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = lh.join(rh, join_type="inner", num_partitions=num_partitions,
+                     on=(_JKL,), right_on=(_JKR,))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch[left_key], batch[right_key])
+        out = batch.filter(keep)
+        return out.drop_columns([c for c in (_JKL, _JKR)
+                                 if c in out.schema.names])
+
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -659,3 +659,51 @@ def ntile(ds: Dataset, key: str, order_col: str, tiebreak: str,
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def rolling_rows_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
+                     id_col: str, preceding: int,
+                     scale: int | None = None,
+                     num_buckets: int = 64) -> Dataset:
+    """Row-count-frame trailing sum: SQL ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN <preceding> PRECEDING AND CURRENT
+    ROW)`` — the row-frame sibling of ``rolling_window_sum`` (RANGE
+    frames; SURVEY §7.3 #3). ROWS frames are order-sensitive under ties,
+    so the frame is defined over the deterministic total order
+    ``(ts, id)`` — id must be unique within a key for the result to be
+    well-defined, exactly as in SQL.
+
+    Kernel: one lexsort per co-located hash bucket, a single prefix-sum
+    array, and the frame is two gathers: ``lo = max(segment_start,
+    i - preceding)``, ``total = cs0[i+1] - cs0[lo]``. ``scale``
+    fixed-point-encodes floats per row BEFORE the prefix sum (integer
+    sums are order-independent — the repo-wide oracle discipline).
+    Returns (key, ts, id, rows_total)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        v = g[value_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        ti = ts.view(np.int64)
+        order = np.lexsort((ids, ti, k))
+        k, ti, v, ids = k[order], ti[order], v[order], ids[order]
+        n = len(k)
+        if scale is not None:
+            v = np.floor(np.asarray(v, dtype=np.float64) * scale + 0.5) \
+                .astype(np.int64)
+        cs0 = np.zeros(n + 1, dtype=v.dtype)
+        np.cumsum(v, out=cs0[1:])
+        key_starts = _segment_starts(k)
+        seg_start = np.repeat(key_starts,
+                              np.diff(np.r_[key_starts, n]))
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(seg_start, idx - preceding)
+        return pd.DataFrame({
+            key: k, ts_col: pd.Series(ti.view("datetime64[us]")),
+            id_col: ids, "rows_total": cs0[idx + 1] - cs0[lo]})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

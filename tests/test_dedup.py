@@ -270,3 +270,29 @@ def test_ngram_jaccard_dedup_distributed_equals_driver(doc_ds):
     def norm_cl(df):
         return sorted(map(tuple, df[["id", "rep"]].to_numpy().tolist()))
     assert norm_cl(drv.clusters) == norm_cl(dist.clusters)
+
+
+def test_dedup_facade_dispatches_and_validates():
+    """dedup(method=...) forwards to the same implementations and
+    rejects unknown names with the available list."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from bigdime_ray.pipelines.dedup import dedup, exact_dedup_groups
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["aa", "bb", "aa", "cc", "bb", "aa"]})
+    ds = rd.from_pandas(df).repartition(2)
+    got = (dedup(ds, method="exact_groups")
+           .to_pandas().sort_values("keep_id").reset_index(drop=True))
+    want = (exact_dedup_groups(ds)
+            .to_pandas().sort_values("keep_id").reset_index(drop=True))
+    assert got.equals(want)
+    assert sorted(got.keep_id) == [0, 1, 3] and sorted(got.cnt) == [1, 2, 3]
+
+    res = dedup(ds, method="minhash", threshold=0.5)
+    assert hasattr(res, "pairs")
+
+    with pytest.raises(ValueError, match="embedding"):
+        dedup(ds, method="nope")

@@ -154,3 +154,77 @@ def test_pivot_counts_matches_crosstab():
     for _, r in got.iterrows():
         for tp in types:
             assert r[f"n_{tp}"] == ct.loc[r.k, tp]
+
+
+def test_grouped_quantiles_exact_matches_pandas():
+    """Exact path == pandas quantile(interpolation='linear') — the
+    quantile_cont rule — including 1-row groups and duplicate values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_quantiles
+    rng = np.random.default_rng(5)
+    n = 900
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "v": np.round(rng.uniform(0, 100, n), 2)})
+    df.loc[df.k == 19, "k"] = 21   # leave a gap
+    df = pd.concat([df, pd.DataFrame({"k": [99], "v": [3.5]})])  # 1-row grp
+    qs = [0.25, 0.5, 0.75]
+    got = (grouped_quantiles(rd.from_pandas(df).repartition(5),
+                             "k", "v", qs)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.groupby("k")["v"]
+           .quantile(qs, interpolation="linear").unstack()
+           .reset_index())
+    exp.columns = ["k", "q25", "q50", "q75"]
+    for c in ["q25", "q50", "q75"]:
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy(),
+                                   rtol=0, atol=1e-9)
+
+
+def test_grouped_quantiles_tdigest_within_epsilon():
+    """t-digest path within the documented O(q(1-q)/compression) error
+    of exact (as a rank tolerance, checked by value bracketing)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_quantiles
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = pd.DataFrame({"k": rng.integers(0, 4, n),
+                       "v": rng.lognormal(3, 1, n)})
+    got = (grouped_quantiles(rd.from_pandas(df).repartition(8),
+                             "k", "v", [0.5, 0.9], method="tdigest")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in got.iterrows():
+        vals = np.sort(df[df.k == r.k].v.to_numpy())
+        m = len(vals)
+        for q, col in ((0.5, "q50"), (0.9, "q90")):
+            # rank of the digest's answer must be within eps of q
+            rank = np.searchsorted(vals, r[col]) / m
+            assert abs(rank - q) < 0.02, (r.k, q, rank)
+
+
+def test_grouped_moments_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_moments
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 500),
+                       "v": rng.integers(-50, 500, 500)})
+    got = (grouped_moments(rd.from_pandas(df).repartition(4), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = df.groupby("k")["v"].agg(
+        n="count", s="sum", ss=lambda x: int((x.astype(object) ** 2).sum())
+    ).reset_index()
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+    assert got.ss.tolist() == exp.ss.tolist()
+    # variance derived from the moments == pandas var (float check)
+    for _, r in got.iterrows():
+        var = (r.n * r.ss - r.s * r.s) / (r.n * (r.n - 1))
+        pd_var = df[df.k == r.k].v.var()
+        np.testing.assert_allclose(var, pd_var, rtol=1e-12)

@@ -181,3 +181,35 @@ def test_bucketed_exchanges_tolerate_empty_batches():
 
     k, (s,) = grouped_int_sums_exchange(ds, extract, 1, num_buckets=3)
     assert len(k) == 0 and len(s) == 0
+
+
+def test_string_key_join_matches_pandas_merge():
+    """string_key_join == pandas inner merge on the raw strings,
+    including many-to-many duplicate keys and keys absent on one side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import string_key_join
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "lk": [f"k{int(i)}" for i in rng.integers(0, 40, 300)],
+        "lv": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": [f"k{int(i)}" for i in rng.integers(20, 60, 120)],
+        "rv": np.arange(120, dtype=np.int64)})
+    got = (string_key_join(rd.from_pandas(left).repartition(4),
+                           rd.from_pandas(right).repartition(3),
+                           "lk", "rk", num_partitions=4)
+           .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True))
+    exp = (left.merge(right, left_on="lk", right_on="rk")
+           .sort_values(["lv", "rv"]).reset_index(drop=True))
+    assert got[["lk", "lv", "rk", "rv"]].equals(exp[["lk", "lv", "rk", "rv"]])
+
+
+def test_string_key_join_requires_distinct_names():
+    import pytest
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import string_key_join
+    ds = rd.range(1)
+    with pytest.raises(ValueError):
+        string_key_join(ds, ds, "k", "k")

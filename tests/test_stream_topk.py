@@ -490,3 +490,39 @@ def test_ntile_matches_sql_rule():
     assert got["tile"].tolist() == df["expect"].tolist()
     # single-row and sub-K groups all land in tile 1..n
     assert set(got[got.k >= 90].tile) == {1}
+
+
+def test_rolling_rows_sum_brute_force():
+    """ROWS-frame trailing sum: deterministic (ts, id) order, frame is
+    exactly `preceding` prior rows clipped at the key boundary — checked
+    against a per-row brute force with heavy ts ties."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import rolling_rows_sum
+    rng = np.random.default_rng(31)
+    n, K = 600, 3
+    base = np.datetime64("2024-06-01", "us")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+        "ts": pa.array(base + (rng.integers(0, 40, n) * 1_000_000)
+                       .astype("timedelta64[us]"), type=pa.timestamp("us")),
+        "v": pa.array(rng.uniform(-5, 5, n)),
+        "eid": pa.array(rng.permutation(n), type=pa.int64())})
+    got = (rolling_rows_sum(rd.from_arrow(t).repartition(4),
+                            "k", "ts", "v", "eid", preceding=K,
+                            scale=10_000)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    df = t.to_pandas()
+    df["vi"] = np.floor(df.v.to_numpy() * 10_000 + 0.5).astype(np.int64)
+    df = df.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    exp = {}
+    for kk, g in df.groupby("k"):
+        vi = g.vi.to_numpy()
+        for i in range(len(g)):
+            lo = max(0, i - K)
+            exp[int(g.eid.iloc[i])] = int(vi[lo:i + 1].sum())
+    got["expect"] = got["eid"].map(exp)
+    assert got["rows_total"].tolist() == got["expect"].tolist()
+    assert df.duplicated(["k", "ts"]).any()  # ties exercised
