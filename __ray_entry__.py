@@ -1011,6 +1011,41 @@ def _q_customers_without_orders(sf_dir: str):
     return _collect(out, pa.schema([("c_custkey", pa.int64())]))
 
 
+def _q_parts_with_heavy_orders(sf_dir: str):
+    """Broadcast SEMI-join: parts appearing in at least one high-quantity
+    lineitem. The qualifying l_partkey set is built with the row filter
+    pushed into the parquet read (only matching row groups leave
+    storage), deduped driver-side, and shipped once; part streams
+    through an is_in filter — no shuffle, the semi sibling of
+    customers_without_orders."""
+    import ray as _ray
+    import pyarrow.dataset as pads
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"],
+        filter=pads.field("l_quantity") > 45)
+    keys = pc.unique(pa.concat_tables(
+        _ray.get(li.to_arrow_refs()))["l_partkey"].combine_chunks())
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["p_partkey"], value_set=keys))
+
+    out = ds.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+    return _collect(out, pa.schema([("p_partkey", pa.int64()),
+                                    ("p_brand", pa.string())]))
+
+
+def _q_doc_length_moments(sf_dir: str):
+    """Per-source COUNT / SUM / SUM-of-squares of n_chars — the exact
+    integer building blocks of mean/variance/stddev
+    (pipelines/frequency.py::grouped_moments). int64 end to end, so the
+    result is order-independent and hash-exact against the SQL oracle
+    (float streaming variance would differ in the last ulp)."""
+    from bigdime_ray.pipelines.frequency import grouped_moments
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return grouped_moments(ds, "source", "n_chars")
+
+
 def _q_grouped_median(sf_dir: str):
     """Exact per-group median (n_chars per source) via map_groups —
     exact for bounded group counts; the huge-cardinality path is the
@@ -1198,6 +1233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join_windowed": _q_asof_join_windowed,
         "events_interval_overlap": _q_interval_overlap,
         "customers_without_orders": _q_customers_without_orders,
+        "parts_with_heavy_orders": _q_parts_with_heavy_orders,
+        "doc_length_moments": _q_doc_length_moments,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,
         "revenue_by_region": _q_revenue_by_region,
@@ -1427,6 +1464,14 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "parts_with_heavy_orders":
+            "SELECT p_partkey, p_brand FROM part WHERE p_partkey IN "
+            "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45)",
+        "doc_length_moments":
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(n_chars) AS BIGINT) AS s, "
+            "CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) "
+            "AS ss FROM documents GROUP BY source",
         "grouped_median":
             "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
             "AS BIGINT) AS med FROM documents GROUP BY source",
