@@ -1035,6 +1035,129 @@ def _q_parts_with_heavy_orders(sf_dir: str):
                                     ("p_brand", pa.string())]))
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shape COMPOSITE pipeline: three-table filter + join +
+    groupby + top-k in one lazy graph — the 'could a reference user run
+    their real pipeline' test is composition, not unit coverage.
+
+    Scale shape: both date filters push into the parquet reads (only
+    matching row groups leave storage); the BUILDING customer keys
+    broadcast once (small side); lineitem pre-aggregates revenue per
+    order BEFORE the join (orders attributes are functional on the
+    key, so group-then-join == join-then-group but the join input
+    shrinks from |lineitem| to |orders|); the final top-10 is a
+    per-block prune + ≤ blocks×10-row driver merge, never a full sort.
+    The groupby→join seam applies the repo's empty-block discipline
+    (drop_empty_blocks + materialize between the two hash exchanges —
+    CLAUDE.md deadlock note)."""
+    import datetime as _dt
+    import ray as _ray
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+    from bigdime_ray.stages.shuffle import drop_empty_blocks
+
+    cut = _dt.datetime(1998, 6, 1)
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING")
+    ckeys = pc.unique(pa.concat_tables(
+        _ray.get(cust.to_arrow_refs()))["c_custkey"].combine_chunks())
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut)
+
+    def sel_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["o_custkey"], value_set=ckeys)
+        return batch.filter(keep).drop_columns(["o_custkey"])
+
+    orders = orders.map_batches(sel_orders, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut)
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
+
+    per_order = (li.map_batches(revenue, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev_s", alias_name="revenue")))
+    per_order = drop_empty_blocks(per_order).materialize()
+    joined = per_order.join(orders, join_type="inner", num_partitions=16,
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 10:
+            return batch
+        rev = batch["revenue"].to_numpy(zero_copy_only=False)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((okey, -rev))[:10]
+        return batch.take(pa.array(top))
+
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("revenue", pa.int64()),
+                        ("o_orderdate", pa.timestamp("us")),
+                        ("o_orderpriority", pa.string())])
+    small = _collect(joined.map_batches(prune, batch_format="pyarrow")
+                     .select_columns(list(schema.names)), schema)
+    rev = small["revenue"].to_numpy(zero_copy_only=False)
+    okey = small["l_orderkey"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((okey, -rev))[:10]
+    return small.combine_chunks().take(pa.array(top))
+
+
+def _q_quantity_discount_comoments(sf_dir: str):
+    """Per-returnflag bivariate moments of (quantity, discount%): the
+    exact int64 covariance/correlation building blocks
+    (pipelines/frequency.py::grouped_comoments) — order-independent,
+    hash-exact against the SQL oracle."""
+    from bigdime_ray.pipelines.frequency import grouped_comoments
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "x": _scaled_i64(q, 1),
+                         "y": _scaled_i64(d, 100)})
+
+    return grouped_comoments(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_returnflag", "x", "y")
+
+
+def _q_doc_tfidf(sf_dir: str):
+    """Per-(doc, word) TF-IDF over documents (pipelines/text.py::tf_idf)
+    — same tokenizer as document_frequency, df broadcast once, ln-score
+    fixed-point scaled (×10⁶)."""
+    from bigdime_ray.pipelines.text import tf_idf
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tf_idf(ds, min_df=2)
+
+
+def _q_doc_rank_by_length(sf_dir: str):
+    """RANK + DENSE_RANK of documents by n_chars (DESC) within source —
+    the bucketed one-lexsort window-rank kernel
+    (pipelines/stream.py::grouped_rank); ties share a rank, so the
+    result is deterministic without a tiebreak."""
+    from bigdime_ray.pipelines.stream import grouped_rank
+    ds = _read(sf_dir, "documents",
+               columns=["source", "doc_id", "n_chars"])
+    return grouped_rank(ds, "source", "n_chars", "doc_id",
+                        descending=True)
+
+
 def _q_doc_length_moments(sf_dir: str):
     """Per-source COUNT / SUM / SUM-of-squares of n_chars — the exact
     integer building blocks of mean/variance/stddev
@@ -1235,6 +1358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "parts_with_heavy_orders": _q_parts_with_heavy_orders,
         "doc_length_moments": _q_doc_length_moments,
+        "shipping_priority": _q_shipping_priority,
+        "quantity_discount_comoments": _q_quantity_discount_comoments,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_rank_by_length": _q_doc_rank_by_length,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,
         "revenue_by_region": _q_revenue_by_region,
@@ -1472,6 +1599,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_chars) AS BIGINT) AS s, "
             "CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) "
             "AS ss FROM documents GROUP BY source",
+        "shipping_priority":
+            "SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS "
+            "revenue, o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "quantity_discount_comoments":
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,"
+            " CAST(SUM(x * x) AS BIGINT) AS sxx, "
+            "CAST(SUM(y * y) AS BIGINT) AS syy, "
+            "CAST(SUM(x * y) AS BIGINT) AS sxy FROM ("
+            "SELECT l_returnflag, "
+            "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x, "
+            "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y "
+            "FROM lineitem) GROUP BY l_returnflag",
+        "doc_tfidf":
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(text), '\\s+')) AS w FROM documents), "
+            "tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM toks WHERE w <> '' GROUP BY doc_id, w), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) "
+            "AS df FROM toks WHERE w <> '' GROUP BY w "
+            "HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents) "
+            "SELECT tf.doc_id, tf.w AS word, tf.tf, df.df, "
+            "CAST(FLOOR(tf.tf * ln(n.n / df.df) * 1000000 + 0.5) "
+            "AS BIGINT) AS score_s FROM tf, df, n WHERE tf.w = df.w",
+        "doc_rank_by_length":
+            "SELECT source, doc_id, n_chars, "
+            "CAST(RANK() OVER (PARTITION BY source ORDER BY n_chars "
+            "DESC) AS BIGINT) AS rank, "
+            "CAST(DENSE_RANK() OVER (PARTITION BY source ORDER BY "
+            "n_chars DESC) AS BIGINT) AS dense_rank FROM documents",
         "grouped_median":
             "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
             "AS BIGINT) AS med FROM documents GROUP BY source",

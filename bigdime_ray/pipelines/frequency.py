@@ -398,3 +398,47 @@ def grouped_moments(ds: Dataset, key: str, value_col: str) -> Dataset:
             .aggregate(Sum("n", alias_name="n"),
                        Sum("s", alias_name="s"),
                        Sum("ss", alias_name="ss")))
+
+
+def grouped_comoments(ds: Dataset, key: str, x_col: str,
+                      y_col: str) -> Dataset:
+    """Per-group bivariate moment sums — the exact int64 building blocks
+    of covariance, correlation and OLS slope:
+
+        cov_samp  = (n·sxy − sx·sy) / (n·(n−1))
+        corr      = (n·sxy − sx·sy) /
+                    sqrt((n·sxx − sx²)·(n·syy − sy²))
+        ols_slope = (n·sxy − sx·sy) / (n·sxx − sx²)
+
+    Same discipline as ``grouped_moments``: x and y must already be
+    integers (fixed-point-encode floats upstream), every sum is int64
+    and therefore order-independent / oracle-hash-exact. Output columns:
+    (key, n, sx, sy, sxx, syy, sxy). Caller contract:
+    max(x², y², |x·y|) × rows per group < 2⁶³."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        uniq = pc.unique(k)
+        code = pc.index_in(k, uniq).to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = len(uniq)
+        n = np.bincount(code, minlength=g).astype(np.int64)
+        cols = {"n": n}
+        for name, v in (("sx", x), ("sy", y), ("sxx", x * x),
+                        ("syy", y * y), ("sxy", x * y)):
+            acc = np.zeros(g, dtype=np.int64)
+            np.add.at(acc, code, v)
+            cols[name] = acc
+        out = {key: uniq}
+        out.update({c: pa.array(v) for c, v in cols.items()})
+        return pa.table(out)
+
+    names = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(key)
+            .aggregate(*[Sum(c, alias_name=c) for c in names]))

@@ -661,6 +661,50 @@ def ntile(ds: Dataset, key: str, order_col: str, tiebreak: str,
             .map_groups(kernel, batch_format="pandas"))
 
 
+def grouped_rank(ds: Dataset, key: str, order_col: str, id_col: str,
+                 descending: bool = False,
+                 num_buckets: int = 64) -> Dataset:
+    """SQL ``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY key ORDER BY
+    order_col [DESC])`` in one pass. Ties share a rank (the SQL
+    semantics), so the output is deterministic regardless of physical
+    row order — no tiebreak column is needed for well-definedness,
+    ``id_col`` only labels the output rows.
+
+    Kernel (per co-located hash bucket): ONE lexsort over (key, ±v),
+    then both ranks fall out of the tie-run starts vectorized across
+    all groups — ``rank = last_run_start − segment_start + 1`` via a
+    running ``maximum.accumulate`` of run-start indices (run starts
+    include segment starts, so the accumulate never leaks across keys),
+    ``dense_rank = runs-so-far-in-segment`` via a global cumsum of run
+    starts re-based at each segment start. Output: (key, id, order_col,
+    rank, dense_rank)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        v = g[order_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        sv = -v if descending else v
+        order = np.lexsort((sv, k))
+        k, v, ids, sv = k[order], v[order], ids[order], sv[order]
+        n = len(k)
+        key_change = np.r_[True, k[1:] != k[:-1]]
+        run_start = key_change | np.r_[False, sv[1:] != sv[:-1]]
+        seg_start = np.repeat(np.nonzero(key_change)[0],
+                              np.diff(np.r_[np.nonzero(key_change)[0], n]))
+        idx = np.arange(n, dtype=np.int64)
+        last_run = np.maximum.accumulate(np.where(run_start, idx, -1))
+        rank = last_run - seg_start + 1
+        runs = np.cumsum(run_start)
+        dense = runs - runs[seg_start] + 1
+        return pd.DataFrame({key: k, id_col: ids, order_col: v,
+                             "rank": rank, "dense_rank": dense})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
 def rolling_rows_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
                      id_col: str, preceding: int,
                      scale: int | None = None,

@@ -219,6 +219,107 @@ def document_frequency(ds, text_col: str = "text", min_df: int = 1,
     return out
 
 
+def tf_idf(ds, text_col: str = "text", id_col: str = "doc_id",
+           min_df: int = 1, score_scale: int = 1_000_000,
+           lowercase: bool = True, total_docs: int | None = None):
+    """Per-(document, word) TF-IDF scores: ``score = tf · ln(N/df)``
+    with the exact same tokenizer as ``document_frequency`` (lowercase,
+    ``\\s+`` split, empty tokens dropped) so the two statistics compose.
+
+    Two passes, both scale-shaped:
+
+    1. ``document_frequency`` (block-exact partials, small (word, df)
+       shuffle) is COLLECTED to the driver and broadcast once via
+       ``ray.put`` as (sorted word-hash array, df array, N) — the
+       referential-validator broadcast pattern. The vocabulary is the
+       broadcast bound: ~16 B/word, fine to ~10⁸ distinct words;
+       ``min_df ≥ 2`` is the scale lever (hapax legomena dominate a
+       web-scale vocabulary and carry no reusable signal). Above that,
+       replace the broadcast with a (word, df) hash join — documented
+       alternative, same verify discipline as ``pipelines/join.py``.
+    2. A pure map over the documents: per-block lexsort over
+       (doc, word-hash) yields every (doc, word) term frequency as run
+       lengths; df lookup is a binary search into the broadcast arrays.
+       Word-hash equality stands in for string equality here — a 64-bit
+       collision needs ~10⁹ distinct words for even-odds (birthday
+       bound), and miscounts df only, never pairs the wrong strings
+       (the word column always carries the block's own token).
+
+    ``total_docs`` overrides the ``ds.count()`` used for N — pass it
+    when ``ds`` is not read-rooted (a derived dataset would execute its
+    plan twice; the _auto_buckets caveat). Output: (doc_id, word, tf,
+    df, score_s) with ``score_s = floor(score · score_scale + 0.5)``
+    int64 — the repo-wide fixed-point compare discipline (ln is
+    transcendental, so a .5-boundary collision is measure-zero)."""
+    import ray
+
+    n_docs = int(total_docs if total_docs is not None else ds.count())
+    df_tab = pa.concat_tables(
+        ray.get(document_frequency(ds, text_col=text_col, min_df=min_df,
+                                   lowercase=lowercase).to_arrow_refs()))
+    wh = hash_string_column(df_tab["word"].combine_chunks()) \
+        .view(np.int64)
+    order = np.argsort(wh, kind="stable")
+    h_sorted = np.ascontiguousarray(wh[order])
+    df_sorted = np.ascontiguousarray(
+        df_tab["df"].to_numpy(zero_copy_only=False)[order])
+    bc = ray.put((h_sorted, df_sorted, n_docs))
+
+    sch = ds.schema()   # ray.data.Schema: parallel .names / .types lists
+    id_type = sch.types[sch.names.index(id_col)]
+    empty = pa.table({
+        id_col: pa.array([], type=id_type),
+        "word": pa.array([], type=pa.string()),
+        "tf": pa.array([], type=pa.int64()),
+        "df": pa.array([], type=pa.int64()),
+        "score_s": pa.array([], type=pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, dfv, n = ray.get(bc)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if lowercase:
+            text = pc.utf8_lower(text)
+        words = pc.split_pattern_regex(text, r"\s+")
+        n_words = (pc.fill_null(pc.list_value_length(words), 0)
+                   .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                            n_words)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        # whole batch tokenized to nothing, or vocabulary empty after
+        # min_df — keep the schema stable (no zero-column blocks)
+        if len(doc_idx) == 0 or len(hs) == 0:
+            return empty
+        h = hash_string_column(flat).view(np.int64)
+        order = np.lexsort((h, doc_idx))
+        d, w = doc_idx[order], h[order]
+        first = np.nonzero(np.r_[True, (d[1:] != d[:-1]) |
+                                 (w[1:] != w[:-1])])[0]
+        tf = np.diff(np.r_[first, len(d)]).astype(np.int64)
+        pos = np.searchsorted(hs, w[first])
+        pos_c = np.minimum(pos, max(len(hs) - 1, 0))
+        hit = (len(hs) > 0) & (hs[pos_c] == w[first])
+        keep = np.nonzero(hit)[0]
+        tf = tf[keep]
+        dfk = dfv[pos_c[keep]]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sc = tf.astype(np.float64) * np.log(float(n) / dfk)
+        return pa.table({
+            id_col: pa.array(ids[d[first[keep]]]),
+            "word": flat.take(pa.array(order[first[keep]])),
+            "tf": pa.array(tf),
+            "df": pa.array(dfk.astype(np.int64)),
+            "score_s": pa.array(np.floor(sc * score_scale + 0.5)
+                                .astype(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 class TextAnalyzer:
     """Actor-pool stage: language-ID + quality score per batch.
 

@@ -228,3 +228,36 @@ def test_grouped_moments_exact():
         var = (r.n * r.ss - r.s * r.s) / (r.n * (r.n - 1))
         pd_var = df[df.k == r.k].v.var()
         np.testing.assert_allclose(var, pd_var, rtol=1e-12)
+
+
+def test_grouped_comoments_exact():
+    """Bivariate moment sums == exact integer brute force; covariance /
+    correlation derived from them == pandas cov/corr."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_comoments
+    rng = np.random.default_rng(17)
+    n = 800
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c", "d"], n),
+                       "x": rng.integers(-20, 80, n),
+                       "y": rng.integers(0, 11, n)})
+    # correlate x and y within group 'a' so corr isn't ~0 everywhere
+    m = df.k == "a"
+    df.loc[m, "y"] = (df.loc[m, "x"] // 10).clip(0, 10)
+    got = (grouped_comoments(rd.from_pandas(df).repartition(5),
+                             "k", "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in got.iterrows():
+        g = df[df.k == r.k]
+        assert r.n == len(g)
+        assert r.sx == g.x.sum() and r.sy == g.y.sum()
+        assert r.sxx == (g.x.astype(object) ** 2).sum()
+        assert r.syy == (g.y.astype(object) ** 2).sum()
+        assert r.sxy == (g.x.astype(object) * g.y).sum()
+        cov = (r.n * r.sxy - r.sx * r.sy) / (r.n * (r.n - 1))
+        np.testing.assert_allclose(cov, g.x.cov(g.y), rtol=1e-12)
+        corr = (r.n * r.sxy - r.sx * r.sy) / np.sqrt(
+            float(r.n * r.sxx - r.sx * r.sx)
+            * float(r.n * r.syy - r.sy * r.sy))
+        np.testing.assert_allclose(corr, g.x.corr(g.y), rtol=1e-9)

@@ -526,3 +526,30 @@ def test_rolling_rows_sum_brute_force():
     got["expect"] = got["eid"].map(exp)
     assert got["rows_total"].tolist() == got["expect"].tolist()
     assert df.duplicated(["k", "ts"]).any()  # ties exercised
+
+
+def test_grouped_rank_matches_sql_semantics():
+    """RANK/DENSE_RANK with heavy ties == the SQL definition (brute
+    force per group), ascending and descending."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import grouped_rank
+    rng = np.random.default_rng(23)
+    n = 500
+    df = pd.DataFrame({"k": rng.integers(0, 9, n),
+                       "v": rng.integers(0, 12, n),   # heavy ties
+                       "id": np.arange(n, dtype=np.int64)})
+    for desc in (False, True):
+        got = (grouped_rank(rd.from_pandas(df).repartition(4),
+                            "k", "v", "id", descending=desc)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        sign = -1 if desc else 1
+        for _, r in got.iterrows():
+            g = df[df.k == r.k]
+            better = (g.v > r.v) if desc else (g.v < r.v)
+            assert r["rank"] == better.sum() + 1, (desc, r.to_dict())
+            distinct_better = g.v[better].nunique()
+            assert r["dense_rank"] == distinct_better + 1
+        # every group starts at rank 1
+        assert (got.groupby("k")["rank"].min() == 1).all()

@@ -188,3 +188,46 @@ def test_redact_default_patterns():
     assert out.loc[0, "n_redactions"] >= 3
     assert "a@b.io" not in out.loc[0, "text"]
     assert "555-0199" not in out.loc[0, "text"]
+
+
+def test_tf_idf_matches_brute_force():
+    """tf_idf == per-doc brute force with the same tokenizer: tf counts,
+    df counts, ln score, min_df filtering; empty docs contribute no
+    rows."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.text import tf_idf
+    docs = {
+        0: "the cat sat on the   mat",
+        1: "the dog sat",
+        2: "  ",                       # whitespace-only → no tokens
+        3: "cat cat cat unique",
+        4: "The Mat and the Dog",      # case folding
+    }
+    df_in = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = (tf_idf(rd.from_pandas(df_in).repartition(3), min_df=2)
+           .to_pandas().sort_values(["doc_id", "word"])
+           .reset_index(drop=True))
+
+    toks = {i: [w for w in t.lower().split() if w] for i, t in docs.items()}
+    n_docs = len(docs)
+    dfc = Counter()
+    for ws in toks.values():
+        dfc.update(set(ws))
+    expect = []
+    for i, ws in toks.items():
+        for w, tf in sorted(Counter(ws).items()):
+            if dfc[w] < 2:
+                continue
+            score = tf * math.log(n_docs / dfc[w])
+            expect.append((i, w, tf, dfc[w],
+                           int(math.floor(score * 1_000_000 + 0.5))))
+    exp = pd.DataFrame(expect, columns=["doc_id", "word", "tf", "df",
+                                        "score_s"])
+    assert got.values.tolist() == exp.values.tolist()
+    assert 2 not in set(got.doc_id)          # empty doc → no rows
+    assert "unique" not in set(got.word)     # min_df=2 filtered
