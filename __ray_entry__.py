@@ -1147,15 +1147,47 @@ def _q_doc_tfidf(sf_dir: str):
 
 
 def _q_doc_rank_by_length(sf_dir: str):
-    """RANK + DENSE_RANK of documents by n_chars (DESC) within source —
-    the bucketed one-lexsort window-rank kernel
-    (pipelines/stream.py::grouped_rank); ties share a rank, so the
-    result is deterministic without a tiebreak."""
+    """RANK + DENSE_RANK + PERCENT_RANK + CUME_DIST of documents by
+    n_chars (DESC) within source — the bucketed one-lexsort window-rank
+    kernel (pipelines/stream.py::grouped_rank); ties share a rank, so
+    the result is deterministic without a tiebreak; the two
+    distribution functions are single exact-int divisions, fixed-point
+    ×10⁶."""
     from bigdime_ray.pipelines.stream import grouped_rank
     ds = _read(sf_dir, "documents",
                columns=["source", "doc_id", "n_chars"])
     return grouped_rank(ds, "source", "n_chars", "doc_id",
                         descending=True)
+
+
+def _q_order_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): count + revenue
+    at every hierarchical grain — data touched once at the finest grain,
+    subtotals re-aggregated from that ≤ |priorities|×|statuses|-row
+    result (pipelines/frequency.py::rollup_aggregate)."""
+    from bigdime_ray.pipelines.frequency import rollup_aggregate
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus",
+                        "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "o_orderstatus": batch["o_orderstatus"],
+                         "cents": _scaled_i64(v, 100)})
+
+    return rollup_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"], "cents")
+
+
+def _q_doc_ids_by_source(sf_dir: str):
+    """ORDER BY-deterministic string_agg: comma-joined doc ids per
+    source (pipelines/frequency.py::grouped_string_agg)."""
+    from bigdime_ray.pipelines.frequency import grouped_string_agg
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id"])
+    return grouped_string_agg(ds, "source", "doc_id", "doc_id")
 
 
 def _q_doc_length_moments(sf_dir: str):
@@ -1362,6 +1394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_discount_comoments": _q_quantity_discount_comoments,
         "doc_tfidf": _q_doc_tfidf,
         "doc_rank_by_length": _q_doc_rank_by_length,
+        "doc_ids_by_source": _q_doc_ids_by_source,
+        "order_rollup": _q_order_rollup,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,
         "revenue_by_region": _q_revenue_by_region,
@@ -1637,7 +1671,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(RANK() OVER (PARTITION BY source ORDER BY n_chars "
             "DESC) AS BIGINT) AS rank, "
             "CAST(DENSE_RANK() OVER (PARTITION BY source ORDER BY "
-            "n_chars DESC) AS BIGINT) AS dense_rank FROM documents",
+            "n_chars DESC) AS BIGINT) AS dense_rank, "
+            "CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC) * 1000000 + 0.5) AS BIGINT) "
+            "AS pr_s, "
+            "CAST(FLOOR(CUME_DIST() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC) * 1000000 + 0.5) AS BIGINT) "
+            "AS cd_s FROM documents",
+        "doc_ids_by_source":
+            "SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' "
+            "ORDER BY doc_id) AS agg FROM documents GROUP BY source",
+        "order_rollup":
+            "SELECT COALESCE(o_orderpriority, '(all)') AS "
+            "o_orderpriority, COALESCE(o_orderstatus, '(all)') AS "
+            "o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS s FROM orders "
+            "GROUP BY ROLLUP(o_orderpriority, o_orderstatus)",
         "grouped_median":
             "SELECT source, CAST(FLOOR(median(n_chars) * 10 + 0.5) "
             "AS BIGINT) AS med FROM documents GROUP BY source",

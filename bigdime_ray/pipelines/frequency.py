@@ -442,3 +442,72 @@ def grouped_comoments(ds: Dataset, key: str, x_col: str,
                            zero_copy_batch=True)
             .groupby(key)
             .aggregate(*[Sum(c, alias_name=c) for c in names]))
+
+
+def grouped_string_agg(ds: Dataset, key: str, value_col: str,
+                       order_col: str, sep: str = ",",
+                       num_buckets: int = 64) -> Dataset:
+    """SQL ``string_agg(value, sep ORDER BY order_col)`` per group —
+    deterministic because the concatenation order is the explicit
+    ``order_col`` sort, never physical row order (an unordered
+    string_agg is not reproducible across engines or runs).
+
+    Whole key groups co-locate via the hash-bucket exchange; the kernel
+    sorts once per bucket by (key, order_col) and joins each segment's
+    strings. The per-group join is Python-level string work (inherent
+    to the operator — the output IS one Python string per group), but
+    everything before it is one vectorized sort, and only (key, value,
+    order) columns travel. Scale contract: one group's concatenated
+    output must fit a task — cap or shard upstream for pathological
+    groups, as with any collect-list. Output: (key, agg)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"]).sort_values([key, order_col],
+                                                     kind="stable")
+        out = (g.groupby(key, sort=True)[value_col]
+               .agg(lambda s: sep.join(s.astype(str))))
+        return out.rename("agg").reset_index()
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def rollup_aggregate(ds: Dataset, keys: list[str], value_col: str,
+                     all_label: str = "(all)") -> pa.Table:
+    """SQL ``GROUP BY ROLLUP(k1, k2, …)``: count + sum at every
+    hierarchical grain (k1,k2,…), (k1,…), …, () — one row set with the
+    rolled-up key columns set to ``all_label`` (distinguishable from
+    real values by contract; the SQL mirror is
+    ``COALESCE(k, all_label)`` + ROLLUP).
+
+    Scale shape: the DATA is touched exactly once — a single Ray
+    groupby at the FINEST grain (block pre-aggregation applies as
+    usual); every coarser grain re-aggregates the finest RESULT, whose
+    cardinality is ≤ ∏|kᵢ| regardless of input size. The driver-side
+    derivation is therefore bounded by key cardinality, not data size
+    (the distinct_count(num_buckets=1) driver-merge contract); for
+    ~10⁹-group finest grains run the coarser grains as further small
+    Ray groupbys instead. ``value_col`` must already be int64
+    (fixed-point upstream) so every subtotal is order-independent.
+    Returns an Arrow table (k1, …, kn, n, s)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    finest = (ds.groupby(keys)
+              .aggregate(Count(alias_name="n"),
+                         Sum(value_col, alias_name="s"))
+              .to_pandas())
+    frames = [finest[keys + ["n", "s"]]]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            g = finest.groupby(kept, as_index=False)[["n", "s"]].sum()
+        else:
+            g = finest[["n", "s"]].sum().to_frame().T
+        for dropped in keys[depth:]:
+            g[dropped] = all_label
+        frames.append(g[keys + ["n", "s"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["s"] = out["s"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

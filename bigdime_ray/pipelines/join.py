@@ -16,6 +16,13 @@ side fits a task (the hash keys are uniform, so no salting is needed
 regardless of hot STRING values — the hot key hashes spread only if the
 VALUES differ; a single mega-hot identical key must be salted upstream,
 documented caveat shared with every hash join).
+
+Inner joins only, deliberately: under an outer join a 64-bit hash
+collision would need the falsely-matched left row to be REINSTATED as
+a null-match row after verification (not just dropped), which requires
+a second anti-join pass over the left side. Compose the existing
+broadcast anti-join (`__ray_entry__._q_customers_without_orders`
+pattern) with this inner join when outer semantics are needed.
 """
 
 from __future__ import annotations

@@ -676,8 +676,12 @@ def grouped_rank(ds: Dataset, key: str, order_col: str, id_col: str,
     running ``maximum.accumulate`` of run-start indices (run starts
     include segment starts, so the accumulate never leaks across keys),
     ``dense_rank = runs-so-far-in-segment`` via a global cumsum of run
-    starts re-based at each segment start. Output: (key, id, order_col,
-    rank, dense_rank)."""
+    starts re-based at each segment start. The same run boundaries give
+    SQL ``PERCENT_RANK()`` = (rank−1)/(n−1) and ``CUME_DIST()`` =
+    run_end/n for free; both are a SINGLE float64 division of exact
+    integers, so their fixed-point encodings (``×10⁶``, columns
+    ``pr_s`` / ``cd_s``) are bit-identical across engines. Output:
+    (key, id, order_col, rank, dense_rank, pr_s, cd_s)."""
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"])
@@ -690,15 +694,31 @@ def grouped_rank(ds: Dataset, key: str, order_col: str, id_col: str,
         n = len(k)
         key_change = np.r_[True, k[1:] != k[:-1]]
         run_start = key_change | np.r_[False, sv[1:] != sv[:-1]]
-        seg_start = np.repeat(np.nonzero(key_change)[0],
-                              np.diff(np.r_[np.nonzero(key_change)[0], n]))
+        seg_starts = np.nonzero(key_change)[0]
+        seg_sizes = np.diff(np.r_[seg_starts, n])
+        seg_start = np.repeat(seg_starts, seg_sizes)
+        seg_n = np.repeat(seg_sizes, seg_sizes)
         idx = np.arange(n, dtype=np.int64)
         last_run = np.maximum.accumulate(np.where(run_start, idx, -1))
         rank = last_run - seg_start + 1
         runs = np.cumsum(run_start)
         dense = runs - runs[seg_start] + 1
-        return pd.DataFrame({key: k, id_col: ids, order_col: v,
-                             "rank": rank, "dense_rank": dense})
+        # end (exclusive) of each tie run, broadcast back to its rows:
+        # rows of one run share run id; run ends = next run's start
+        starts = np.nonzero(run_start)[0]
+        ends = np.r_[starts[1:], n]
+        run_end = ends[runs - 1]
+        # CUME_DIST counts rows ≤ current in the sort order, i.e. up to
+        # the END of the current tie run, within the key segment
+        cd = (run_end - seg_start).astype(np.float64) / seg_n
+        pr = np.where(seg_n > 1,
+                      (rank - 1).astype(np.float64)
+                      / np.maximum(seg_n - 1, 1), 0.0)
+        return pd.DataFrame({
+            key: k, id_col: ids, order_col: v,
+            "rank": rank, "dense_rank": dense,
+            "pr_s": np.floor(pr * 1_000_000 + 0.5).astype(np.int64),
+            "cd_s": np.floor(cd * 1_000_000 + 0.5).astype(np.int64)})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")

@@ -261,3 +261,54 @@ def test_grouped_comoments_exact():
             float(r.n * r.sxx - r.sx * r.sx)
             * float(r.n * r.syy - r.sy * r.sy))
         np.testing.assert_allclose(corr, g.x.corr(g.y), rtol=1e-9)
+
+
+def test_grouped_string_agg_deterministic_order():
+    """string_agg == per-group sep-join in explicit order_col order,
+    independent of input partitioning / physical row order."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_string_agg
+    rng = np.random.default_rng(41)
+    n = 300
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], n),
+                       "v": rng.permutation(n).astype(np.int64)})
+    shuffled = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    got = (grouped_string_agg(rd.from_pandas(shuffled).repartition(5),
+                              "k", "v", "v", sep="|")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = (df.sort_values(["k", "v"]).groupby("k")["v"]
+           .agg(lambda s: "|".join(s.astype(str)))
+           .rename("agg").reset_index())
+    assert got.equals(exp)
+
+
+def test_rollup_aggregate_matches_pandas():
+    """rollup == every hierarchical grain of groupby-sum + grand total,
+    coalesced with the all-label."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import rollup_aggregate
+    rng = np.random.default_rng(53)
+    n = 400
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], n),
+                       "b": rng.choice(["p", "q"], n),
+                       "v": rng.integers(0, 1000, n)})
+    got = (rollup_aggregate(rd.from_pandas(df).repartition(4),
+                            ["a", "b"], "v")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    fine = df.groupby(["a", "b"], as_index=False)["v"] \
+        .agg(n="count", s="sum")
+    lvl1 = df.groupby("a", as_index=False)["v"].agg(n="count", s="sum")
+    lvl1["b"] = "(all)"
+    total = pd.DataFrame({"a": ["(all)"], "b": ["(all)"],
+                          "n": [n], "s": [df.v.sum()]})
+    fine = fine.rename(columns={"count": "n", "sum": "s"})
+    exp = (pd.concat([fine, lvl1, total], ignore_index=True)
+           [["a", "b", "n", "s"]]
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    exp["n"] = exp["n"].astype(np.int64)
+    exp["s"] = exp["s"].astype(np.int64)
+    assert got.equals(exp)

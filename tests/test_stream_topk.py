@@ -544,12 +544,17 @@ def test_grouped_rank_matches_sql_semantics():
         got = (grouped_rank(rd.from_pandas(df).repartition(4),
                             "k", "v", "id", descending=desc)
                .to_pandas().sort_values("id").reset_index(drop=True))
-        sign = -1 if desc else 1
         for _, r in got.iterrows():
             g = df[df.k == r.k]
             better = (g.v > r.v) if desc else (g.v < r.v)
+            not_after = (g.v >= r.v) if desc else (g.v <= r.v)
             assert r["rank"] == better.sum() + 1, (desc, r.to_dict())
             distinct_better = g.v[better].nunique()
             assert r["dense_rank"] == distinct_better + 1
+            n = len(g)
+            pr = (r["rank"] - 1) / (n - 1) if n > 1 else 0.0
+            assert r["pr_s"] == int(np.floor(pr * 1e6 + 0.5))
+            cd = not_after.sum() / n
+            assert r["cd_s"] == int(np.floor(cd * 1e6 + 0.5))
         # every group starts at rank 1
         assert (got.groupby("k")["rank"].min() == 1).all()
