@@ -618,6 +618,50 @@ def _q_revenue_by_status_string_join(sf_dir: str):
                        Count(alias_name="cnt")))
 
 
+def _q_customer_order_coverage(sf_dir: str):
+    """LEFT OUTER string-key join (pipelines/join.py::
+    string_key_left_join: verified inner ⊎ broadcast anti with null
+    right columns) aggregated to per-segment row / match counts — the
+    null-preserving semantics are what the aggregate checks
+    (COUNT(*) vs COUNT(o_orderkey))."""
+    from ray.data.aggregate import Count, Sum
+    from bigdime_ray.pipelines.join import string_key_left_join
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_skey": pc.binary_join_element_wise(
+                pa.scalar("C"), pc.cast(batch["c_custkey"], pa.string()),
+                pa.scalar("")),
+            "c_mktsegment": batch["c_mktsegment"]})
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_skey": pc.binary_join_element_wise(
+                pa.scalar("C"), pc.cast(batch["o_custkey"], pa.string()),
+                pa.scalar("")),
+            "o_orderkey": batch["o_orderkey"]})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(c_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey"]) \
+        .map_batches(o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = string_key_left_join(cust, orders, "c_skey", "o_skey",
+                                  num_partitions=16)
+
+    def part(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "m": pc.cast(pc.is_valid(batch["o_orderkey"]), pa.int64())})
+
+    return (joined.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_rows"),
+                       Sum("m", alias_name="n_matched")))
+
+
 def _q_validation_suite(sf_dir: str):
     """Flagship engine run (rows-only): verdict table of the full suite."""
     return entry()
@@ -1368,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": _q_top_orders,
         "revenue_by_orderpriority": _q_revenue_by_orderpriority,
         "revenue_by_status_string_join": _q_revenue_by_status_string_join,
+        "customer_order_coverage": _q_customer_order_coverage,
         "validation_suite_synthetic": _q_validation_suite,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "grouped_topk": _q_grouped_topk,
@@ -1517,6 +1562,13 @@ def oracle_sql() -> dict[str, str]:
             "('O' || CAST(l_orderkey AS VARCHAR)) = "
             "('O' || CAST(o_orderkey AS VARCHAR)) "
             "GROUP BY o_orderstatus",
+        "customer_order_coverage":
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched "
+            "FROM customer LEFT JOIN orders ON "
+            "('C' || CAST(c_custkey AS VARCHAR)) = "
+            "('C' || CAST(o_custkey AS VARCHAR)) "
+            "GROUP BY c_mktsegment",
         "grouped_topk":
             "SELECT l_orderkey, l_linenumber FROM ("
             "SELECT l_orderkey, l_linenumber, ROW_NUMBER() OVER ("

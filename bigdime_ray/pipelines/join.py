@@ -69,3 +69,55 @@ def string_key_join(left: Dataset, right: Dataset, left_key: str,
 
     return joined.map_batches(verify, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def string_key_left_join(left: Dataset, right: Dataset, left_key: str,
+                         right_key: str,
+                         num_partitions: int = 16) -> Dataset:
+    """LEFT OUTER join on string keys, composed as
+    ``verified inner ⊎ (broadcast anti rows + null right columns)``.
+
+    This sidesteps the outer-join collision problem documented above:
+    a left row whose key hash-collides with an unrelated right key is
+    dropped by the inner join's string verification, and — because its
+    REAL key is absent from the right key set — re-enters through the
+    anti branch with nulls, exactly the SQL result. The anti branch
+    broadcasts the right side's distinct keys (`ray.put`-style Arrow
+    value set), so this composition assumes the RIGHT key set fits a
+    broadcast (~10⁸ keys); beyond that, run the anti branch as a second
+    hash-join pass instead. Output schema: left columns + right columns
+    (null where unmatched), same as the inner join's."""
+    import ray as _ray
+
+    inner = string_key_join(left, right, left_key, right_key,
+                            num_partitions)
+    rkeys = pc.unique(pa.concat_tables(
+        _ray.get(right.select_columns([right_key]).to_arrow_refs())
+    )[right_key].combine_chunks())
+    rsch = right.schema()
+    # ray.data.Schema.types yields numpy dtypes for pandas-backed
+    # datasets; normalize to Arrow (object dtype ≈ string — the pandas
+    # block representation doesn't distinguish)
+    rtypes = []
+    for t in rsch.types:
+        if isinstance(t, pa.DataType):
+            rtypes.append(t)
+        else:
+            try:
+                rtypes.append(pa.from_numpy_dtype(t))
+            except (pa.ArrowNotImplementedError, TypeError):
+                rtypes.append(pa.string())
+    cols = left.schema().names + rsch.names
+
+    def anti(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.invert(
+            pc.is_in(batch[left_key], value_set=rkeys)))
+        for nm, tp in zip(rsch.names, rtypes):
+            out = out.append_column(nm, pa.nulls(out.num_rows, type=tp))
+        return out.select(cols)
+
+    unmatched = left.map_batches(anti, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return inner.map_batches(lambda b: b.select(cols),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True).union(unmatched)

@@ -213,3 +213,36 @@ def test_string_key_join_requires_distinct_names():
     ds = rd.range(1)
     with pytest.raises(ValueError):
         string_key_join(ds, ds, "k", "k")
+
+
+def test_string_key_left_join_matches_pandas():
+    """LEFT OUTER composition (verified inner + broadcast anti with
+    null right columns) == pandas left merge, including many-to-many
+    matches and unmatched left rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import string_key_left_join
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({
+        "lk": [f"k{int(i)}" for i in rng.integers(0, 30, 200)],
+        "lv": np.arange(200, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": [f"k{int(i)}" for i in rng.integers(15, 45, 80)],
+        "rv": np.arange(80, dtype=np.int64)})
+    got = (string_key_left_join(rd.from_pandas(left).repartition(4),
+                                rd.from_pandas(right).repartition(3),
+                                "lk", "rk", num_partitions=4)
+           .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True))
+    exp = (left.merge(right, left_on="lk", right_on="rk", how="left")
+           .sort_values(["lv", "rv"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    assert got.lv.tolist() == exp.lv.tolist()
+    # unmatched rows carry nulls in every right column
+    um = got[got.rk.isna()]
+    assert um.rv.isna().all() and len(um) == exp.rk.isna().sum()
+    matched = got.dropna(subset=["rk"])
+    exp_m = exp.dropna(subset=["rk"])
+    assert matched.rk.tolist() == exp_m.rk.tolist()
+    assert matched.rv.astype(np.int64).tolist() == \
+        exp_m.rv.astype(np.int64).tolist()
