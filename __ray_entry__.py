@@ -1234,6 +1234,16 @@ def _q_doc_ids_by_source(sf_dir: str):
     return grouped_string_agg(ds, "source", "doc_id", "doc_id")
 
 
+def _q_doc_lengths_by_source(sf_dir: str):
+    """Typed collect_list (rows-only: LIST columns don't hash-compare
+    through the SQL oracle; equivalence vs string_agg is pytest-pinned):
+    per source, n_chars values ordered by doc_id as list<int64>."""
+    from bigdime_ray.pipelines.frequency import grouped_collect_list
+    ds = _read(sf_dir, "documents",
+               columns=["source", "doc_id", "n_chars"])
+    return grouped_collect_list(ds, "source", "n_chars", "doc_id")
+
+
 def _q_doc_length_moments(sf_dir: str):
     """Per-source COUNT / SUM / SUM-of-squares of n_chars — the exact
     integer building blocks of mean/variance/stddev
@@ -1440,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf": _q_doc_tfidf,
         "doc_rank_by_length": _q_doc_rank_by_length,
         "doc_ids_by_source": _q_doc_ids_by_source,
+        "doc_lengths_by_source": _q_doc_lengths_by_source,
         "order_rollup": _q_order_rollup,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,

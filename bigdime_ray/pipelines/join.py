@@ -91,9 +91,14 @@ def string_key_left_join(left: Dataset, right: Dataset, left_key: str,
 
     inner = string_key_join(left, right, left_key, right_key,
                             num_partitions)
-    rkeys = pc.unique(pa.concat_tables(
-        _ray.get(right.select_columns([right_key]).to_arrow_refs())
-    )[right_key].combine_chunks())
+    # groupby-derived right sides can carry zero-column empty blocks
+    # (stages/shuffle.py::drop_empty_blocks doc) — drop before concat
+    rtabs = [t for t in _ray.get(
+        right.select_columns([right_key]).to_arrow_refs())
+        if t.num_rows > 0]
+    rkeys = pc.unique(pa.concat_tables(rtabs)[right_key]
+                      .combine_chunks()) if rtabs \
+        else pa.array([], type=pa.string())
     rsch = right.schema()
     # ray.data.Schema.types yields numpy dtypes for pandas-backed
     # datasets; normalize to Arrow (object dtype ≈ string — the pandas

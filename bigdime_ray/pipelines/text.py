@@ -254,9 +254,16 @@ def tf_idf(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
 
     n_docs = int(total_docs if total_docs is not None else ds.count())
-    df_tab = pa.concat_tables(
-        ray.get(document_frequency(ds, text_col=text_col, min_df=min_df,
-                                   lowercase=lowercase).to_arrow_refs()))
+    # the df Dataset comes through a groupby: Ray's hash shuffle emits
+    # ZERO-COLUMN empty blocks (stages/shuffle.py::drop_empty_blocks
+    # doc) — drop them driver-side, we are pulling the table anyway
+    tabs = [t for t in ray.get(
+        document_frequency(ds, text_col=text_col, min_df=min_df,
+                           lowercase=lowercase).to_arrow_refs())
+        if t.num_rows > 0]
+    df_tab = pa.concat_tables(tabs) if tabs else pa.table(
+        {"word": pa.array([], type=pa.string()),
+         "df": pa.array([], type=pa.int64())})
     wh = hash_string_column(df_tab["word"].combine_chunks()) \
         .view(np.int64)
     order = np.argsort(wh, kind="stable")

@@ -312,3 +312,24 @@ def test_rollup_aggregate_matches_pandas():
     exp["n"] = exp["n"].astype(np.int64)
     exp["s"] = exp["s"].astype(np.int64)
     assert got.equals(exp)
+
+
+def test_grouped_collect_list_ordered():
+    """collect_list == per-group values in explicit order_col order,
+    invariant to input shuffling; typed list<int64> output."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_collect_list
+    rng = np.random.default_rng(61)
+    n = 250
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], n),
+                       "o": rng.permutation(n).astype(np.int64),
+                       "v": rng.integers(0, 100, n).astype(np.int64)})
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    got = (grouped_collect_list(rd.from_pandas(shuffled).repartition(4),
+                                "k", "v", "o")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for _, r in got.iterrows():
+        exp = df[df.k == r.k].sort_values("o").v.tolist()
+        assert list(r.vals) == exp
