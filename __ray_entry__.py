@@ -1204,6 +1204,41 @@ def _q_doc_rank_by_length(sf_dir: str):
                         descending=True)
 
 
+def _q_monthly_revenue(sf_dir: str):
+    """CALENDAR-month windowed aggregate (variable-width windows — the
+    fixed-width sibling is events_hourly/hopping): block-local
+    pre-aggregation to (month, n, cents) partials via one
+    datetime64[M] truncation + np.add.at, so ≤ months × blocks rows
+    reach the tiny groupby; Ray's timestamp-key [us]→[s] downcast is
+    cast back post-aggregate (CLAUDE.md gotcha)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(tp * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ts, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"month": pa.array(uniq.astype("datetime64[us]")),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    out = (ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("month")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+
+    def fix_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({"month": pc.cast(batch["month"],
+                                          pa.timestamp("us")),
+                         "n": batch["n"], "s": batch["s"]})
+
+    return out.map_batches(fix_ts, batch_format="pyarrow")
+
+
 def _q_order_rollup(sf_dir: str):
     """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): count + revenue
     at every hierarchical grain — data touched once at the finest grain,
@@ -1451,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank_by_length": _q_doc_rank_by_length,
         "doc_ids_by_source": _q_doc_ids_by_source,
         "doc_lengths_by_source": _q_doc_lengths_by_source,
+        "monthly_revenue": _q_monthly_revenue,
         "order_rollup": _q_order_rollup,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1744,6 +1780,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_ids_by_source":
             "SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' "
             "ORDER BY doc_id) AS agg FROM documents GROUP BY source",
+        "monthly_revenue":
+            "SELECT date_trunc('month', o_orderdate) AS month, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS s FROM orders "
+            "GROUP BY date_trunc('month', o_orderdate)",
         "order_rollup":
             "SELECT COALESCE(o_orderpriority, '(all)') AS "
             "o_orderpriority, COALESCE(o_orderstatus, '(all)') AS "

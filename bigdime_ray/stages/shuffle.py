@@ -391,25 +391,32 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
     for empty hash partitions, and map operators bypass empty blocks —
     so ``ensure_schema`` cannot normalize them — while ``Dataset.join``
     chokes on them (pyarrow: "No match ... for FieldRef" on the side
-    holding the schemaless empty). Row counts are gathered by a tiny
-    remote task per block (driver sees only ints, never block data), so
-    this is safe at any scale. Use on any groupby output that feeds a
-    join."""
+    holding the schemaless empty). Row counts come from the executed
+    plan's block METADATA (the driver sees only ints, never block data
+    — and no per-block RPC either; a remote count task runs only for
+    bundles whose metadata lacks num_rows). Safe at any scale. Use on
+    any groupby output that feeds a join."""
     import ray as _ray
     import ray.data as _rd
 
-    refs = ds.to_arrow_refs()
+    refs, unknown = [], []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n = getattr(meta, "num_rows", None)
+            if n is None:
+                unknown.append(len(refs))
+            refs.append([ref, n])
+    if unknown:
+        @_ray.remote(num_cpus=0)
+        def _nrows(t) -> int:
+            return t.num_rows
 
-    @_ray.remote(num_cpus=0)
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    counts = _ray.get([_nrows.remote(r) for r in refs])
-    keep = [r for r, n in zip(refs, counts) if n]
-    if len(keep) == len(refs):
-        return ds
+        counts = _ray.get([_nrows.remote(refs[i][0]) for i in unknown])
+        for i, n in zip(unknown, counts):
+            refs[i][1] = n
+    keep = [r for r, n in refs if n]
     if not keep:  # all-empty: keep one block so the schema survives
-        keep = refs[:1]
+        keep = [refs[0][0]] if refs else []
     return _rd.from_arrow_refs(keep)
 
 
