@@ -1427,6 +1427,156 @@ def _q_revenue_by_region(sf_dir: str):
                      "revenue": pa.array(rev[m]), "cnt": pa.array(cnt[m])})
 
 
+def _q_conditional_agg(sf_dir: str):
+    """Conditional aggregation (CASE WHEN inside SUM — the TPC-H Q12
+    shape): per returnflag, total count, heavy-line count (qty > 25)
+    and revenue restricted to discount > 5%. All three predicates are
+    evaluated on per-row FIXED-POINT encodings so the branch taken is
+    bit-identical across engines; block-local np.add.at partials mean
+    ≤ |flags| rows per block reach the tiny groupby."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        qty_s = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) * 1_000 + 0.5).astype(np.int64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        disc_s6 = np.floor(disc * 1_000_000 + 0.5).astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        rev_s = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
+        flags = batch["l_returnflag"]
+        uniq = pc.unique(flags)
+        code = pc.index_in(flags, uniq).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(uniq)
+        cnt = np.bincount(code, minlength=n).astype(np.int64)
+        heavy = np.zeros(n, dtype=np.int64)
+        np.add.at(heavy, code, (qty_s > 25_000).astype(np.int64))
+        drev = np.zeros(n, dtype=np.int64)
+        np.add.at(drev, code, np.where(disc_s6 > 50_000, rev_s, 0))
+        return pa.table({"l_returnflag": uniq, "cnt": pa.array(cnt),
+                         "heavy_cnt": pa.array(heavy),
+                         "disc_rev_s": pa.array(drev)})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("l_returnflag")
+            .aggregate(Sum("cnt", alias_name="cnt"),
+                       Sum("heavy_cnt", alias_name="heavy_cnt"),
+                       Sum("disc_rev_s", alias_name="disc_rev_s")))
+
+
+def _q_small_quantity_revenue(sf_dir: str):
+    """Correlated-subquery shape (TPC-H Q17): revenue of lineitem rows
+    whose quantity is below 20% of their PART's average quantity. The
+    per-part (count, sum_qty) aggregate rides the packed-cell exchange
+    and is broadcast ONCE via ray.put (bounded by |parts|, the
+    dimension); the fact scan then filters with a searchsorted lookup —
+    no row ever shuffles. The correlated predicate qty < 0.2·avg is
+    evaluated as qty_s·5·n < sum_qty_s — pure int64, no division, so
+    both engines take identical branches."""
+    import ray as _ray
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def extract(batch: pa.Table):
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        qty_s = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) * 1_000 + 0.5).astype(np.int64)
+        return keys, [np.ones(len(keys), dtype=np.int64), qty_s]
+
+    keys, (n, sq) = grouped_int_sums_exchange(ds, extract, 2)
+    order = np.argsort(keys, kind="stable")
+    lut = _ray.put((keys[order], n[order], sq[order]))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        k_sorted, n_s, sq_s = _ray.get(lut)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(k_sorted, pk)  # every part key is present
+        qty_s = np.floor(batch["l_quantity"].to_numpy(
+            zero_copy_only=False) * 1_000 + 0.5).astype(np.int64)
+        cond = qty_s * 5 * n_s[pos] < sq_s[pos]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        rev_s = np.floor(ep * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "revenue_s": pa.array([int(rev_s[cond].sum())]),
+            "n": pa.array([int(cond.sum())])})
+
+    rows = ds.map_batches(flt, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    return pa.table({
+        "revenue_s": pa.array([sum(r["revenue_s"] for r in rows)],
+                              type=pa.int64()),
+        "n": pa.array([sum(r["n"] for r in rows)], type=pa.int64())})
+
+
+def _q_customer_order_counts(sf_dir: str):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers. Per-bucket count histograms (finalize inside
+    the packed-cell exchange) mean the driver merges ≤ buckets × |count
+    values| rows — never |customers|; the zero bucket derives from the
+    dimension cardinality (metadata-cheap count on the parquet read).
+    Assumes o_custkey ⊆ c_custkey (referential validator's contract)."""
+    from bigdime_ray.pipelines.frequency import count_histogram
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    total = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    t = count_histogram(orders, "o_custkey", total_keys=total)
+    return t.rename_columns(["order_count", "num_customers"])
+
+
+def _q_mode_lang_by_source(sf_dir: str):
+    """Grouped MODE (most frequent value, ties toward the smallest):
+    dominant language per document source. One (source, lang) pair-
+    count groupby touches the data; the argmax runs over the pair table
+    (bounded by |sources|×|langs|, not rows)."""
+    from bigdime_ray.pipelines.frequency import grouped_mode
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    return grouped_mode(ds, "source", "lang")
+
+
+def _q_user_first_last_value(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user over the explicit (ts,
+    event_id) total order — values fixed-point ×10⁴ (exact: selected,
+    never summed). Block partials keep ≤2 candidate rows per (block,
+    user) so the exchange never moves the input."""
+    from bigdime_ray.pipelines.stream import grouped_first_last
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+    return grouped_first_last(ds, "user_id", "ts", "event_id", "value",
+                              scale=10_000)
+
+
+def _q_users_purchase_no_error(sf_dir: str):
+    """Set-difference shape (EXCEPT): users with a high-value purchase
+    (value > 90) but NO high-value error event. Per-user presence
+    flags ride ONE packed-cell exchange as two 0/1 sums — distinct-
+    union-minus semantics with no row shuffle and no second pass. The
+    driver holds only the qualifying user ids (the result itself)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def extract(batch: pa.Table):
+        keys = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = batch["event_type"]
+        hi = batch["value"].to_numpy(zero_copy_only=False) > 90.0
+        a = (pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+             & hi).astype(np.int64)
+        b = (pc.equal(et, "error").to_numpy(zero_copy_only=False)
+             & hi).astype(np.int64)
+        return keys, [a, b]
+
+    keys, (a, b) = grouped_int_sums_exchange(ds, extract, 2)
+    out = np.sort(keys[(a > 0) & (b == 0)])
+    return pa.table({"user_id": pa.array(out, type=pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -1487,6 +1637,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ids_by_source": _q_doc_ids_by_source,
         "doc_lengths_by_source": _q_doc_lengths_by_source,
         "monthly_revenue": _q_monthly_revenue,
+        "conditional_agg": _q_conditional_agg,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "customer_order_counts": _q_customer_order_counts,
+        "mode_lang_by_source": _q_mode_lang_by_source,
+        "user_first_last_value": _q_user_first_last_value,
+        "users_purchase_no_error": _q_users_purchase_no_error,
         "order_rollup": _q_order_rollup,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1786,6 +1942,45 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS s FROM orders "
             "GROUP BY date_trunc('month', o_orderdate)",
+        "conditional_agg":
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CASE WHEN CAST(FLOOR(l_quantity*1000+0.5) AS "
+            "BIGINT) > 25000 THEN 1 ELSE 0 END) AS BIGINT) AS heavy_cnt, "
+            "CAST(SUM(CASE WHEN CAST(FLOOR(l_discount*1000000+0.5) AS "
+            "BIGINT) > 50000 THEN CAST(FLOOR(l_extendedprice*"
+            "(1-l_discount)*1000+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) "
+            "AS disc_rev_s FROM lineitem GROUP BY l_returnflag",
+        "small_quantity_revenue":
+            "SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice*100"
+            "+0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_s, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem l JOIN "
+            "(SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS pn, "
+            "CAST(SUM(CAST(FLOOR(l_quantity*1000+0.5) AS BIGINT)) AS "
+            "BIGINT) AS sq FROM lineitem GROUP BY l_partkey) p "
+            "ON l.l_partkey = p.pk "
+            "WHERE CAST(FLOOR(l.l_quantity*1000+0.5) AS BIGINT)*5*p.pn "
+            "< p.sq",
+        "customer_order_counts":
+            "SELECT order_count, CAST(COUNT(*) AS BIGINT) AS "
+            "num_customers FROM (SELECT c.c_custkey, "
+            "CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_count "
+            "FROM customer c LEFT JOIN orders o "
+            "ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+            "GROUP BY order_count",
+        "mode_lang_by_source":
+            "SELECT source, lang AS mode, cnt FROM (SELECT source, "
+            "lang, CAST(COUNT(*) AS BIGINT) AS cnt, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn "
+            "FROM documents GROUP BY source, lang) WHERE rn = 1",
+        "user_first_last_value":
+            "SELECT user_id, CAST(FLOOR(FIRST(value ORDER BY ts, "
+            "event_id)*10000+0.5) AS BIGINT) AS first_v, "
+            "CAST(FLOOR(LAST(value ORDER BY ts, event_id)*10000+0.5) "
+            "AS BIGINT) AS last_v FROM events GROUP BY user_id",
+        "users_purchase_no_error":
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "AND value > 90 EXCEPT SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 90",
         "order_rollup":
             "SELECT COALESCE(o_orderpriority, '(all)') AS "
             "o_orderpriority, COALESCE(o_orderstatus, '(all)') AS "

@@ -545,3 +545,73 @@ def grouped_collect_list(ds: Dataset, key: str, value_col: str,
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pyarrow"))
+
+
+def count_histogram(ds: Dataset, key_col: str,
+                    num_buckets: int | None = None,
+                    total_keys: int | None = None) -> pa.Table:
+    """TPC-H Q13 shape: the DISTRIBUTION of per-key occurrence counts —
+    one output row per distinct count value c with the number of keys
+    occurring exactly c times. ``total_keys`` (the dimension-table
+    cardinality, metadata-cheap on a parquet read) adds the zero-count
+    row: keys in the dimension that never occur in ``ds`` (requires the
+    fact keys ⊆ dimension keys — the engine's referential validator is
+    the guard for that assumption).
+
+    Scale shape: rides ``duplicate_key_counts``'s packed-cell exchange
+    with a per-bucket ``finalize`` that histograms the counts INSIDE
+    each bucket task (complete key groups per bucket make per-key
+    counts final there), so the driver merges ≤ buckets × |distinct
+    count values| tiny rows — never |keys| rows. Returns (cnt,
+    num_keys) sorted by cnt."""
+    import pandas as pd
+    from bigdime_ray.stages.shuffle import duplicate_key_counts
+
+    def hist(keys: np.ndarray, cnts: np.ndarray) -> pd.DataFrame:
+        u, n = np.unique(cnts, return_counts=True)
+        return pd.DataFrame({"cnt": u.astype(np.int64),
+                             "num_keys": n.astype(np.int64)})
+
+    part = duplicate_key_counts(ds, key_col, min_count=1,
+                                num_buckets=num_buckets, finalize=hist)
+    oc = part["cnt"].to_numpy()
+    nk = part["num_keys"].to_numpy()
+    u, inv = np.unique(oc, return_inverse=True)
+    acc = np.zeros(len(u), dtype=np.int64)
+    np.add.at(acc, inv, nk)
+    if total_keys is not None:
+        zero = int(total_keys) - int(acc.sum())
+        if zero < 0:
+            raise ValueError(
+                f"fact has {int(acc.sum())} distinct keys but total_keys="
+                f"{total_keys}: fact keys are not a subset of the dimension")
+        if zero > 0:
+            u = np.r_[np.int64(0), u]
+            acc = np.r_[np.int64(zero), acc]
+    return pa.table({"cnt": pa.array(u.astype(np.int64)),
+                     "num_keys": pa.array(acc)})
+
+
+def grouped_mode(ds: Dataset, key: str, value_col: str) -> pa.Table:
+    """Per-key MODE: the most frequent value, ties broken toward the
+    SMALLEST value (deterministic across engines — an unspecified-tie
+    mode is not reproducible). Returns (key, mode, cnt).
+
+    The data is touched once: a Ray groupby on (key, value) with Count
+    (block pre-aggregation applies as usual), so only ≤ |key × value|
+    pair-count rows leave the shuffle. The argmax runs on the driver
+    over that pair table — bounded by PAIR CARDINALITY, not row count
+    (the rollup_aggregate contract); for unbounded value domains run
+    ``heavy_hitters`` per key instead."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+    pairs = (ds.groupby([key, value_col])
+             .aggregate(Count(alias_name="cnt")).to_pandas())
+    pairs = pairs.sort_values([key, value_col], kind="stable")
+    pairs = pairs.sort_values([key, "cnt"], kind="stable",
+                              ascending=[True, False])
+    first = pairs.groupby(key, as_index=False, sort=True).first()
+    first = first.rename(columns={value_col: "mode"})
+    first["cnt"] = first["cnt"].astype(np.int64)
+    return pa.Table.from_pandas(first[[key, "mode", "cnt"]],
+                                preserve_index=False)

@@ -771,3 +771,61 @@ def rolling_rows_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def grouped_first_last(ds: Dataset, key: str, ts_col: str, id_col: str,
+                       value_col: str, scale: int | None = None,
+                       num_buckets: int = 64) -> Dataset:
+    """FIRST_VALUE / LAST_VALUE per partition: one row per key with the
+    value at the key's first and last event under the explicit total
+    order (ts, id) — SQL ``FIRST(v ORDER BY ts, id)`` / ``LAST(...)``.
+
+    Scale shape: a block-local partial keeps only each key's block-wise
+    first and last candidate rows (≤ 2 × |keys in block|), so the
+    exchange moves ≤ 2·keys·blocks narrow 4-column rows instead of the
+    input; the bucketed kernel lexsorts once per co-located bucket and
+    gathers segment endpoints. ``scale`` fixed-point-encodes the float
+    value per row (floor(v·scale+0.5) int64) — exact here because
+    values are SELECTED, never summed. Returns (key, first_v, last_v)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        ts = batch[ts_col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False))
+        if scale is not None:
+            v = np.floor(v.astype(np.float64) * scale + 0.5) \
+                .astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        ks = k[order]
+        starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+        ends = np.r_[starts[1:], len(ks)] - 1 if len(ks) else starts
+        sel = order[np.unique(np.r_[starts, ends])].astype(np.int64)
+        # key column via Arrow take so string/dict key types survive
+        # empty and non-numeric inputs
+        kcol = batch[key].combine_chunks() \
+            if isinstance(batch[key], pa.ChunkedArray) else batch[key]
+        return pa.table({key: kcol.take(pa.array(sel)),
+                         "__ts": pa.array(ts[sel]),
+                         "__id": pa.array(ids[sel].astype(np.int64)),
+                         "__v": pa.array(v[sel])})
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g["__ts"].to_numpy()
+        ids = g["__id"].to_numpy()
+        v = g["__v"].to_numpy()
+        order = np.lexsort((ids, ts, k))
+        k, v = k[order], v[order]
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        ends = np.r_[starts[1:], len(k)] - 1
+        return pd.DataFrame({key: k[starts], "first_v": v[starts],
+                             "last_v": v[ends]})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    cand = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return (add_hash_bucket(cand, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))

@@ -149,7 +149,8 @@ def _auto_buckets(ds: Dataset, num_buckets, approx_rows: int | None = None
 
 
 def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
-                         num_buckets: int | None = None) -> pa.Table:
+                         num_buckets: int | None = None,
+                         finalize=None) -> pa.Table:
     """Exact per-key counts ≥ ``min_count`` over an int64 key — the
     exchange-optimized replacement for ``groupby(key).count()``.
 
@@ -162,6 +163,15 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
     ``num_buckets=1`` merges on the driver; >1 is the scale path (each
     bucket's merge is an independent task over a bounded key range).
     Returns a pa.Table (key_col, cnt) with cnt ≥ min_count.
+
+    ``finalize(keys, cnts) -> pd.DataFrame`` (optional) replaces the
+    default (key, cnt) output PER MERGE — on the driver for
+    num_buckets=1, INSIDE each bucket task otherwise. Because every
+    bucket holds complete key groups, a finalize that reduces per-key
+    counts further (e.g. a histogram of counts) shrinks what leaves
+    each bucket from |keys in bucket| rows to the reduction's size —
+    the Q13-shape lever (see ``frequency.count_histogram``). It must
+    accept empty arrays and return a correctly-typed empty frame.
     """
     num_buckets = _auto_buckets(ds, num_buckets)
 
@@ -210,29 +220,32 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
 
     cells = ds.map_batches(pack, batch_format="pyarrow",
                            zero_copy_batch=True)
+    _empty = np.empty(0, dtype=np.int64)
+
+    def _default_fin(keys: np.ndarray, cnts: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame({key_col: keys.astype(np.int64),
+                             "cnt": cnts.astype(np.int64)})
+
+    fin = finalize if finalize is not None else _default_fin
     if num_buckets == 1:
         rows = cells.take_all()
         if not rows:
-            return pa.table({key_col: pa.array([], type=pa.int64()),
-                             "cnt": pa.array([], type=pa.int64())})
+            return pa.Table.from_pandas(fin(_empty, _empty.copy()),
+                                        preserve_index=False)
         keys, cnts = merge_cells([r["keys"] for r in rows],
                                  [r["cnts"] for r in rows])
-        return pa.table({key_col: pa.array(keys),
-                         "cnt": pa.array(cnts)})
+        return pa.Table.from_pandas(fin(keys, cnts), preserve_index=False)
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         keys, cnts = merge_cells(list(g["keys"]), list(g["cnts"]))
-        return pd.DataFrame({key_col: keys, "cnt": cnts})
+        return fin(keys, cnts)
 
     out = (cells.groupby("bucket")
            .map_groups(merge_group, batch_format="pandas").to_pandas())
     if len(out) == 0:
-        return pa.table({key_col: pa.array([], type=pa.int64()),
-                         "cnt": pa.array([], type=pa.int64())})
-    return pa.table({key_col: pa.array(out[key_col].to_numpy()
-                                       .astype(np.int64)),
-                     "cnt": pa.array(out["cnt"].to_numpy()
-                                     .astype(np.int64))})
+        return pa.Table.from_pandas(fin(_empty, _empty.copy()),
+                                    preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,

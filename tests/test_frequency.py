@@ -333,3 +333,49 @@ def test_grouped_collect_list_ordered():
     for _, r in got.iterrows():
         exp = df[df.k == r.k].sort_values("o").v.tolist()
         assert list(r.vals) == exp
+
+
+def test_count_histogram_matches_pandas(key_ds):
+    from bigdime_ray.pipelines.frequency import count_histogram
+    ds, series = key_ds
+    expect = (series.value_counts().value_counts().sort_index())
+    got = count_histogram(ds, "k").to_pandas().sort_values("cnt")
+    assert got.cnt.tolist() == expect.index.tolist()
+    assert got.num_keys.tolist() == expect.tolist()
+    # bucketed path == driver path (strategy equivalence)
+    got8 = (count_histogram(ds, "k", num_buckets=8).to_pandas()
+            .sort_values("cnt").reset_index(drop=True))
+    assert got8.equals(got.reset_index(drop=True))
+
+
+def test_count_histogram_zero_bucket(key_ds):
+    from bigdime_ray.pipelines.frequency import count_histogram
+    ds, series = key_ds
+    n_distinct = series.nunique()
+    # dimension claims 1000 extra keys that never occur in the fact
+    got = count_histogram(ds, "k", total_keys=n_distinct + 1000) \
+        .to_pandas().sort_values("cnt")
+    assert got.cnt.iloc[0] == 0 and got.num_keys.iloc[0] == 1000
+    assert got.num_keys.sum() == n_distinct + 1000
+    # fact ⊄ dimension must raise, never silently emit a negative row
+    with pytest.raises(ValueError):
+        count_histogram(ds, "k", total_keys=3)
+
+
+def test_grouped_mode_ties_deterministic():
+    from bigdime_ray.pipelines.frequency import grouped_mode
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 4 + ["c"] * 1,
+        # group a: x and y tied 3-3 -> smallest value "x" wins;
+        # group b: z strictly wins; group c: singleton
+        "v": ["y", "x", "y", "x", "y", "x",
+              "z", "z", "q", "z", "solo"]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = grouped_mode(ds, "g", "v").to_pandas().sort_values("g")
+    assert got.g.tolist() == ["a", "b", "c"]
+    assert got["mode"].tolist() == ["x", "z", "solo"]
+    assert got.cnt.tolist() == [3, 3, 1]
+    # partition-invariance: a different physical layout, same answer
+    got1 = grouped_mode(ray.data.from_pandas(df).repartition(7),
+                        "g", "v").to_pandas().sort_values("g")
+    assert got1["mode"].tolist() == got["mode"].tolist()

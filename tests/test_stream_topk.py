@@ -558,3 +558,25 @@ def test_grouped_rank_matches_sql_semantics():
             assert r["cd_s"] == int(np.floor(cd * 1e6 + 0.5))
         # every group starts at rank 1
         assert (got.groupby("k")["rank"].min() == 1).all()
+
+
+def test_grouped_first_last_brute_force():
+    from bigdime_ray.pipelines.stream import grouped_first_last
+    rng = np.random.default_rng(41)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 60, n),
+        # heavy ts ties so the (ts, id) tiebreak actually decides
+        "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),
+        "id": rng.permutation(n).astype(np.int64),
+        "v": rng.uniform(-5, 5, n).round(3)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = (grouped_first_last(ds, "k", "ts", "id", "v", scale=10_000)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    s = df.sort_values(["k", "ts", "id"], kind="stable")
+    first = s.groupby("k")["v"].first()
+    last = s.groupby("k")["v"].last()
+    enc = lambda x: np.floor(x.to_numpy() * 10_000 + 0.5).astype(np.int64)
+    assert got.k.tolist() == sorted(first.index.tolist())
+    assert got.first_v.tolist() == enc(first).tolist()
+    assert got.last_v.tolist() == enc(last).tolist()
