@@ -1577,6 +1577,102 @@ def _q_users_purchase_no_error(sf_dir: str):
     return pa.table({"user_id": pa.array(out, type=pa.int64())})
 
 
+def _q_props_value_by_type(sf_dir: str):
+    """Semi-structured extraction: parse the integer field out of the
+    JSON-ish ``props`` string with one vectorized RE2 pass per block
+    (never per-row json.loads), then aggregate per event type — sum,
+    present-count (non-null extraction) and row count."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.text import extract_int_field
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    ext = extract_int_field(ds, "props", r'"k":\s*(?P<v>-?\d+)')
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        uniq = pc.unique(et)
+        code = pc.index_in(et, uniq).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch["val"]
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        vf = pc.fill_null(v, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(uniq)
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, code, vf)
+        npres = np.zeros(n, dtype=np.int64)
+        np.add.at(npres, code, valid.astype(np.int64))
+        cnt = np.bincount(code, minlength=n).astype(np.int64)
+        return pa.table({"event_type": uniq, "s": pa.array(s),
+                         "n_present": pa.array(npres),
+                         "cnt": pa.array(cnt)})
+
+    return (ext.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n_present", alias_name="n_present"),
+                       Sum("cnt", alias_name="cnt")))
+
+
+def _q_user_value_pivot(sf_dir: str):
+    """Wide per-user feature table: SUM(value) pivoted by event type
+    (the value-weighted pivot sibling of event_type_pivot); per-row
+    fixed-point ×10⁴ before any addition."""
+    from bigdime_ray.pipelines.frequency import pivot_sums
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+    return pivot_sums(ds, "user_id", "event_type", "value",
+                      values=["click", "view", "purchase", "signup",
+                              "error"], scale=10_000)
+
+
+def _q_totalprice_histogram(sf_dir: str):
+    """Equi-width histogram (width_bucket shape): order counts in
+    20 000-wide totalprice bins. Block-local np.unique partials mean
+    ≤ bins rows per block reach the tiny groupby."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.floor(tp / 20_000.0).astype(np.int64)
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+
+
+def _q_orders_page(sf_dir: str):
+    """Deterministic pagination (ORDER BY … LIMIT 20 OFFSET 40): each
+    block keeps only its own top-(offset+limit) candidates by
+    (price_s DESC, orderkey), so the driver merges ≤ blocks × 60 rows
+    and slices the page — never a global sort. The sort key is the
+    FIXED-POINT price (ties under cent-rounding would otherwise order
+    differently across engines)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    off, lim = 40, 20
+
+    def part(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        ps = np.floor(tp * 100 + 0.5).astype(np.int64)
+        sel = np.lexsort((ok, -ps))[:off + lim]
+        return pa.table({"o_orderkey": pa.array(ok[sel]),
+                         "price_s": pa.array(ps[sel])})
+
+    rows = ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    ok = np.array([r["o_orderkey"] for r in rows], dtype=np.int64)
+    ps = np.array([r["price_s"] for r in rows], dtype=np.int64)
+    sel = np.lexsort((ok, -ps))[off:off + lim]
+    return pa.table({"o_orderkey": pa.array(ok[sel]),
+                     "price_s": pa.array(ps[sel])})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -1643,6 +1739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_lang_by_source": _q_mode_lang_by_source,
         "user_first_last_value": _q_user_first_last_value,
         "users_purchase_no_error": _q_users_purchase_no_error,
+        "props_value_by_type": _q_props_value_by_type,
+        "user_value_pivot": _q_user_value_pivot,
+        "totalprice_histogram": _q_totalprice_histogram,
+        "orders_page": _q_orders_page,
         "order_rollup": _q_order_rollup,
         "grouped_median": _q_grouped_median,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1981,6 +2081,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
             "AND value > 90 EXCEPT SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value > 90",
+        "props_value_by_type":
+            "SELECT event_type, CAST(SUM(COALESCE(TRY_CAST("
+            "regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT)"
+            ", 0)) AS BIGINT) AS s, CAST(SUM(CASE WHEN TRY_CAST("
+            "regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT)"
+            " IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+            "GROUP BY event_type",
+        "user_value_pivot":
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN "
+                f"CAST(FLOOR(value*10000+0.5) AS BIGINT) ELSE 0 END) "
+                f"AS BIGINT) AS s_{t}"
+                for t in ["click", "view", "purchase", "signup",
+                          "error"])
+            + " FROM events GROUP BY user_id",
+        "totalprice_histogram":
+            "SELECT CAST(FLOOR(o_totalprice/20000.0) AS BIGINT) AS "
+            "bucket, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            "GROUP BY bucket",
+        "orders_page":
+            "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100+0.5) AS "
+            "BIGINT) AS price_s FROM orders "
+            "ORDER BY price_s DESC, o_orderkey LIMIT 20 OFFSET 40",
         "order_rollup":
             "SELECT COALESCE(o_orderpriority, '(all)') AS "
             "o_orderpriority, COALESCE(o_orderstatus, '(all)') AS "

@@ -171,7 +171,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                    "per_source_stats_salted", "events_asof_join",
                    "heavy_hitters", "revenue_by_region",
                    "events_rolling_sum", "events_interval_overlap",
-                   "documents_redacted", "shipping_priority", "doc_tfidf"]
+                   "documents_redacted", "shipping_priority", "doc_tfidf",
+                   "customer_order_counts", "user_first_last_value"]
     if os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "0":
         query_names = []
     queries = entry_mod.queries()

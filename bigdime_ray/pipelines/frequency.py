@@ -276,6 +276,47 @@ def pivot_counts(ds: Dataset, key_col: str, pivot_col: str,
             .aggregate(*[Sum(c, alias_name=c) for c in cols]))
 
 
+def pivot_sums(ds: Dataset, key_col: str, pivot_col: str,
+               value_col: str, values: list[str], scale: int = 1,
+               prefix: str = "s_") -> Dataset:
+    """Wide-format SUM pivot — ``SUM(CASE WHEN pivot = v THEN value
+    END)`` per key, one int64 column per pivot value (the value-weighted
+    sibling of ``pivot_counts``).
+
+    ``scale`` fixed-point-encodes the value column PER ROW before any
+    addition (floor(v·scale+0.5)), so every cell is an order-independent
+    integer sum — the repo-wide oracle discipline. Block-local
+    np.add.at into an n_keys × n_values matrix does all the work; the
+    single shuffle carries ≤ #blocks × keys-per-block partial rows."""
+    from ray.data.aggregate import Sum
+
+    cols = [f"{prefix}{v}" for v in values]
+    value_set = pa.array(values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        code = (pc.fill_null(pc.index_in(batch[pivot_col],
+                                         value_set=value_set), -1)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        vs = np.floor(v * scale + 0.5).astype(np.int64)
+        m = code >= 0
+        k, code, vs = k[m], code[m], vs[m]
+        uk, inv = np.unique(k, return_inverse=True)
+        mat = np.zeros((len(uk), len(values)), dtype=np.int64)
+        np.add.at(mat, (inv, code), vs)
+        out = {key_col: pa.array(uk)}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(mat[:, j])
+        return pa.table(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
 def grouped_quantiles(ds: Dataset, key: str, value_col: str,
                       qs: list[float], method: str = "exact",
                       num_buckets: int = 64,

@@ -438,3 +438,22 @@ def redact_text(ds, patterns: dict[str, str] | None = None,
 
     return ds.map_batches(scrub, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def extract_int_field(ds, col: str, pattern: str, out_col: str = "val"):
+    """Semi-structured scalar extraction: pull one integer field out of
+    a JSON-ish string column (e.g. ``props = '{"k": 69}'``) with ONE
+    vectorized RE2 pass per block (``pc.extract_regex``) — never a
+    per-row json.loads loop. ``pattern`` must have a single named
+    capture group ``(?P<v>...)``; non-matching rows yield null, so the
+    output is a plain nullable int64 column any aggregate consumes.
+    Stateless map, zero shuffle."""
+    import pyarrow.compute as _pc
+
+    def ext(batch: pa.Table) -> pa.Table:
+        m = _pc.extract_regex(batch[col], pattern=pattern)
+        v = _pc.cast(_pc.struct_field(m, "v"), pa.int64())
+        return batch.append_column(out_col, v)
+
+    return ds.map_batches(ext, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -379,3 +379,25 @@ def test_grouped_mode_ties_deterministic():
     got1 = grouped_mode(ray.data.from_pandas(df).repartition(7),
                         "g", "v").to_pandas().sort_values("g")
     assert got1["mode"].tolist() == got["mode"].tolist()
+
+
+def test_pivot_sums_matches_crosstab():
+    from bigdime_ray.pipelines.frequency import pivot_sums
+    rng = np.random.default_rng(23)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n).astype(np.int64),
+        "t": rng.choice(["a", "b", "c", "zz"], n),
+        "v": rng.uniform(-10, 10, n).round(4)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (pivot_sums(ds, "k", "t", "v", values=["a", "b", "c"],
+                      scale=10_000).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    df["vs"] = np.floor(df.v.to_numpy() * 10_000 + 0.5).astype(np.int64)
+    expect = pd.crosstab(df.k, df.t, values=df.vs, aggfunc="sum") \
+        .fillna(0).astype(np.int64)
+    for t in ["a", "b", "c"]:
+        assert got[f"s_{t}"].tolist() == expect[t].tolist(), t
+    # "zz" ignored: totals only cover the listed values
+    assert got[[f"s_{t}" for t in "abc"]].to_numpy().sum() == \
+        df.loc[df.t != "zz", "vs"].sum()

@@ -231,3 +231,21 @@ def test_tf_idf_matches_brute_force():
     assert got.values.tolist() == exp.values.tolist()
     assert 2 not in set(got.doc_id)          # empty doc → no rows
     assert "unique" not in set(got.word)     # min_df=2 filtered
+
+
+def test_extract_int_field_matches_python_re():
+    import re
+    from bigdime_ray.pipelines.text import extract_int_field
+    props = ['{"k": 69}', '{"k":-7}', "not json", '{"j": 4}',
+             '{"k": 123456}', ""]
+    ds = ray.data.from_arrow(pa.table({"props": props})).repartition(2)
+    out = (extract_int_field(ds, "props", r'"k":\s*(?P<v>-?\d+)')
+           .take_all())
+    rx = re.compile(r'"k":\s*(-?\d+)')
+    expect = {p: (int(m.group(1)) if (m := rx.search(p)) else None)
+              for p in props}
+    assert len(out) == len(props)
+    for row in out:
+        v = row["val"]
+        assert (None if v is None else int(v)) == expect[row["props"]], \
+            row["props"]
