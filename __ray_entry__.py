@@ -1673,6 +1673,121 @@ def _q_orders_page(sf_dir: str):
                      "price_s": pa.array(ps[sel])})
 
 
+def _q_order_price_mad(sf_dir: str):
+    """Exact grouped median absolute deviation of the order price —
+    robust per-group dispersion. mad4 = 4·MAD is an exact int64 (two
+    interpolated medians each carry denominator 2; ×4 clears both), so
+    the statistic hash-matches DuckDB's interpolated ``mad``."""
+    from bigdime_ray.pipelines.frequency import grouped_mad
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "cents": _scaled_i64(v, 100)})
+
+    return grouped_mad(ds.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                       "o_orderpriority", "cents")
+
+
+def _q_order_price_quantiles_disc(sf_dir: str):
+    """PERCENTILE_DISC quartiles per priority — the order statistic at
+    ceil(q·n)−1, no interpolation, so the fixed-point int64 input
+    passes through untouched (no ×4 scaling trick needed, unlike the
+    quantile_cont sibling ``order_price_quantiles``)."""
+    from bigdime_ray.pipelines.frequency import grouped_quantiles
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "cents": _scaled_i64(v, 100)})
+
+    return grouped_quantiles(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "o_orderpriority", "cents", [0.25, 0.5, 0.75], method="disc")
+
+
+def _q_order_cube(sf_dir: str):
+    """GROUP BY CUBE(priority, status): count + revenue at all four
+    grouping sets — one Ray groupby at the finest grain, the three
+    coarser sets derived from that tiny result
+    (pipelines/frequency.py::cube_aggregate)."""
+    from bigdime_ray.pipelines.frequency import cube_aggregate
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus",
+                        "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "o_orderstatus": batch["o_orderstatus"],
+                         "cents": _scaled_i64(v, 100)})
+
+    return cube_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["o_orderpriority", "o_orderstatus"], "cents")
+
+
+def _q_users_purchase_and_error(sf_dir: str):
+    """Set-intersection shape (INTERSECT): users with BOTH a high-value
+    purchase and a high-value error. Identical one-packed-exchange
+    machinery as the EXCEPT sibling ``users_purchase_no_error`` — only
+    the final flag predicate differs (both > 0)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def extract(batch: pa.Table):
+        keys = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = batch["event_type"]
+        hi = batch["value"].to_numpy(zero_copy_only=False) > 90.0
+        a = (pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+             & hi).astype(np.int64)
+        b = (pc.equal(et, "error").to_numpy(zero_copy_only=False)
+             & hi).astype(np.int64)
+        return keys, [a, b]
+
+    keys, (a, b) = grouped_int_sums_exchange(ds, extract, 2)
+    out = np.sort(keys[(a > 0) & (b > 0)])
+    return pa.table({"user_id": pa.array(out, type=pa.int64())})
+
+
+def _q_customers_without_orders_ll(sf_dir: str):
+    """The LARGE-LARGE anti-join strategy for the same question as
+    ``customers_without_orders``: Ray-native ``left_anti`` hash join
+    against the key-projected orders side (8 B/row through the
+    exchange), for when the orders key set no longer fits a broadcast.
+    Same oracle SQL as the broadcast variant — the two strategies must
+    agree row-for-row."""
+    from bigdime_ray.pipelines.join import key_anti_join
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    out = key_anti_join(cust, orders, "c_custkey", "o_custkey")
+    return _collect(out, pa.schema([("c_custkey", pa.int64())]))
+
+
+def _q_events_lag_lead(sf_dir: str):
+    """LAG + LEAD of the event value over (PARTITION BY user ORDER BY
+    ts, event_id) in one bucketed kernel pass — previous/next-action
+    features; -1 encodes the missing neighbor so both columns stay
+    null-free int64 (SQL LAG(v, 1, -1))."""
+    from bigdime_ray.pipelines.stream import grouped_lag_lead
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    out = grouped_lag_lead(ds, "user_id", "ts", "event_id", "value",
+                           default=-1, scale=10_000)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "lag_v", "lead_v"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -1740,6 +1855,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_value": _q_user_first_last_value,
         "users_purchase_no_error": _q_users_purchase_no_error,
         "props_value_by_type": _q_props_value_by_type,
+        "order_price_mad": _q_order_price_mad,
+        "order_price_quantiles_disc": _q_order_price_quantiles_disc,
+        "order_cube": _q_order_cube,
+        "users_purchase_and_error": _q_users_purchase_and_error,
+        "customers_without_orders_ll": _q_customers_without_orders_ll,
+        "events_lag_lead": _q_events_lag_lead,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2106,6 +2227,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100+0.5) AS "
             "BIGINT) AS price_s FROM orders "
             "ORDER BY price_s DESC, o_orderkey LIMIT 20 OFFSET 40",
+        "order_price_mad":
+            "SELECT o_orderpriority, CAST(FLOOR(4 * mad(CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT)) + 0.5) AS BIGINT) "
+            "AS mad4 FROM orders GROUP BY o_orderpriority",
+        "order_price_quantiles_disc":
+            "SELECT o_orderpriority, "
+            + ", ".join(
+                f"CAST(quantile_disc(CAST(FLOOR(o_totalprice * 100 "
+                f"+ 0.5) AS BIGINT), {q}) AS BIGINT) AS q{p}"
+                for q, p in ((0.25, 25), (0.5, 50), (0.75, 75)))
+            + " FROM orders GROUP BY o_orderpriority",
+        "order_cube":
+            "SELECT COALESCE(o_orderpriority, '(all)') AS "
+            "o_orderpriority, COALESCE(o_orderstatus, '(all)') AS "
+            "o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS s FROM orders "
+            "GROUP BY CUBE(o_orderpriority, o_orderstatus)",
+        "users_purchase_and_error":
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "AND value > 90 INTERSECT SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value > 90",
+        "customers_without_orders_ll":
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders)",
+        "events_lag_lead":
+            "SELECT user_id, event_id, COALESCE(LAG(CAST(FLOOR(value "
+            "* 10000 + 0.5) AS BIGINT)) OVER w, -1) AS lag_v, "
+            "COALESCE(LEAD(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT))"
+            " OVER w, -1) AS lead_v FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
         "order_rollup":
             "SELECT COALESCE(o_orderpriority, '(all)') AS "
             "o_orderpriority, COALESCE(o_orderstatus, '(all)') AS "

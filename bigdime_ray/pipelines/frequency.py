@@ -331,6 +331,12 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
       groups, no per-key loop. Interpolation rule is ``h = (n-1)·q``
       with linear blend ``a + frac·(b-a)``, matching DuckDB/Postgres
       ``quantile_cont`` exactly.
+    - ``method="disc"``: SQL ``quantile_disc`` / ``PERCENTILE_DISC`` —
+      the smallest value whose cumulative distribution ≥ q, i.e. the
+      order statistic at index ``ceil(q·n) − 1`` (verified against
+      DuckDB). No interpolation, so the INPUT dtype passes through
+      unchanged — int64 in, int64 out, hash-exact with no fixed-point
+      scaling tricks. Same bucketed one-lexsort kernel as exact.
     - ``method="tdigest"``: the huge-cardinality/huge-group path —
       per-block mergeable t-digests per key (8 B/centroid instead of
       8 B/row through the shuffle), merged per key, then the digest's
@@ -377,11 +383,14 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
                                          batch_format="pandas"))
 
     import pandas as pd
+    discrete = method == "disc"
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"])
         k = g[key].to_numpy()
-        v = g[value_col].to_numpy().astype(np.float64)
+        v = g[value_col].to_numpy()
+        if not discrete:
+            v = v.astype(np.float64)
         order = np.lexsort((v, k))
         k, v = k[order], v[order]
         n = len(k)
@@ -389,6 +398,11 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
         sizes = np.diff(np.r_[starts, n])
         out = {key: k[starts]}
         for name, q in zip(names, qs):
+            if discrete:
+                idx = np.maximum(
+                    np.ceil(sizes * float(q)).astype(np.int64) - 1, 0)
+                out[name] = v[starts + idx]
+                continue
             h = (sizes - 1) * float(q)
             lo = np.floor(h).astype(np.int64)
             frac = h - lo
@@ -396,6 +410,49 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
             b = v[starts + np.minimum(lo + 1, sizes - 1)]
             out[name] = a + frac * (b - a)
         return pd.DataFrame(out)
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def grouped_mad(ds: Dataset, key: str, value_col: str,
+                num_buckets: int = 64) -> Dataset:
+    """Per-group median absolute deviation (SQL ``mad(x)``), exact.
+
+    ``value_col`` must already be int64 (fixed-point upstream). The
+    result is emitted as ``mad4`` = 4·MAD, an exact INTEGER: the
+    median of n ints interpolates to a half-unit (denominator 2), so
+    |2v − 2·median| is an int whose own median has denominator 2 —
+    doubling twice clears both. That makes the statistic
+    order-independent and oracle-hash-exact (the SQL mirror is
+    ``CAST(FLOOR(4*mad(v)+0.5) AS BIGINT)``; DuckDB's mad uses the
+    same interpolated median, verified).
+
+    Same bucketed shape as ``grouped_quantiles(method="exact")``:
+    whole key groups co-locate via the hash exchange, then TWO
+    lexsorts per bucket (values, then per-group deviations) and four
+    gathers produce every group's MAD — no per-key loop. Output:
+    (key, mad4)."""
+    import pandas as pd
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        n = len(k)
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        sizes = np.diff(np.r_[starts, n])
+        lo = (sizes - 1) // 2
+        hi = sizes // 2
+        m2 = v[starts + lo] + v[starts + hi]        # 2·median, exact int
+        inv = np.repeat(np.arange(len(starts)), sizes)
+        d = np.abs(2 * v - m2[inv])                 # |2v − 2·median|
+        d = d[np.lexsort((d, inv))]                 # re-sort within groups
+        mad4 = d[starts + lo] + d[starts + hi]      # 2·median(d) = 4·MAD
+        return pd.DataFrame({key: k[starts], "mad4": mad4})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
@@ -532,20 +589,58 @@ def rollup_aggregate(ds: Dataset, keys: list[str], value_col: str,
     Ray groupbys instead. ``value_col`` must already be int64
     (fixed-point upstream) so every subtotal is order-independent.
     Returns an Arrow table (k1, …, kn, n, s)."""
+    sets = [keys[:depth] for depth in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, value_col, sets, all_label)
+
+
+def cube_aggregate(ds: Dataset, keys: list[str], value_col: str,
+                   all_label: str = "(all)") -> pa.Table:
+    """SQL ``GROUP BY CUBE(k1, …, kn)`` — count + sum at EVERY subset
+    of the keys (2ⁿ grouping sets). Same one-data-pass shape as
+    ``rollup_aggregate``: one Ray groupby at the finest grain, every
+    coarser set derived from that ≤ ∏|kᵢ|-row result."""
+    from itertools import combinations
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_aggregate(ds, keys, value_col, sets, all_label)
+
+
+def grouping_sets_aggregate(ds: Dataset, keys: list[str],
+                            value_col: str, sets: list[list[str]],
+                            all_label: str = "(all)") -> pa.Table:
+    """SQL ``GROUP BY GROUPING SETS(…)`` — the general form behind
+    ROLLUP and CUBE. Each entry of ``sets`` is a subset of ``keys``
+    (order within a set is irrelevant); rolled-up key columns carry
+    ``all_label``.
+
+    Scale shape (shared by rollup/cube): the DATA is touched exactly
+    once — a single Ray groupby at the finest grain ``keys`` (block
+    pre-aggregation applies as usual); every requested set
+    re-aggregates that finest RESULT, whose cardinality is ≤ ∏|kᵢ|
+    regardless of input size, on the driver. For ~10⁹-group finest
+    grains run each set as a further small Ray groupby instead.
+    ``value_col`` must already be int64 (fixed-point upstream) so
+    every subtotal is order-independent."""
     import pandas as pd
     from ray.data.aggregate import Count, Sum
+    known = set(keys)
+    for s in sets:
+        if not set(s) <= known:
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
     finest = (ds.groupby(keys)
               .aggregate(Count(alias_name="n"),
                          Sum(value_col, alias_name="s"))
               .to_pandas())
-    frames = [finest[keys + ["n", "s"]]]
-    for depth in range(len(keys) - 1, -1, -1):
-        kept = keys[:depth]
-        if kept:
+    frames = []
+    for s in sets:
+        kept = [k for k in keys if k in set(s)]
+        if len(kept) == len(keys):
+            g = finest.copy()
+        elif kept:
             g = finest.groupby(kept, as_index=False)[["n", "s"]].sum()
         else:
             g = finest[["n", "s"]].sum().to_frame().T
-        for dropped in keys[depth:]:
+        for dropped in (k for k in keys if k not in set(s)):
             g[dropped] = all_label
         frames.append(g[keys + ["n", "s"]])
     out = pd.concat(frames, ignore_index=True)

@@ -71,6 +71,39 @@ def string_key_join(left: Dataset, right: Dataset, left_key: str,
                               zero_copy_batch=True)
 
 
+def key_anti_join(left: Dataset, right: Dataset, left_key: str,
+                  right_key: str, num_partitions: int = 16) -> Dataset:
+    """Large-large ANTI join (SQL ``NOT EXISTS`` / anti-semi shape) on
+    exact-typed keys: rows of ``left`` whose key appears nowhere in
+    ``right``. Unlike the broadcast anti
+    (``__ray_entry__._q_customers_without_orders``), NEITHER side must
+    fit in memory — Ray's native ``join_type="left_anti"`` hash
+    exchange co-partitions both sides, and the right side is first
+    PROJECTED to its key column alone so only 8 B/row (int keys) moves
+    through the shuffle. Exact keys (no hashing), so no post-join
+    verification is needed, and outer/anti semantics are
+    collision-free — this is why the function requires exact-typed
+    keys and the string-key family above does not offer anti.
+    Output: the left rows, unchanged schema."""
+    rk = right.select_columns([right_key])
+    return left.join(rk, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=(left_key,), right_on=(right_key,))
+
+
+def key_semi_join(left: Dataset, right: Dataset, left_key: str,
+                  right_key: str, num_partitions: int = 16) -> Dataset:
+    """Large-large SEMI join (SQL ``EXISTS``): rows of ``left`` whose
+    key appears in ``right`` — the dual of ``key_anti_join``, same
+    narrow-projection discipline via ``join_type="left_semi"``. Use
+    the broadcast ``is_in`` path instead when the right key set fits a
+    broadcast (~10⁸ keys) — it avoids shuffling the LEFT side too."""
+    rk = right.select_columns([right_key])
+    return left.join(rk, join_type="left_semi",
+                     num_partitions=num_partitions,
+                     on=(left_key,), right_on=(right_key,))
+
+
 def string_key_left_join(left: Dataset, right: Dataset, left_key: str,
                          right_key: str,
                          num_partitions: int = 16) -> Dataset:

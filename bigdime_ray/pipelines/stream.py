@@ -560,6 +560,52 @@ def lag_delta(ds: Dataset, key: str, ts_col: str, id_col: str,
             .map_groups(kernel, batch_format="pandas"))
 
 
+def grouped_lag_lead(ds: Dataset, key: str, ts_col: str, id_col: str,
+                     value_col: str, default: int = -1,
+                     scale: int | None = None,
+                     num_buckets: int = 64) -> Dataset:
+    """``LAG(v)`` and ``LEAD(v) OVER (PARTITION BY key ORDER BY ts,
+    id)`` in ONE kernel pass — the previous/next event's value per key
+    (rate-of-change and next-action features).
+
+    ``default`` encodes the missing neighbor at each key's boundary
+    (SQL ``LAG(v, 1, default)``), keeping both outputs plain null-free
+    int64 across engines. ``scale`` fixed-point-encodes a float value
+    column per row first (floor(v·scale+0.5)); values are SELECTED,
+    never summed, so the encoding is exact. Bucketed vectorized
+    kernel: one lexsort by (key, ts, id), two shifted copies,
+    key-boundary rows reset. Returns (key, ts, id, lag_v, lead_v)."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        ids = g[id_col].to_numpy()
+        v = np.asarray(g[value_col].to_numpy())
+        if scale is not None:
+            v = np.floor(v.astype(np.float64) * scale + 0.5) \
+                .astype(np.int64)
+        else:
+            v = v.astype(np.int64)
+        order = np.lexsort((ids, ts.view(np.int64), k))
+        k, ts, ids, v = k[order], ts[order], ids[order], v[order]
+        n = len(k)
+        lag = np.full(n, default, dtype=np.int64)
+        lead = np.full(n, default, dtype=np.int64)
+        if n > 1:
+            lag[1:] = v[:-1]
+            lead[:-1] = v[1:]
+            boundary = k[1:] != k[:-1]
+            lag[np.r_[True, boundary]] = default
+            lead[np.r_[boundary, True]] = default
+        return pd.DataFrame({key: k, ts_col: ts, id_col: ids,
+                             "lag_v": lag, "lead_v": lead})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
 def rolling_window_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
                        id_col: str, window_us: int,
                        scale: int | None = None,

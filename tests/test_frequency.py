@@ -401,3 +401,75 @@ def test_pivot_sums_matches_crosstab():
     # "zz" ignored: totals only cover the listed values
     assert got[[f"s_{t}" for t in "abc"]].to_numpy().sum() == \
         df.loc[df.t != "zz", "vs"].sum()
+
+
+def test_grouped_mad_matches_brute_force():
+    from bigdime_ray.pipelines.frequency import grouped_mad
+    rng = np.random.default_rng(41)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 25, n).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64)})
+    # odd- and even-sized groups both exercised by random sizes
+    got = (grouped_mad(ray.data.from_pandas(df).repartition(6), "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for g, sub in df.groupby("g"):
+        v = sub.v.to_numpy().astype(np.float64)
+        mad = np.median(np.abs(v - np.median(v)))
+        want = int(round(4 * mad))
+        assert got.loc[got.g == g, "mad4"].iloc[0] == want, g
+
+
+def test_cube_and_grouping_sets_match_pandas():
+    from bigdime_ray.pipelines.frequency import (cube_aggregate,
+                                                 grouping_sets_aggregate)
+    import pytest as _pytest
+    rng = np.random.default_rng(43)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(0, 100, n).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = cube_aggregate(ds, ["a", "b"], "v").to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == 3 * 2 + 3 + 2 + 1  # all four grouping sets
+    # finest grain
+    fine = df.groupby(["a", "b"], as_index=False).v.agg(["count", "sum"])
+    for _, r in fine.reset_index().iterrows():
+        row = got[(got.a == r.a) & (got.b == r.b)]
+        assert row.n.iloc[0] == r["count"] and row.s.iloc[0] == r["sum"]
+    # b-only grain (the set ROLLUP cannot produce)
+    bonly = df.groupby("b").v.sum()
+    for b, s in bonly.items():
+        assert got[(got.a == "(all)") & (got.b == b)].s.iloc[0] == s
+    # grand total
+    assert got[(got.a == "(all)") & (got.b == "(all)")].s.iloc[0] == \
+        df.v.sum()
+    # explicit grouping sets subset: just (a) and ()
+    gs = grouping_sets_aggregate(ds, ["a", "b"], "v", [["a"], []]) \
+        .to_pandas()
+    assert len(gs) == 3 + 1
+    assert (gs.b == "(all)").all()
+    with _pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a", "b"], "v", [["nope"]])
+
+
+def test_grouped_quantiles_disc_matches_duckdb_semantics():
+    from bigdime_ray.pipelines.frequency import grouped_quantiles
+    rng = np.random.default_rng(47)
+    n = 3000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 20, n).astype(np.int64),
+        "v": rng.integers(0, 10_000, n).astype(np.int64)})
+    qs = [0.25, 0.5, 0.9]
+    got = (grouped_quantiles(ray.data.from_pandas(df).repartition(5),
+                             "g", "v", qs, method="disc")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # dtype passes through: int64 in, int64 out, values FROM the set
+    assert got.q50.dtype == np.int64
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub.v.to_numpy())
+        for q, name in zip(qs, ["q25", "q50", "q90"]):
+            idx = max(int(np.ceil(q * len(v))) - 1, 0)
+            assert got.loc[got.g == g, name].iloc[0] == v[idx], (g, q)

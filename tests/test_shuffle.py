@@ -246,3 +246,34 @@ def test_string_key_left_join_matches_pandas():
     assert matched.rk.tolist() == exp_m.rk.tolist()
     assert matched.rv.astype(np.int64).tolist() == \
         exp_m.rv.astype(np.int64).tolist()
+
+
+def test_key_anti_and_semi_join_match_pandas():
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import key_anti_join, key_semi_join
+    rng = np.random.default_rng(31)
+    left = pd.DataFrame({
+        "lk": rng.integers(0, 60, 300).astype(np.int64),
+        "lv": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": rng.integers(30, 90, 150).astype(np.int64),
+        "rv": np.arange(150, dtype=np.int64)})
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+    rset = set(right.rk)
+    anti = (key_anti_join(lds, rds, "lk", "rk", num_partitions=4)
+            .to_pandas().sort_values("lv").reset_index(drop=True))
+    exp_anti = (left[~left.lk.isin(rset)]
+                .sort_values("lv").reset_index(drop=True))
+    assert len(exp_anti) > 0  # the test must exercise a non-empty result
+    assert anti.lv.tolist() == exp_anti.lv.tolist()
+    assert anti.lk.tolist() == exp_anti.lk.tolist()
+    assert list(anti.columns) == ["lk", "lv"]  # left schema unchanged
+    semi = (key_semi_join(lds, rds, "lk", "rk", num_partitions=4)
+            .to_pandas().sort_values("lv").reset_index(drop=True))
+    exp_semi = (left[left.lk.isin(rset)]
+                .sort_values("lv").reset_index(drop=True))
+    assert semi.lv.tolist() == exp_semi.lv.tolist()
+    # anti ⊎ semi partitions the left side exactly
+    assert len(anti) + len(semi) == len(left)

@@ -580,3 +580,27 @@ def test_grouped_first_last_brute_force():
     assert got.k.tolist() == sorted(first.index.tolist())
     assert got.first_v.tolist() == enc(first).tolist()
     assert got.last_v.tolist() == enc(last).tolist()
+
+
+def test_grouped_lag_lead_brute_force():
+    from bigdime_ray.pipelines.stream import grouped_lag_lead
+    rng = np.random.default_rng(53)
+    n = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype(np.int64),
+        # heavy ts ties force the (ts, id) tiebreak to matter
+        "ts": pd.to_datetime(rng.integers(0, 50, n) * 1_000_000,
+                             unit="us"),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.uniform(-5, 5, n).round(4)})
+    got = (grouped_lag_lead(ray.data.from_pandas(df).repartition(6),
+                            "k", "ts", "id", "v", default=-1,
+                            scale=10_000)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df["vs"] = np.floor(df.v.to_numpy() * 10_000 + 0.5).astype(np.int64)
+    exp = df.sort_values(["k", "ts", "id"], kind="stable")
+    lag = exp.groupby("k").vs.shift(1).fillna(-1).astype(np.int64)
+    lead = exp.groupby("k").vs.shift(-1).fillna(-1).astype(np.int64)
+    exp = exp.assign(lag_v=lag, lead_v=lead).sort_values("id")
+    assert got.lag_v.tolist() == exp.lag_v.tolist()
+    assert got.lead_v.tolist() == exp.lead_v.tolist()
