@@ -1788,6 +1788,236 @@ def _q_events_lag_lead(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_embedding_dim_sums(sf_dir: str):
+    """UNNEST WITH ORDINALITY shape: explode the list<float> embedding
+    column into (ordinal, value) rows (pipelines/nested.py — pure map,
+    zero shuffle), then per-dimension count + fixed-point sum via block
+    partials — ≤ dim rows per block reach the tiny groupby. float32 →
+    float64 is exact, so both engines scale the identical double."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.nested import unnest_column
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    ex = unnest_column(ds, "embedding", value_col="val",
+                       ordinal_col="dim")
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = batch["dim"].to_numpy(zero_copy_only=False)
+        v = batch["val"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        vs = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        ndim = int(d.max()) + 1 if len(d) else 0
+        n = np.bincount(d, minlength=ndim).astype(np.int64)
+        s = np.zeros(ndim, dtype=np.int64)
+        np.add.at(s, d, vs)
+        return pa.table({"dim": pa.array(np.arange(ndim)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    return (ex.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("dim").aggregate(Sum("n", alias_name="n"),
+                                      Sum("s", alias_name="s")))
+
+
+def _q_order_snapshot_diff(sf_dir: str):
+    """CDC audit between two deterministic snapshot views of orders
+    (old: keys %10≠0; new: keys %10≠1 with %7==0 prices bumped):
+    added / removed / changed / same per key through ONE packed-cell
+    exchange of exact integers (pipelines/diff.py::snapshot_diff —
+    value sums, not hashes, so no collision can hide a change)."""
+    from bigdime_ray.pipelines.diff import snapshot_diff
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(bump: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            vs = np.floor(v * 100 + 0.5).astype(np.int64)
+            if bump:
+                keep = k % 10 != 1
+                k, vs = k[keep], vs[keep]
+                vs = vs + np.where(k % 7 == 0, 1000, 0)
+            else:
+                keep = k % 10 != 0
+                k, vs = k[keep], vs[keep]
+            return pa.table({"o_orderkey": pa.array(k),
+                             "cents": pa.array(vs)})
+        return fn
+
+    old = ds.map_batches(prep(False), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    new = ds.map_batches(prep(True), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return snapshot_diff(old, new, "o_orderkey", "cents")
+
+
+def _q_order_price_share(sf_dir: str):
+    """RATIO_TO_REPORT window shape: each order's share of its
+    priority group's revenue in exact integer parts-per-million
+    (v·10⁶ // group total — engine-identical floor division). Totals
+    broadcast once; the fact rows never shuffle
+    (pipelines/frequency.py::group_share)."""
+    from bigdime_ray.pipelines.frequency import group_share
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_orderpriority": batch["o_orderpriority"],
+                         "cents": _scaled_i64(v, 100)})
+
+    out = group_share(ds.map_batches(prep, batch_format="pyarrow",
+                                     zero_copy_batch=True),
+                      "o_orderpriority", "cents")
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "share_ppm"]),
+        batch_format="pyarrow")
+
+
+def _q_revenue_by_mktsegment(sf_dir: str):
+    """Fact×dim broadcast join as a reusable operator
+    (pipelines/join.py::broadcast_join — searchsorted LUT, unique-key
+    validated, no shuffle of either side), then segment revenue via
+    block partials + a 5-row groupby."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.join import broadcast_join
+    orders = _read(sf_dir, "orders", columns=["o_custkey",
+                                              "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey",
+                                              "c_mktsegment"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "cents": _scaled_i64(v, 100)})
+
+    joined = broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust, "o_custkey", "c_custkey")
+
+    def part(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"]
+        uniq = pc.unique(seg)
+        code = pc.index_in(seg, uniq).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        g = len(uniq)
+        n = np.bincount(code, minlength=g).astype(np.int64)
+        s = np.zeros(g, dtype=np.int64)
+        np.add.at(s, code, v)
+        return pa.table({"c_mktsegment": uniq, "n": pa.array(n),
+                         "s": pa.array(s)})
+
+    return (joined.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("c_mktsegment")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s")))
+
+
+def _q_order_price_outliers(sf_dir: str):
+    """Tukey-fence data-quality screen per priority
+    (pipelines/frequency.py::grouped_iqr_outliers): quartiles exact
+    to denominator 4, fences to denominator 8, so the whole test is
+    integer comparisons — engine-identical."""
+    from bigdime_ray.pipelines.frequency import grouped_iqr_outliers
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "cents": _scaled_i64(v, 100)})
+
+    return grouped_iqr_outliers(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "o_orderpriority", "cents")
+
+
+def _q_events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly series per user: the tumbling-window
+    aggregate densified so every user covers every hour between their
+    first and last event (pipelines/stream.py::gap_fill_windows) —
+    the gapless per-entity time series a training pipeline consumes."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.stream import gap_fill_windows
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    US_PER_H = 3_600_000_000
+    SHIFT = np.int64(1) << np.int64(24)
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        if len(t) and t.min() < 0:
+            raise ValueError("hourly packing assumes ts >= 1970")
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keys = uid * SHIFT + t // US_PER_H
+        val_s = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                         * 10_000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, val_s)
+        return pa.table({"user_id": pa.array(uniq // SHIFT),
+                         "h": pa.array(uniq % SHIFT),
+                         "cnt": pa.array(cnt), "total": pa.array(s)})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["user_id", "h"])
+           .aggregate(Sum("cnt", alias_name="cnt"),
+                      Sum("total", alias_name="total")))
+    return gap_fill_windows(agg, "user_id", "h", ["cnt", "total"])
+
+
+def _q_top_words_by_source(sf_dir: str):
+    """QUALIFY shape: 5 most frequent words per source (ties broken by
+    word, so fully deterministic). Block-local (source, word) counts
+    via Arrow's C++ group_by, one narrow (source, word, cnt) shuffle,
+    then the per-bucket top-k merge (stages/topk.py) — the driver never
+    sees the vocabulary, only ≤ sources × 5 rows."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.stages.topk import grouped_topk
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+        lens = (pc.fill_null(pc.list_value_length(words), 0)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        src = pc.take(batch["source"], pa.array(
+            np.repeat(np.arange(len(lens), dtype=np.int64), lens)))
+        t = pa.table({"source": src, "word": flat})
+        t = t.filter(pc.not_equal(t["word"], ""))  # split artifacts
+        g = t.group_by(["source", "word"]).aggregate([("word", "count")])
+        return pa.table({"source": g["source"], "word": g["word"],
+                         "cnt": pc.cast(g["word_count"], pa.int64())})
+
+    counts = (ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["source", "word"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    # mixed sort directions (cnt DESC, word ASC) via a negated column
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_cnt", pc.negate(batch["cnt"]))
+
+    top = grouped_topk(counts.map_batches(neg, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                       ["source"], ["neg_cnt", "word"], k=5)
+    return top.map_batches(
+        lambda b: b.select(["source", "word", "cnt"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -1861,6 +2091,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_purchase_and_error": _q_users_purchase_and_error,
         "customers_without_orders_ll": _q_customers_without_orders_ll,
         "events_lag_lead": _q_events_lag_lead,
+        "embedding_dim_sums": _q_embedding_dim_sums,
+        "order_snapshot_diff": _q_order_snapshot_diff,
+        "order_price_share": _q_order_price_share,
+        "revenue_by_mktsegment": _q_revenue_by_mktsegment,
+        "order_price_outliers": _q_order_price_outliers,
+        "events_hourly_dense": _q_events_hourly_dense,
+        "top_words_by_source": _q_top_words_by_source,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2252,6 +2489,72 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders_ll":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "top_words_by_source":
+            "WITH w AS (SELECT source, w FROM (SELECT source, "
+            "UNNEST(string_split_regex(lower(text), '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "c AS (SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) "
+            "AS cnt FROM w GROUP BY 1, 2) "
+            "SELECT source, word, cnt FROM c QUALIFY ROW_NUMBER() "
+            "OVER (PARTITION BY source ORDER BY cnt DESC, word) <= 5",
+        "revenue_by_mktsegment":
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) AS s FROM orders JOIN customer "
+            "ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "order_price_outliers":
+            "WITH b AS (SELECT o_orderpriority AS p, CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT) AS vs FROM orders), "
+            "q AS (SELECT p, CAST(FLOOR(quantile_cont(vs, 0.25) * 4 "
+            "+ 0.5) AS BIGINT) AS q14, CAST(FLOOR(quantile_cont(vs, "
+            "0.75) * 4 + 0.5) AS BIGINT) AS q34 FROM b GROUP BY p) "
+            "SELECT b.p AS o_orderpriority, "
+            "CAST(SUM(CASE WHEN 8 * vs < 2 * q14 - 3 * (q34 - q14) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_low, "
+            "CAST(SUM(CASE WHEN 8 * vs > 2 * q34 + 3 * (q34 - q14) "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_high, "
+            "CAST(SUM(CASE WHEN 8 * vs < 2 * q14 - 3 * (q34 - q14) "
+            "OR 8 * vs > 2 * q34 + 3 * (q34 - q14) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers "
+            "FROM b JOIN q ON b.p = q.p GROUP BY b.p",
+        "events_hourly_dense":
+            "WITH a AS (SELECT user_id, CAST(date_diff('hour', "
+            "TIMESTAMP '1970-01-01', date_trunc('hour', ts)) AS "
+            "BIGINT) AS h, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS "
+            "BIGINT) AS total FROM events GROUP BY 1, 2), "
+            "mm AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM a "
+            "GROUP BY user_id), "
+            "r AS (SELECT user_id, UNNEST(generate_series(lo, hi)) AS "
+            "h FROM mm) "
+            "SELECT r.user_id, r.h, COALESCE(a.cnt, 0) AS cnt, "
+            "COALESCE(a.total, 0) AS total FROM r LEFT JOIN a "
+            "USING (user_id, h)",
+        "embedding_dim_sums":
+            "SELECT CAST(ord - 1 AS BIGINT) AS dim, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS s FROM (SELECT "
+            "UNNEST(embedding) AS val, generate_subscripts(embedding, "
+            "1) AS ord FROM embeddings) GROUP BY dim",
+        "order_snapshot_diff":
+            "WITH o AS (SELECT o_orderkey AS k, CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders "
+            "WHERE o_orderkey % 10 <> 0), "
+            "n AS (SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice "
+            "* 100 + 0.5) AS BIGINT) + CASE WHEN o_orderkey % 7 = 0 "
+            "THEN 1000 ELSE 0 END AS v FROM orders "
+            "WHERE o_orderkey % 10 <> 1) "
+            "SELECT COALESCE(o.k, n.k) AS o_orderkey, "
+            "CASE WHEN o.k IS NULL THEN 'added' "
+            "WHEN n.k IS NULL THEN 'removed' "
+            "WHEN o.v <> n.v THEN 'changed' ELSE 'same' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.k = n.k",
+        "order_price_share":
+            "SELECT o_orderkey, CAST(CAST(FLOOR(o_totalprice * 100 "
+            "+ 0.5) AS BIGINT) * 1000000 // SUM(CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT)) OVER (PARTITION BY "
+            "o_orderpriority) AS BIGINT) AS share_ppm FROM orders",
         "events_lag_lead":
             "SELECT user_id, event_id, COALESCE(LAG(CAST(FLOOR(value "
             "* 10000 + 0.5) AS BIGINT)) OVER w, -1) AS lag_v, "

@@ -416,6 +416,60 @@ def grouped_quantiles(ds: Dataset, key: str, value_col: str,
             .map_groups(kernel, batch_format="pandas"))
 
 
+def group_share(ds: Dataset, key: str, value_col: str,
+                share_col: str = "share_ppm",
+                ppm: int = 1_000_000) -> Dataset:
+    """Per-row share of its group's total — the RATIO_TO_REPORT /
+    ``v * ppm // SUM(v) OVER (PARTITION BY key)`` window shape, as
+    EXACT int64 floor division (default parts-per-million), so the
+    result hash-matches any engine's integer division bit-for-bit.
+
+    ``value_col`` must be non-negative int64 (fixed-point upstream)
+    with ``v · ppm < 2⁶³`` (v < ~9·10¹² at ppm=10⁶ — raise/re-scale
+    upstream otherwise). Scale shape: group totals come from ONE
+    block-pre-aggregated groupby bounded by |groups| rows, are pulled
+    once and broadcast (``ray.put``); the fact rows stream through a
+    stateless map and never shuffle. Broadcast bound: |groups| fits a
+    worker (~10⁸); beyond that switch to a co-partitioned join on the
+    totals. Appends ``share_col`` to the input rows."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        uniq = pc.unique(k)
+        code = pc.index_in(k, uniq).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, code, v)
+        return pa.table({key: uniq, "s": pa.array(s)})
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(key).aggregate(Sum("s", alias_name="s"))
+              .to_pandas())
+    tkeys = pa.array(totals[key])
+    tsums = totals["s"].to_numpy().astype(np.int64)
+    ref = _ray.put((tkeys, tsums))
+
+    def add_share(batch: pa.Table) -> pa.Table:
+        tk, tv = _ray.get(ref)
+        idx_arr = pc.index_in(batch[key], value_set=tk)
+        if idx_arr.null_count:  # index_in null ⇒ key missing
+            raise AssertionError("group key missing from totals")
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        share = v * ppm // tv[idx]
+        return batch.append_column(share_col, pa.array(share))
+
+    return ds.map_batches(add_share, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def grouped_mad(ds: Dataset, key: str, value_col: str,
                 num_buckets: int = 64) -> Dataset:
     """Per-group median absolute deviation (SQL ``mad(x)``), exact.
@@ -457,6 +511,66 @@ def grouped_mad(ds: Dataset, key: str, value_col: str,
     from bigdime_ray.stages.shuffle import add_hash_bucket
     return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def grouped_iqr_outliers(ds: Dataset, key: str,
+                         value_col: str) -> Dataset:
+    """Tukey-fence outlier counts per group — rows outside
+    ``[q1 − 1.5·IQR, q3 + 1.5·IQR]``, the standard robust
+    data-quality screen. ``value_col`` must be int64 (fixed-point
+    upstream).
+
+    Exactness: quartiles of ints are dyadic rationals with
+    denominator 4, so both fences have denominator 8 and the test
+    runs in pure integers — ``8v < 2·q1₄ − 3·IQR₄`` (low) /
+    ``8v > 2·q3₄ + 3·IQR₄`` (high), where ``q₄ = 4·quantile`` (an
+    exact int: dyadic fractions are float64-exact) and
+    ``IQR₄ = q3₄ − q1₄``. Bit-identical in any engine; caller
+    contract |8v| < 2⁶³.
+
+    Two passes: quartiles via ``grouped_quantiles(method="exact")``
+    (bounded by |groups|, pulled once, broadcast via ``ray.put``),
+    then one counting scan with block partials — the fact rows never
+    shuffle. Output: (key, n_low, n_high, n_outliers)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    q = grouped_quantiles(ds, key, value_col, [0.25, 0.75]).to_pandas()
+    q14 = np.floor(4 * q["q25"].to_numpy() + 0.5).astype(np.int64)
+    q34 = np.floor(4 * q["q75"].to_numpy() + 0.5).astype(np.int64)
+    iqr4 = q34 - q14
+    low8 = 2 * q14 - 3 * iqr4
+    high8 = 2 * q34 + 3 * iqr4
+    karr = pa.array(q[key])
+    ref = _ray.put((karr, low8, high8))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, lo, hi = _ray.get(ref)
+        idx_arr = pc.index_in(batch[key], value_set=keys)
+        if idx_arr.null_count:
+            raise AssertionError("group key missing from quartiles")
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        v8 = 8 * batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = len(keys)
+        nl = np.zeros(g, dtype=np.int64)
+        nh = np.zeros(g, dtype=np.int64)
+        np.add.at(nl, idx, (v8 < lo[idx]).astype(np.int64))
+        np.add.at(nh, idx, (v8 > hi[idx]).astype(np.int64))
+        return pa.table({key: keys, "n_low": pa.array(nl),
+                         "n_high": pa.array(nh)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(key).aggregate(Sum("n_low", alias_name="n_low"),
+                                   Sum("n_high", alias_name="n_high")))
+
+    def total(batch: pa.Table) -> pa.Table:
+        s = pc.add(batch["n_low"], batch["n_high"])
+        return batch.append_column("n_outliers", s)
+
+    return agg.map_batches(total, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def grouped_moments(ds: Dataset, key: str, value_col: str) -> Dataset:

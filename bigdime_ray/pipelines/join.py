@@ -27,6 +27,7 @@ pattern) with this inner join when outer semantics are needed.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -69,6 +70,65 @@ def string_key_join(left: Dataset, right: Dataset, left_key: str,
 
     return joined.map_batches(verify, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def broadcast_join(left: Dataset, right_small: Dataset, left_key: str,
+                   right_key: str, how: str = "inner") -> Dataset:
+    """Dimension-table join: the SMALL right side is pulled once,
+    sorted by key and shipped via ``ray.put``; every left batch then
+    gathers the right columns through one ``np.searchsorted`` — NO
+    shuffle of either side, the canonical fact×dim shape at 100 TB
+    (generalizes the inline LUT in ``_q_revenue_by_region``).
+
+    Requirements: right keys UNIQUE (validated — a duplicate dim key
+    silently multiplying fact rows is the classic join bug) and the
+    right table fits a broadcast (~10⁸ rows; use ``Dataset.join`` /
+    ``string_key_join`` beyond that). ``how="inner"`` drops unmatched
+    left rows; ``how="left"`` keeps them with nulls in the right
+    columns. Output: left columns + right columns (minus the right
+    key, which duplicates the left key)."""
+    import ray as _ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    rtabs = [t for t in _ray.get(right_small.to_arrow_refs())
+             if t.num_rows > 0]
+    rtab = (pa.concat_tables(rtabs).combine_chunks() if rtabs
+            else None)
+    if rtab is None:
+        raise ValueError("broadcast_join: right side is empty")
+    rk = rtab[right_key].to_numpy(zero_copy_only=False)
+    order = np.argsort(rk, kind="stable")
+    rk = rk[order]
+    if len(rk) > 1 and (rk[1:] == rk[:-1]).any():
+        raise ValueError("broadcast_join requires unique right keys")
+    rtab = rtab.take(pa.array(order)).drop_columns([right_key])
+    ref = _ray.put((rk, rtab))
+    rnames = rtab.schema.names
+
+    def gather(batch: pa.Table) -> pa.Table:
+        keys, dim = _ray.get(ref)
+        lk = batch[left_key].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, lk)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = keys[idx_c] == lk
+        if how == "inner":
+            batch = batch.filter(pa.array(hit))
+            take = pa.array(idx_c[hit])
+            for nm in rnames:
+                batch = batch.append_column(nm, dim[nm].take(take))
+            return batch
+        take = pa.array(np.where(hit, idx_c, 0))
+        valid = pa.array(hit)
+        for nm in rnames:
+            col = dim[nm].take(take).combine_chunks()
+            batch = batch.append_column(
+                nm, pc.if_else(valid, col, pa.nulls(len(batch),
+                                                    type=col.type)))
+        return batch
+
+    return left.map_batches(gather, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def key_anti_join(left: Dataset, right: Dataset, left_key: str,

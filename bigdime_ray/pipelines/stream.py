@@ -560,6 +560,64 @@ def lag_delta(ds: Dataset, key: str, ts_col: str, id_col: str,
             .map_groups(kernel, batch_format="pandas"))
 
 
+def gap_fill_windows(agg: Dataset, key: str, widx_col: str,
+                     value_cols: list[str], fill: int = 0,
+                     num_buckets: int = 64) -> Dataset:
+    """Densify a windowed aggregate: for each key, emit EVERY window
+    index in [key's min, key's max], filling absent windows with
+    ``fill`` — training pipelines need gapless per-entity time series
+    (a model can't learn \"no events this hour\" from a missing row).
+
+    Input is an already-aggregated (key, window_idx, values…) dataset
+    — one row per present (key, window); duplicates raise. Bucketed
+    vectorized kernel: whole key groups co-locate, one lexsort by
+    (key, widx), then each key's dense range materializes via
+    repeat/cumsum arange arithmetic and the sparse values scatter into
+    it — no per-key loop, no shuffle beyond the one bucket exchange.
+    Scale contract: a key's dense span must fit a task (span is
+    bounded by the window calendar — e.g. 10 years of hours is 87 600
+    rows/key); total output is Σ spans, so budget blocks accordingly.
+    Output: (key, widx, values…) with int64 values."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        w = g[widx_col].to_numpy().astype(np.int64)
+        order = np.lexsort((w, k))
+        k, w = k[order], w[order]
+        n = len(k)
+        starts = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
+        sizes = np.diff(np.r_[starts, n])
+        # duplicate (key, window) rows would scatter-collide silently
+        same_key = np.zeros(n, dtype=bool)
+        same_key[1:] = k[1:] == k[:-1]
+        if (same_key & np.r_[False, w[1:] == w[:-1]]).any():
+            raise ValueError("gap_fill_windows input must hold one "
+                             "row per (key, window)")
+        lo = w[starts]
+        hi = w[starts + sizes - 1]
+        span = hi - lo + 1
+        total = int(span.sum())
+        span_starts = np.r_[0, np.cumsum(span)[:-1]]
+        dense_k = np.repeat(k[starts], span)
+        dense_w = (np.repeat(lo, span)
+                   + np.arange(total, dtype=np.int64)
+                   - np.repeat(span_starts, span))
+        inv = np.repeat(np.arange(len(starts)), sizes)
+        pos = span_starts[inv] + (w - lo[inv])
+        out = {key: dense_k, widx_col: dense_w}
+        for c in value_cols:
+            v = g[c].to_numpy()[order].astype(np.int64)
+            dense = np.full(total, fill, dtype=np.int64)
+            dense[pos] = v
+            out[c] = dense
+        return pd.DataFrame(out)
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(agg, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
 def grouped_lag_lead(ds: Dataset, key: str, ts_col: str, id_col: str,
                      value_col: str, default: int = -1,
                      scale: int | None = None,

@@ -473,3 +473,50 @@ def test_grouped_quantiles_disc_matches_duckdb_semantics():
         for q, name in zip(qs, ["q25", "q50", "q90"]):
             idx = max(int(np.ceil(q * len(v))) - 1, 0)
             assert got.loc[got.g == g, name].iloc[0] == v[idx], (g, q)
+
+
+def test_group_share_exact_integer_division():
+    from bigdime_ray.pipelines.frequency import group_share
+    rng = np.random.default_rng(59)
+    n = 2500
+    df = pd.DataFrame({
+        "g": rng.integers(0, 8, n).astype(np.int64),
+        "v": rng.integers(0, 100_000, n).astype(np.int64)})
+    got = (group_share(ray.data.from_pandas(df).repartition(5),
+                       "g", "v").to_pandas()
+           .sort_index().reset_index(drop=True))
+    totals = df.groupby("g").v.sum()
+    exp = (df.v.to_numpy() * 1_000_000
+           // totals[df.g].to_numpy())
+    # row identity preserved (input columns untouched, share appended)
+    assert got.v.tolist() == df.v.tolist()
+    assert got.share_ppm.tolist() == exp.tolist()
+    # shares of a group sum to ~1e6 (floor division undershoots)
+    per_g = got.groupby("g").share_ppm.sum()
+    assert ((1_000_000 - per_g) >= 0).all()
+    assert ((1_000_000 - per_g) < df.groupby("g").size()).all()
+
+
+def test_grouped_iqr_outliers_matches_brute_force():
+    from bigdime_ray.pipelines.frequency import grouped_iqr_outliers
+    rng = np.random.default_rng(67)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 10, n).astype(np.int64),
+        "v": rng.integers(0, 1000, n).astype(np.int64)})
+    # plant unambiguous outliers
+    df.loc[df.sample(40, random_state=1).index, "v"] = 10_000_000
+    df.loc[df.sample(30, random_state=2).index, "v"] = -10_000_000
+    got = (grouped_iqr_outliers(ray.data.from_pandas(df).repartition(6),
+                                "g", "v").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    for g, sub in df.groupby("g"):
+        v = sub.v.to_numpy().astype(np.float64)
+        q1, q3 = np.quantile(v, [0.25, 0.75])  # linear interp = SQL
+        iqr = q3 - q1
+        nl = int((v < q1 - 1.5 * iqr).sum())
+        nh = int((v > q3 + 1.5 * iqr).sum())
+        row = got[got.g == g]
+        assert row.n_low.iloc[0] == nl, g
+        assert row.n_high.iloc[0] == nh, g
+        assert row.n_outliers.iloc[0] == nl + nh, g

@@ -277,3 +277,40 @@ def test_key_anti_and_semi_join_match_pandas():
     assert semi.lv.tolist() == exp_semi.lv.tolist()
     # anti ⊎ semi partitions the left side exactly
     assert len(anti) + len(semi) == len(left)
+
+
+def test_broadcast_join_inner_and_left():
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import broadcast_join
+    rng = np.random.default_rng(61)
+    left = pd.DataFrame({
+        "lk": rng.integers(0, 40, 200).astype(np.int64),
+        "lv": np.arange(200, dtype=np.int64)})
+    dim = pd.DataFrame({
+        "dk": np.arange(5, 30, dtype=np.int64),
+        "name": [f"d{i}" for i in range(5, 30)]})
+    lds = rd.from_pandas(left).repartition(4)
+    dds = rd.from_pandas(dim).repartition(2)
+    inner = (broadcast_join(lds, dds, "lk", "dk")
+             .to_pandas().sort_values("lv").reset_index(drop=True))
+    exp = (left.merge(dim, left_on="lk", right_on="dk")
+           .sort_values("lv").reset_index(drop=True))
+    assert inner.lv.tolist() == exp.lv.tolist()
+    assert inner.name.tolist() == exp.name.tolist()
+    assert "dk" not in inner.columns  # right key dropped (dup of left)
+    lj = (broadcast_join(lds, dds, "lk", "dk", how="left")
+          .to_pandas().sort_values("lv").reset_index(drop=True))
+    assert len(lj) == len(left)
+    miss = ~left.sort_values("lv").lk.isin(set(dim.dk)).to_numpy()
+    assert lj.name.isna().to_numpy().tolist() == miss.tolist()
+
+
+def test_broadcast_join_rejects_duplicate_dim_keys():
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import broadcast_join
+    left = rd.from_pandas(pd.DataFrame({"lk": [1]}))
+    dim = rd.from_pandas(pd.DataFrame({"dk": [1, 1], "x": [2, 3]}))
+    with pytest.raises(ValueError, match="unique right keys"):
+        broadcast_join(left, dim, "lk", "dk")

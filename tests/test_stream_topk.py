@@ -604,3 +604,30 @@ def test_grouped_lag_lead_brute_force():
     exp = exp.assign(lag_v=lag, lead_v=lead).sort_values("id")
     assert got.lag_v.tolist() == exp.lag_v.tolist()
     assert got.lead_v.tolist() == exp.lead_v.tolist()
+
+
+def test_gap_fill_windows_densifies():
+    from bigdime_ray.pipelines.stream import gap_fill_windows
+    agg = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+        "w": np.array([5, 8, 6, 100, 7], dtype=np.int64),
+        "cnt": np.array([2, 3, 4, 5, 6], dtype=np.int64),
+        "tot": np.array([20, 30, 40, 50, 60], dtype=np.int64)})
+    got = (gap_fill_windows(ray.data.from_pandas(agg).repartition(3),
+                            "k", "w", ["cnt", "tot"])
+           .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+    # key 1 spans 5..8 (7 absent → fill), keys 2/3 are single windows
+    assert got.k.tolist() == [1, 1, 1, 1, 2, 3]
+    assert got.w.tolist() == [5, 6, 7, 8, 100, 7]
+    assert got.cnt.tolist() == [2, 4, 0, 3, 5, 6]
+    assert got.tot.tolist() == [20, 40, 0, 30, 50, 60]
+
+
+def test_gap_fill_windows_rejects_duplicates():
+    from bigdime_ray.pipelines.stream import gap_fill_windows
+    agg = pd.DataFrame({"k": np.array([1, 1], dtype=np.int64),
+                        "w": np.array([5, 5], dtype=np.int64),
+                        "cnt": np.array([1, 2], dtype=np.int64)})
+    with pytest.raises(ValueError, match="one row per"):
+        gap_fill_windows(ray.data.from_pandas(agg), "k", "w",
+                         ["cnt"]).materialize()
