@@ -2018,6 +2018,161 @@ def _q_top_words_by_source(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_late_shipment_orders(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS with a CROSS-TABLE predicate: orders
+    with ANY lineitem shipped ≥ 60 days after the order date, counted
+    per priority. The EXISTS collapses to a per-order MAX(l_shipdate)
+    (block pre-agg, ≤ orders×blocks rows to the groupby) joined
+    co-partitioned back to orders; the date test then runs on int64 µs.
+    Empty-block discipline at the groupby→join seam
+    (stages/shuffle.py::drop_empty_blocks + materialize)."""
+    from ray.data.aggregate import Max, Sum
+    from bigdime_ray.stages.shuffle import drop_empty_blocks
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        k = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = (batch["l_shipdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        uniq, inv = np.unique(k, return_inverse=True)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, t)
+        return pa.table({"l_orderkey": pa.array(uniq),
+                         "max_ship_us": pa.array(mx)})
+
+    maxship = (li.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("l_orderkey")
+               .aggregate(Max("max_ship_us", alias_name="max_ship_us")))
+    maxship = drop_empty_blocks(maxship).materialize()
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "odate_us": pa.array(d),
+                         "o_orderpriority": batch["o_orderpriority"]})
+
+    joined = orders.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .join(maxship, join_type="inner", num_partitions=16,
+              on=("o_orderkey",), right_on=("l_orderkey",))
+    SIXTY_D_US = 60 * 86_400 * 1_000_000
+
+    def late(batch: pa.Table) -> pa.Table:
+        keep = (batch["max_ship_us"].to_numpy(zero_copy_only=False)
+                >= batch["odate_us"].to_numpy(zero_copy_only=False)
+                + SIXTY_D_US)
+        pr = batch.filter(pa.array(keep))["o_orderpriority"]
+        uniq = pc.unique(pr)
+        code = pc.index_in(pr, uniq).to_numpy(zero_copy_only=False)
+        n = np.bincount(code.astype(np.int64),
+                        minlength=len(uniq)).astype(np.int64)
+        return pa.table({"o_orderpriority": uniq, "n": pa.array(n)})
+
+    return (joined.map_batches(late, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("o_orderpriority")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def _q_doc_decile_stats(sf_dir: str):
+    """GLOBAL NTILE(10) distributed (the existing ``documents_ntile``
+    is per-partition): global rank = C(v) + rank-within-value, where
+    C(v) (#rows with n_chars < v) comes from a value-histogram pass
+    pulled once and broadcast (distinct lengths ≪ rows), and the
+    within-value rank comes from ONE bucketed exchange keyed by
+    n_chars (equal values co-locate). SQL NTILE fill semantics (first
+    n%k tiles one longer) reproduced exactly; each bucket emits ≤ 10
+    partial rows."""
+    import pandas as pd
+    import ray as _ray
+    from ray.data.aggregate import Sum
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (ds.map_batches(vc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("v"))
+    vals = hist["v"].to_numpy().astype(np.int64)
+    cnts = hist["cnt"].to_numpy().astype(np.int64)
+    before = np.r_[0, np.cumsum(cnts)[:-1]]
+    total = int(cnts.sum())
+    ref = _ray.put((vals, before))
+    K = 10
+    size, rem = total // K, total % K
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        v = g["n_chars"].to_numpy().astype(np.int64)
+        d = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((d, v))
+        v, d = v[order], d[order]
+        n = len(v)
+        starts = np.nonzero(np.r_[True, v[1:] != v[:-1]])[0]
+        sizes = np.diff(np.r_[starts, n])
+        within = (np.arange(n, dtype=np.int64)
+                  - np.repeat(starts, sizes))
+        bvals, bbefore = _ray.get(ref)
+        base = bbefore[np.searchsorted(bvals, v)]
+        rank = base + within  # 0-based global rank
+        # SQL NTILE: first `rem` tiles hold size+1 rows
+        cut = rem * (size + 1)
+        tile = np.where(rank < cut, rank // (size + 1) + 1,
+                        rem + (rank - cut) // max(size, 1) + 1)
+        t_u, inv = np.unique(tile, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(t_u), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pd.DataFrame({"decile": t_u, "n": cnt, "s": s})
+
+    return (add_hash_bucket(ds, "n_chars", 32).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas")
+            .groupby("decile").aggregate(Sum("n", alias_name="n"),
+                                         Sum("s", alias_name="s")))
+
+
+def _q_revenue_by_dow(sf_dir: str):
+    """Calendar feature extraction: revenue by DAY OF WEEK
+    (Sunday=0, DuckDB's dayofweek convention — epoch day 0 was a
+    Thursday, hence the +4 bias). One map pass, ≤ 7 rows per block to
+    the groupby."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    US_PER_DAY = 86_400 * 1_000_000
+
+    def part(batch: pa.Table) -> pa.Table:
+        d = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        dow = (d // US_PER_DAY + 4) % 7
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        vs = np.floor(v * 100 + 0.5).astype(np.int64)
+        n = np.bincount(dow, minlength=7).astype(np.int64)
+        s = np.zeros(7, dtype=np.int64)
+        np.add.at(s, dow, vs)
+        keep = n > 0
+        return pa.table({"dow": pa.array(np.arange(7)[keep]),
+                         "n": pa.array(n[keep]), "s": pa.array(s[keep])})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("dow").aggregate(Sum("n", alias_name="n"),
+                                      Sum("s", alias_name="s")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -2098,6 +2253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_outliers": _q_order_price_outliers,
         "events_hourly_dense": _q_events_hourly_dense,
         "top_words_by_source": _q_top_words_by_source,
+        "late_shipment_orders": _q_late_shipment_orders,
+        "doc_decile_stats": _q_doc_decile_stats,
+        "revenue_by_dow": _q_revenue_by_dow,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2489,6 +2647,22 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders_ll":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "late_shipment_orders":
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE "
+            "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate "
+            "+ INTERVAL 60 DAY) GROUP BY o_orderpriority",
+        "doc_decile_stats":
+            "WITH t AS (SELECT n_chars, NTILE(10) OVER (ORDER BY "
+            "n_chars, doc_id) AS d FROM documents) "
+            "SELECT CAST(d AS BIGINT) AS decile, CAST(COUNT(*) AS "
+            "BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS s FROM t "
+            "GROUP BY d",
+        "revenue_by_dow":
+            "SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s "
+            "FROM orders GROUP BY dow",
         "top_words_by_source":
             "WITH w AS (SELECT source, w FROM (SELECT source, "
             "UNNEST(string_split_regex(lower(text), '\\s+')) AS w "

@@ -38,7 +38,11 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", ["record_count_per_source", "duplicate_keys",
                                   "pricing_summary", "token_count",
-                                  "per_source_stats_salted"])
+                                  "per_source_stats_salted",
+                                  "doc_decile_stats",
+                                  "late_shipment_orders",
+                                  "order_snapshot_diff",
+                                  "top_words_by_source"])
 def test_query_matches_oracle(name, con, sf001_dir):
     res = E.queries()[name](sf001_dir)
     rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
