@@ -2173,6 +2173,72 @@ def _q_revenue_by_dow(sf_dir: str):
                                       Sum("s", alias_name="s")))
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue from lineitems whose SUPPLIER and
+    ordering CUSTOMER share a nation, per nation name, for one order
+    year. One large-large join (lineitem ⋈ orders, co-partitioned);
+    the supplier→nation and customer→nation lookups are two
+    `broadcast_join` LUT stages hanging off it (dim tables never
+    shuffle); the year filter is PUSHED INTO the orders parquet read;
+    the nation-name LUT applies to the ≤|nations|-row aggregate."""
+    import datetime as _dt
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
+
+    li = li.map_batches(revenue, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate")
+                 >= _dt.datetime(1996, 1, 1))
+                & (pads.field("o_orderdate")
+                   < _dt.datetime(1997, 1, 1))))
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
+    j2 = broadcast_join(joined, supp, "l_suppkey", "s_suppkey")
+    j3 = broadcast_join(j2, cust, "o_custkey", "c_custkey")
+
+    def local_rev(batch: pa.Table) -> pa.Table:
+        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = sn == cn
+        sn = sn[keep]
+        rv = batch["rev_s"].to_numpy(zero_copy_only=False)[keep]
+        uniq, inv = np.unique(sn, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, rv)
+        return pa.table({"nationkey": pa.array(uniq),
+                         "revenue": pa.array(s)})
+
+    agg = (j3.map_batches(local_rev, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("nationkey")
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    named = broadcast_join(agg, nation, "nationkey", "n_nationkey")
+    return named.map_batches(lambda b: b.select(["n_name", "revenue"]),
+                             batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -2256,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_orders": _q_late_shipment_orders,
         "doc_decile_stats": _q_doc_decile_stats,
         "revenue_by_dow": _q_revenue_by_dow,
+        "local_supplier_revenue": _q_local_supplier_revenue,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2647,6 +2714,16 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders_ll":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "local_supplier_revenue":
+            "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS "
+            "revenue FROM customer, orders, lineitem, supplier, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name",
         "late_shipment_orders":
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE "
