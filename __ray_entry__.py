@@ -1131,13 +1131,45 @@ def _q_shipping_priority(sf_dir: str):
         return pa.table({"l_orderkey": batch["l_orderkey"],
                          "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
 
-    per_order = (li.map_batches(revenue, batch_format="pyarrow",
-                                zero_copy_batch=True)
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("rev_s", alias_name="revenue")))
-    per_order = drop_empty_blocks(per_order).materialize()
-    joined = per_order.join(orders, join_type="inner", num_partitions=16,
-                            on=("l_orderkey",), right_on=("o_orderkey",))
+    # Size dispatch (the _auto_scale_dispatch discipline): the filtered
+    # orders side is |BUILDING ∩ date<cut| — tiny at benchable scales,
+    # huge at 100 TB. Below the broadcast bound, gather order attrs via
+    # the searchsorted LUT (ONE hash exchange total: the lineitem
+    # groupby, itself pre-filtered by the order key set so only
+    # BUILDING orders' lineitems shuffle); above it, fall back to the
+    # co-partitioned Dataset.join with the empty-block + materialize
+    # seam discipline.
+    orders_mat = orders.materialize()
+    if orders_mat.count() <= 2_000_000:
+        from bigdime_ray.pipelines.join import broadcast_join
+        otabs = [t for t in _ray.get(orders_mat.to_arrow_refs())
+                 if t.num_rows > 0]
+        otab = pa.concat_tables(otabs).combine_chunks()
+        okeys = otab["o_orderkey"].combine_chunks()
+
+        def sel_li(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["l_orderkey"], value_set=okeys))
+
+        per_order = (li.map_batches(sel_li, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                     .map_batches(revenue, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                     .groupby("l_orderkey")
+                     .aggregate(Sum("rev_s", alias_name="revenue")))
+        joined = broadcast_join(per_order,
+                                ray.data.from_arrow(otab),
+                                "l_orderkey", "o_orderkey")
+    else:
+        per_order = (li.map_batches(revenue, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                     .groupby("l_orderkey")
+                     .aggregate(Sum("rev_s", alias_name="revenue")))
+        per_order = drop_empty_blocks(per_order).materialize()
+        joined = per_order.join(orders_mat, join_type="inner",
+                                num_partitions=16,
+                                on=("l_orderkey",),
+                                right_on=("o_orderkey",))
 
     def prune(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= 10:
