@@ -2271,6 +2271,29 @@ def _q_local_supplier_revenue(sf_dir: str):
                              batch_format="pyarrow")
 
 
+def _q_train_val_split_counts(sf_dir: str):
+    """Deterministic hash train/val split (retry-safe — a re-executed
+    block can never re-roll rows into the other split), counted per
+    (source, split); pipelines/curate.py::train_val_split."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.curate import train_val_split
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    sp = train_val_split(ds)
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "split": batch["split"]})
+        g = t.group_by(["source", "split"]).aggregate(
+            [("split", "count")])
+        return pa.table({"source": g["source"], "split": g["split"],
+                         "n": pc.cast(g["split_count"], pa.int64())})
+
+    return (sp.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["source", "split"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -2355,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decile_stats": _q_doc_decile_stats,
         "revenue_by_dow": _q_revenue_by_dow,
         "local_supplier_revenue": _q_local_supplier_revenue,
+        "train_val_split_counts": _q_train_val_split_counts,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2746,6 +2770,11 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders_ll":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "train_val_split_counts":
+            f"SELECT source, CASE WHEN ((doc_id * {_CHK_MUL}) % "
+            f"{_CHK_MOD}) % 1000 < 100 THEN 'val' ELSE 'train' END AS "
+            "split, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY 1, 2",
         "local_supplier_revenue":
             "SELECT n_name, CAST(SUM(CAST(FLOOR(l_extendedprice * "
             "(1 - l_discount) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS "

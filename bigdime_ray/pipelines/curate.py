@@ -75,3 +75,31 @@ def stratified_sample(ds: Dataset, strata_col: str, rates: dict,
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def train_val_split(ds: Dataset, id_col: str = "doc_id",
+                    val_per_mille: int = 100,
+                    split_col: str = "split") -> Dataset:
+    """Deterministic train/validation assignment: a row's split is a
+    PURE FUNCTION of its id (the same multiplicative hash as
+    ``stratified_sample``), so membership is stable across runs, Ray
+    task retries and repartitionings — the property an RNG split lacks
+    and a 100 TB pipeline cannot do without (a retried block must not
+    re-roll its rows into the other split). ``val_per_mille`` rows per
+    1000 land in ``'val'``; the rest in ``'train'``. SQL mirror:
+    ``CASE WHEN ((id * MUL) % P) % 1000 < v THEN 'val' ELSE 'train'
+    END``. Appends ``split_col``; zero shuffle."""
+    import numpy as np
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = ((ids * SAMPLE_MUL) % SAMPLE_MOD) % 1000
+        is_val = bucket < val_per_mille
+        col = pa.DictionaryArray.from_arrays(
+            pa.array(is_val.astype(np.int8)),
+            pa.array(["train", "val"])).cast(pa.string())
+        return batch.append_column(split_col, col)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

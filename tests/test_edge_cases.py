@@ -117,3 +117,19 @@ def test_new_ops_on_empty_and_tiny_inputs():
     hw = hopping_window(ds, "user_id", "ts", "v",
                         size_seconds=3600, hop_seconds=1800).to_pandas()
     assert hw.cnt.sum() == 4  # 2 events × 2 windows
+
+
+def test_train_val_split_deterministic_and_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from bigdime_ray.pipelines.curate import train_val_split
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    a = (train_val_split(ray.data.from_pandas(df).repartition(3))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (train_val_split(ray.data.from_pandas(df).repartition(11))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.split.tolist() == b.split.tolist()  # retry/partition-safe
+    frac = (a.split == "val").mean()
+    assert 0.06 < frac < 0.14  # ~10% with hash wobble
+    assert set(a.split) == {"train", "val"}
