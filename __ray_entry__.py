@@ -2294,6 +2294,59 @@ def _q_train_val_split_counts(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
+def _q_user_distinct_value_sum(sf_dir: str):
+    """SUM(DISTINCT x) per group: global (user, value) pair dedupe via
+    one pair-grain groupby (block-local dedupe first, so ≤ distinct
+    pairs per block travel), then the per-user sum over the deduped
+    pairs — two small exchanges, never a row-level one."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        vs = np.floor(v * 10_000 + 0.5).astype(np.int64)
+        # block-local pair dedupe: one lexsort
+        order = np.lexsort((vs, u))
+        u, vs = u[order], vs[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (vs[1:] != vs[:-1])]
+        return pa.table({"user_id": pa.array(u[keep]),
+                         "vs": pa.array(vs[keep])})
+
+    deduped = (ds.map_batches(pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(["user_id", "vs"])
+               .aggregate(Count(alias_name="cnt")))  # keys dedupe; cnt unused
+
+    def part(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vs = batch["vs"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, vs)
+        return pa.table({"user_id": pa.array(uniq), "s": pa.array(s)})
+
+    return (deduped.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("user_id").aggregate(Sum("s", alias_name="s")))
+
+
+def _q_monthly_revenue_delta(sf_dir: str):
+    """Month-over-month change — a window function OVER AN AGGREGATE
+    (LAG on the monthly rollup): the heavy work is the same bounded
+    monthly aggregate as `monthly_revenue`; the LAG runs on its
+    ≤|months|-row result, which is exactly where a 100 TB engine wants
+    the serial step."""
+    m = _q_monthly_revenue(sf_dir).to_pandas().sort_values("month")
+    s = m["s"].to_numpy().astype(np.int64)
+    delta = s - np.r_[0, s[:-1]]
+    return pa.table({"month": pa.array(m["month"],
+                                       type=pa.timestamp("us")),
+                     "s": pa.array(s), "delta": pa.array(delta)})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -2379,6 +2432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_dow": _q_revenue_by_dow,
         "local_supplier_revenue": _q_local_supplier_revenue,
         "train_val_split_counts": _q_train_val_split_counts,
+        "user_distinct_value_sum": _q_user_distinct_value_sum,
+        "monthly_revenue_delta": _q_monthly_revenue_delta,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2770,6 +2825,16 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders_ll":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "user_distinct_value_sum":
+            "SELECT user_id, CAST(SUM(DISTINCT CAST(FLOOR(value * "
+            "10000 + 0.5) AS BIGINT)) AS BIGINT) AS s FROM events "
+            "GROUP BY user_id",
+        "monthly_revenue_delta":
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS "
+            "month, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS "
+            "BIGINT)) AS BIGINT) AS s FROM orders GROUP BY month) "
+            "SELECT month, s, s - COALESCE(LAG(s) OVER (ORDER BY "
+            "month), 0) AS delta FROM m",
         "train_val_split_counts":
             f"SELECT source, CASE WHEN ((doc_id * {_CHK_MUL}) % "
             f"{_CHK_MOD}) % 1000 < 100 THEN 'val' ELSE 'train' END AS "
