@@ -95,3 +95,30 @@ def ingest(ds: Dataset, out_dir: str,
     return {p: {"expected_rows": manifest[p].n,
                 "raw_checksum": u64_to_i64(manifest[p].checksum)}
             for p in sorted(manifest)}
+
+
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_rows_per_file: int = 1_000_000,
+                    columns: list[str] | None = None) -> dict:
+    """Small-file compaction — the operational chore every long-lived
+    100 TB dataset needs: a directory accreted from many incremental
+    writes (one file per micro-batch) re-emerges as files of
+    ``target_rows_per_file``, restoring scan parallelism economics
+    (footer-read and task-startup cost are per FILE; a million 4 KB
+    files starve the read stage no matter how wide the cluster is).
+
+    Streaming end to end: ``read_parquet`` → ``write_parquet`` with
+    Ray's ``min_rows_per_file`` sizing — no repartition shuffle and no
+    driver materialization; the object store spills if a block exceeds
+    memory. ``columns`` optionally prunes while compacting (schema
+    evolution / column retirement in the same pass). Returns
+    {files_in, files_out, rows}."""
+    import glob
+    import ray
+
+    files_in = len(glob.glob(os.path.join(in_dir, "*.parquet")))
+    ds = ray.data.read_parquet(in_dir, columns=columns)
+    ds.write_parquet(out_dir, min_rows_per_file=target_rows_per_file)
+    files_out = len(glob.glob(os.path.join(out_dir, "*.parquet")))
+    rows = ray.data.read_parquet(out_dir).count()
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", 8)))
     p.add_argument("--list", action="store_true", dest="list_queries")
+    p.add_argument("--stats", action="store_true",
+                   help="print Ray Data per-stage execution stats "
+                        "(Dataset results only) — the measure-don't-"
+                        "guess loop for sizing batch/concurrency")
     args = p.parse_args(argv)
 
     mod = _load_registry()
@@ -79,6 +83,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{args.name}: {n} rows")
                 for row in res.take(5):
                     print(" ", row)
+            if args.stats:
+                print(res.stats())
         else:
             tbl = (res if isinstance(res, pa.Table)
                    else pa.Table.from_pandas(res))

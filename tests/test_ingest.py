@@ -63,3 +63,35 @@ def test_ingest_detects_post_hoc_tamper(raw_ds, tmp_path):
     pid = victim.split("partition_id=")[1].split("/")[0]
     assert rep.result_for(pid, "record_count") == "FAILED"
     assert rep.result_for(pid, "raw_checksum") == "FAILED"
+
+
+def test_compact_parquet_coalesces_small_files(tmp_path):
+    import glob
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bigdime_ray.pipelines.ingest import compact_parquet
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(20):  # 20 tiny files
+        pq.write_table(
+            pa.table({"x": pa.array(np.arange(i * 50, i * 50 + 50,
+                                              dtype=np.int64)),
+                      "y": pa.array(np.full(50, i, dtype=np.int64))}),
+            src / f"part-{i:03d}.parquet")
+    out = tmp_path / "compact"
+    rep = compact_parquet(str(src), str(out),
+                          target_rows_per_file=500)
+    assert rep["files_in"] == 20
+    assert rep["rows"] == 1000
+    assert rep["files_out"] < 20  # actually coalesced
+    # content preserved exactly (as a multiset)
+    got = pq.read_table(sorted(glob.glob(str(out / "*.parquet")))[0]
+                        if rep["files_out"] == 1 else str(out))
+    assert sorted(got["x"].to_pylist()) == list(range(1000))
+    # column pruning path
+    out2 = tmp_path / "pruned"
+    rep2 = compact_parquet(str(src), str(out2), 500, columns=["y"])
+    assert rep2["rows"] == 1000
+    import pyarrow.dataset as pads
+    assert pads.dataset(str(out2)).schema.names == ["y"]
