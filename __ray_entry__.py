@@ -2347,6 +2347,60 @@ def _q_monthly_revenue_delta(sf_dir: str):
                      "s": pa.array(s), "delta": pa.array(delta)})
 
 
+def _q_churned_users(sf_dir: str):
+    """Retention shape: users active in the first week of the event
+    log but silent on the final day — the time-scoped EXCEPT. Same
+    one-packed-exchange machinery as the type-scoped sibling
+    (`users_purchase_no_error`): two window-presence flags per user."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    US_D = 86_400 * 1_000_000
+    w1_lo = np.datetime64("2024-01-01", "us").astype(np.int64)
+    w1_hi = w1_lo + 7 * US_D
+    w4_lo = np.datetime64("2024-01-30", "us").astype(np.int64)
+    w4_hi = w4_lo + 1 * US_D
+
+    def extract(batch: pa.Table):
+        keys = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = (batch["ts"].to_numpy(zero_copy_only=False)
+             .astype("datetime64[us]").view(np.int64))
+        a = ((t >= w1_lo) & (t < w1_hi)).astype(np.int64)
+        b = ((t >= w4_lo) & (t < w4_hi)).astype(np.int64)
+        return keys, [a, b]
+
+    keys, (a, b) = grouped_int_sums_exchange(ds, extract, 2)
+    out = np.sort(keys[(a > 0) & (b == 0)])
+    return pa.table({"user_id": pa.array(out, type=pa.int64())})
+
+
+def _q_user_event_flags(sf_dir: str):
+    """BOOL_OR / BOOL_AND per group as 0/1 int64 flags: has_error =
+    any error event; all_positive = every event value > 0. Booleans
+    derive from the same two packed int sums (count of error rows,
+    count of non-positive rows) — no dedicated boolean aggregate
+    machinery needed."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def extract(batch: pa.Table):
+        keys = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        err = pc.equal(batch["event_type"], "error") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nonpos = (batch["value"].to_numpy(zero_copy_only=False)
+                  <= 0.0).astype(np.int64)
+        return keys, [err, nonpos]
+
+    keys, (err, nonpos) = grouped_int_sums_exchange(ds, extract, 2)
+    order = np.argsort(keys)
+    return pa.table({
+        "user_id": pa.array(keys[order]),
+        "has_error": pa.array((err[order] > 0).astype(np.int64)),
+        "all_positive": pa.array((nonpos[order] == 0).astype(np.int64))})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
@@ -2434,6 +2488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split_counts": _q_train_val_split_counts,
         "user_distinct_value_sum": _q_user_distinct_value_sum,
         "monthly_revenue_delta": _q_monthly_revenue_delta,
+        "churned_users": _q_churned_users,
+        "user_event_flags": _q_user_event_flags,
         "user_value_pivot": _q_user_value_pivot,
         "totalprice_histogram": _q_totalprice_histogram,
         "orders_page": _q_orders_page,
@@ -2825,6 +2881,15 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders_ll":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders)",
+        "churned_users":
+            "SELECT user_id FROM events WHERE ts >= TIMESTAMP "
+            "'2024-01-01' AND ts < TIMESTAMP '2024-01-08' "
+            "EXCEPT SELECT user_id FROM events WHERE ts >= TIMESTAMP "
+            "'2024-01-30' AND ts < TIMESTAMP '2024-01-31'",
+        "user_event_flags":
+            "SELECT user_id, CAST(BOOL_OR(event_type = 'error') AS "
+            "BIGINT) AS has_error, CAST(BOOL_AND(value > 0) AS "
+            "BIGINT) AS all_positive FROM events GROUP BY user_id",
         "user_distinct_value_sum":
             "SELECT user_id, CAST(SUM(DISTINCT CAST(FLOOR(value * "
             "10000 + 0.5) AS BIGINT)) AS BIGINT) AS s FROM events "
