@@ -248,12 +248,27 @@ def duplicate_key_counts(ds: Dataset, key_col: str, min_count: int = 2,
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+_REDUCE_UFUNC = {"sum": np.add, "min": np.minimum, "max": np.maximum}
+_REDUCE_IDENTITY = {"sum": 0,
+                    "min": np.iinfo(np.int64).max,
+                    "max": np.iinfo(np.int64).min}
+
+
 def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
                               num_buckets: int | None = None,
-                              topk: tuple[int, int] | None = None
+                              topk: tuple[int, int] | None = None,
+                              ops: list[str] | None = None
                               ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Generalized packed-cell aggregate: exact per-key SUMS of
     ``num_values`` int64 value columns over an int64 key.
+
+    ``ops`` optionally overrides the reduction per value column with
+    ``"sum"`` (default), ``"min"`` or ``"max"`` — all three are
+    associative + commutative, so the same block-partial → cell-merge
+    plumbing is exact for any mix (e.g. MIN(ts) funnel steps next to a
+    COUNT). Identities: 0 / int64-max / int64-min; a key absent from a
+    block simply contributes the identity, and callers can detect
+    "never observed" for min/max by comparing against it.
 
     ``extract(batch) -> (keys int64[n], [v int64[n]] × num_values)``.
     Each block pre-aggregates with np.unique + add.at and emits ONE cell
@@ -272,6 +287,10 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
     Callers re-sort the returned ≤ num_buckets×k rows.
     """
     num_buckets = _auto_buckets(ds, num_buckets)
+    if ops is None:
+        ops = ["sum"] * num_values
+    if len(ops) != num_values or any(o not in _REDUCE_UFUNC for o in ops):
+        raise ValueError(f"ops must be {sorted(_REDUCE_UFUNC)} x {num_values}")
 
     def _topk_prune(keys: np.ndarray, sums: list[np.ndarray]
                     ) -> tuple[np.ndarray, list[np.ndarray]]:
@@ -294,9 +313,9 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
                 cols[c] = pa.array([], type=pa.binary())
             return pa.table(cols)
         partials = []
-        for v in values:
-            acc = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(acc, inv, np.asarray(v, dtype=np.int64))
+        for v, op in zip(values, ops):
+            acc = np.full(len(uniq), _REDUCE_IDENTITY[op], dtype=np.int64)
+            _REDUCE_UFUNC[op].at(acc, inv, np.asarray(v, dtype=np.int64))
             partials.append(acc)
         if num_buckets == 1:
             cols = {"bucket": pa.array([0], type=pa.int32()),
@@ -327,10 +346,12 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
         k = allk[order]
         bounds = np.nonzero(np.r_[True, k[1:] != k[:-1]])[0]
         sums = []
-        for c in vcols:
+        for c, op in zip(vcols, ops):
             allv = np.concatenate([np.frombuffer(r[c], dtype=np.int64)
                                    for r in rows])[order]
-            sums.append(np.add.reduceat(allv, bounds))
+            # bounds are run starts of a sorted non-empty array, so every
+            # reduceat segment is non-empty (no identity-fill hazard).
+            sums.append(_REDUCE_UFUNC[op].reduceat(allv, bounds))
         return k[bounds], sums
 
     cells = ds.map_batches(pack, batch_format="pyarrow",

@@ -152,6 +152,48 @@ def test_grouped_int_sums_exchange_topk_prune():
         assert np.array_equal(s[o], exp.v.to_numpy()), nb
 
 
+def test_grouped_int_sums_exchange_min_max_ops():
+    """ops= mixes sum/min/max reductions per value column; both bucket
+    paths must equal pandas groupby agg exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 250, 4000)
+    v1 = rng.integers(-10**6, 10**6, 4000)
+    v2 = rng.integers(-10**6, 10**6, 4000)
+    v3 = rng.integers(0, 100, 4000)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64()),
+        "v1": pa.array(v1, type=pa.int64()),
+        "v2": pa.array(v2, type=pa.int64()),
+        "v3": pa.array(v3, type=pa.int64())})).repartition(4)
+
+    def extract(b):
+        return (b["k"].to_numpy(zero_copy_only=False).astype(np.int64),
+                [b["v1"].to_numpy(zero_copy_only=False),
+                 b["v2"].to_numpy(zero_copy_only=False),
+                 b["v3"].to_numpy(zero_copy_only=False)])
+
+    exp = (pd.DataFrame({"k": keys, "v1": v1, "v2": v2, "v3": v3})
+           .groupby("k").agg(v1=("v1", "min"), v2=("v2", "max"),
+                             v3=("v3", "sum")))
+    for nb in (1, 4):
+        k, (m1, m2, s3) = grouped_int_sums_exchange(
+            ds, extract, 3, num_buckets=nb, ops=["min", "max", "sum"])
+        o = np.argsort(k)
+        assert np.array_equal(k[o], exp.index.to_numpy()), nb
+        assert np.array_equal(m1[o], exp.v1.to_numpy()), nb
+        assert np.array_equal(m2[o], exp.v2.to_numpy()), nb
+        assert np.array_equal(s3[o], exp.v3.to_numpy()), nb
+    import pytest
+    with pytest.raises(ValueError):
+        grouped_int_sums_exchange(ds, extract, 3, num_buckets=1,
+                                  ops=["min", "avg", "sum"])
+
+
 def test_bucketed_exchanges_tolerate_empty_batches():
     """ADVICE r2: an empty batch reaching the bucketed pack path must not
     IndexError (bounds=[0] on an empty bucket array)."""
