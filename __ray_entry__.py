@@ -1609,6 +1609,245 @@ def _q_users_purchase_no_error(sf_dir: str):
     return pa.table({"user_id": pa.array(out, type=pa.int64())})
 
 
+def _q_funnel_conversion(sf_dir: str):
+    """Ordered-event funnel (signup → click → purchase): users whose
+    FIRST signup strictly precedes their FIRST click, which strictly
+    precedes their FIRST purchase — the sessionless funnel shape every
+    product-analytics stack runs. All three per-user MIN(ts) step
+    columns ride ONE packed-cell exchange (``ops=["min"]*3``: rows of
+    the wrong type contribute the int64-max identity), so the event
+    rows never shuffle and the driver sees one cell per (block,
+    bucket). Absent steps keep the identity, which fails the strict
+    ordering test exactly like SQL's NULL comparisons."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    IDENT = np.iinfo(np.int64).max
+    STEPS = ("signup", "click", "purchase")
+
+    def extract(batch: pa.Table):
+        keys = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        et = batch["event_type"]
+        return keys, [
+            np.where(pc.equal(et, t).to_numpy(zero_copy_only=False),
+                     ts, IDENT)
+            for t in STEPS]
+
+    keys, (s, c, p) = grouped_int_sums_exchange(ds, extract, 3,
+                                                ops=["min"] * 3)
+    # p < IDENT ⇒ all three present; strict < matches SQL NULL-drop.
+    conv = (s < c) & (c < p) & (p < IDENT)
+    o = np.argsort(keys[conv])
+    return pa.table({
+        "user_id": pa.array(keys[conv][o], type=pa.int64()),
+        "signup_ts": pa.array(s[conv][o].view("datetime64[us]"),
+                              type=pa.timestamp("us")),
+        "click_ts": pa.array(c[conv][o].view("datetime64[us]"),
+                             type=pa.timestamp("us")),
+        "purchase_ts": pa.array(p[conv][o].view("datetime64[us]"),
+                                type=pa.timestamp("us"))})
+
+
+def _q_weighted_avg_price(sf_dir: str):
+    """Weighted average (SUM(w·x) / SUM(w)) per group: quantity-
+    weighted mean extended price per return flag. Numerator and
+    denominator are exact int64 sums (price fixed-point ×100 per row
+    BEFORE the multiply); the ratio is one integer floor division on
+    the ≤|flags|-row final table, so the result hashes identically to
+    the SQL. Block pre-agg → 3-group groupby; nothing row-level moves."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"]
+        uniq = pc.unique(flags)
+        code = pc.index_in(flags, uniq).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price_c = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100 + 0.5).astype(np.int64)
+        qty = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                       + 0.5).astype(np.int64)
+        n = len(uniq)
+        num = np.zeros(n, dtype=np.int64)
+        np.add.at(num, code, price_c * qty)
+        den = np.zeros(n, dtype=np.int64)
+        np.add.at(den, code, qty)
+        return pa.table({"l_returnflag": uniq, "num_s": pa.array(num),
+                         "den": pa.array(den)})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("num_s", alias_name="num_s"),
+                      Sum("den", alias_name="den"))
+           .to_pandas())
+    num = agg["num_s"].to_numpy().astype(np.int64)
+    den = agg["den"].to_numpy().astype(np.int64)
+    return pa.table({"l_returnflag": pa.array(agg["l_returnflag"]),
+                     "num_s": pa.array(num), "den": pa.array(den),
+                     "wavg_micro": pa.array(num * 10_000 // den)})
+
+
+def _q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier by revenue): per-supplier revenue
+    over a 3-month ship window, then the supplier(s) hitting the
+    maximum — the HAVING agg = (SELECT MAX(..)) pattern. The date
+    filter is pushed into the parquet read; per-supplier sums ride one
+    packed-cell exchange; the max + tie filter runs on the ≤|suppliers|
+    result; names come from a driver pull of the tiny supplier table
+    (never a row shuffle)."""
+    import datetime as _dt
+    import pyarrow.dataset as pads
+    import ray as _ray
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+                & (pads.field("l_shipdate") < _dt.datetime(1996, 4, 1))))
+
+    def extract(batch: pa.Table):
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
+        return keys, [rev]
+
+    keys, (rev,) = grouped_int_sums_exchange(li, extract, 1)
+    if len(keys) == 0:
+        return pa.table({"s_suppkey": pa.array([], type=pa.int64()),
+                         "s_name": pa.array([], type=pa.string()),
+                         "total_rev": pa.array([], type=pa.int64())})
+    top = rev == rev.max()
+    tk, tr = keys[top], rev[top]
+    o = np.argsort(tk)
+    tk, tr = tk[o], tr[o]
+    supp = pa.concat_tables(_ray.get(
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .to_arrow_refs()))
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    pos = so[np.searchsorted(sk[so], tk)]
+    names = supp["s_name"].take(pa.array(pos))
+    return pa.table({"s_suppkey": pa.array(tk), "s_name": names,
+                     "total_rev": pa.array(tr)})
+
+
+def _q_brand_quantity_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of (brand, size,
+    quantity) conjunctions spanning both join sides. The 3-column part
+    projection is pulled once, key-sorted and `ray.put` broadcast;
+    every lineitem batch gathers its part attributes by searchsorted
+    and evaluates the whole OR-of-ANDs vectorized — the fact table
+    never shuffles and the driver folds one (rev_s, cnt) pair per
+    block."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    part_t = pa.concat_tables(_ray.get(
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+        .to_arrow_refs()))
+    pk = part_t["p_partkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    o = np.argsort(pk)
+    brand = np.asarray(part_t["p_brand"].to_pylist(), dtype=object)[o]
+    lut = _ray.put((pk[o],
+                    np.isin(brand, ["Brand#1"]),
+                    np.isin(brand, ["Brand#2"]),
+                    np.isin(brand, ["Brand#3"]),
+                    part_t["p_size"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[o]))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        keys, b1, b2, b3, size = _ray.get(lut)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(keys, lp).clip(0, len(keys) - 1)
+        found = keys[idx] == lp  # membership guard: inner-join semantics
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        hit = found & \
+              ((b1[idx] & (size[idx] <= 15) & (qty >= 1) & (qty <= 11))
+               | (b2[idx] & (size[idx] <= 25) & (qty >= 10) & (qty <= 20))
+               | (b3[idx] & (size[idx] <= 35) & (qty >= 20) & (qty <= 30)))
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(ep * (1.0 - disc) * 1_000 + 0.5).astype(np.int64)
+        return pa.table({"rev_s": pa.array([int(rev[hit].sum())]),
+                         "cnt": pa.array([int(hit.sum())])})
+
+    agg = (li.map_batches(part_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .aggregate(Sum("rev_s", alias_name="rev_s"),
+                      Sum("cnt", alias_name="cnt")))
+    return pa.table({"rev_s": pa.array([agg["rev_s"]], type=pa.int64()),
+                     "cnt": pa.array([agg["cnt"]], type=pa.int64())})
+
+
+def _q_wealthy_inactive_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with an above-average positive
+    balance and NO high-value order, counted per nation. The scalar
+    subquery AVG becomes an exact integer cross-multiplication
+    (bal_c · n_pos > Σpos_c — no float division anywhere, same trick as
+    small_quantity_revenue); the NOT-IN side is a broadcast key set
+    built with the price filter pushed into the orders read."""
+    import pyarrow.dataset as pads
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_part(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        bal_c = np.floor(bal * 100 + 0.5).astype(np.int64)
+        return pa.table({"n": pa.array([int(pos.sum())]),
+                         "s": pa.array([int(bal_c[pos].sum())])})
+
+    g = (cust.map_batches(pos_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s")))
+    n_pos, sum_pos = int(g["n"]), int(g["s"])
+
+    active = pc.unique(pa.concat_tables(_ray.get(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+            filter=pads.field("o_totalprice") > 300_000.0)
+        .to_arrow_refs()))["o_custkey"].combine_chunks())
+
+    def part_fn(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        bal_c = np.floor(bal * 100 + 0.5).astype(np.int64)
+        keep = ((bal_c * n_pos > sum_pos)
+                & np.invert(pc.is_in(batch["c_custkey"],
+                                     value_set=active)
+                            .to_numpy(zero_copy_only=False)))
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        uniq, inv = np.unique(nk, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, bal_c[keep])
+        return pa.table({"c_nationkey": pa.array(uniq),
+                         "numcust": pa.array(np.bincount(
+                             inv, minlength=len(uniq)).astype(np.int64)),
+                         "totacctbal_s": pa.array(s)})
+
+    return (cust.map_batches(part_fn, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("c_nationkey")
+            .aggregate(Sum("numcust", alias_name="numcust"),
+                       Sum("totacctbal_s", alias_name="totacctbal_s")))
+
+
 def _q_props_value_by_type(sf_dir: str):
     """Semi-structured extraction: parse the integer field out of the
     JSON-ish ``props`` string with one vectorized RE2 pass per block
@@ -2467,6 +2706,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_lang_by_source": _q_mode_lang_by_source,
         "user_first_last_value": _q_user_first_last_value,
         "users_purchase_no_error": _q_users_purchase_no_error,
+        "funnel_conversion": _q_funnel_conversion,
+        "weighted_avg_price": _q_weighted_avg_price,
+        "top_supplier": _q_top_supplier,
+        "brand_quantity_revenue": _q_brand_quantity_revenue,
+        "wealthy_inactive_customers": _q_wealthy_inactive_customers,
         "props_value_by_type": _q_props_value_by_type,
         "order_price_mad": _q_order_price_mad,
         "order_price_quantiles_disc": _q_order_price_quantiles_disc,
@@ -2831,6 +3075,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
             "AND value > 90 EXCEPT SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value > 90",
+        "funnel_conversion":
+            "SELECT user_id, s AS signup_ts, c AS click_ts, "
+            "p AS purchase_ts FROM ("
+            "SELECT user_id, "
+            "MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s, "
+            "MIN(CASE WHEN event_type = 'click' THEN ts END) AS c, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p "
+            "FROM events GROUP BY user_id) "
+            "WHERE s < c AND c < p",
+        "weighted_avg_price":
+            "SELECT l_returnflag, CAST(SUM(CAST(FLOOR(l_extendedprice"
+            "*100+0.5) AS BIGINT)*CAST(FLOOR(l_quantity+0.5) AS BIGINT"
+            ")) AS BIGINT) AS num_s, CAST(SUM(CAST(FLOOR(l_quantity"
+            "+0.5) AS BIGINT)) AS BIGINT) AS den, CAST(SUM(CAST(FLOOR("
+            "l_extendedprice*100+0.5) AS BIGINT)*CAST(FLOOR(l_quantity"
+            "+0.5) AS BIGINT)) * 10000 // SUM(CAST(FLOOR(l_quantity"
+            "+0.5) AS BIGINT)) AS BIGINT) AS wavg_micro "
+            "FROM lineitem GROUP BY l_returnflag",
+        "top_supplier":
+            "WITH rev AS (SELECT l_suppkey, CAST(SUM(CAST(FLOOR("
+            "l_extendedprice*(1-l_discount)*1000+0.5) AS BIGINT)) AS "
+            "BIGINT) AS total_rev FROM lineitem WHERE l_shipdate >= "
+            "TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP "
+            "'1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_rev FROM supplier "
+            "JOIN rev ON s_suppkey = l_suppkey "
+            "WHERE total_rev = (SELECT MAX(total_rev) FROM rev)",
+        "brand_quantity_revenue":
+            "SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)"
+            "*1000+0.5) AS BIGINT)) AS BIGINT) AS rev_s, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey WHERE "
+            "(p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity "
+            "BETWEEN 1 AND 11) OR (p_brand = 'Brand#2' AND p_size <= "
+            "25 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = "
+            "'Brand#3' AND p_size <= 35 AND l_quantity BETWEEN 20 "
+            "AND 30)",
+        "wealthy_inactive_customers":
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT)) AS "
+            "BIGINT) AS totacctbal_s FROM customer WHERE "
+            "CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT) * (SELECT "
+            "COUNT(*) FROM customer WHERE c_acctbal > 0.0) > (SELECT "
+            "SUM(CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT)) FROM "
+            "customer WHERE c_acctbal > 0.0) AND c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > "
+            "300000.0) GROUP BY c_nationkey",
         "props_value_by_type":
             "SELECT event_type, CAST(SUM(COALESCE(TRY_CAST("
             "regexp_extract(props, '\"k\":\\s*(-?\\d+)', 1) AS BIGINT)"
