@@ -2089,6 +2089,74 @@ def _q_embedding_dim_sums(sf_dir: str):
                                       Sum("s", alias_name="s")))
 
 
+def _q_fuzzy_doc_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs (blocked fuzzy join): document
+    pairs within the same source at Levenshtein distance ≤ 20 — exact,
+    via the capped vectorized-row DP kernel over length-window
+    candidates (pipelines/dedup.py::edit_distance_pairs). The ONLY
+    near-dup method here with a DuckDB-expressible oracle
+    (levenshtein), so it anchors the whole fuzzy family's correctness."""
+    from bigdime_ray.pipelines.dedup import edit_distance_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    pairs = edit_distance_pairs(ds, id_col="doc_id", text_col="text",
+                                block_col="source", max_dist=20)
+
+    def proj(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.field("dist") >= 0)
+        return b.select(["id_a", "id_b", "dist"])
+
+    out = pairs.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _collect(out, pa.schema([("id_a", pa.int64()),
+                                    ("id_b", pa.int64()),
+                                    ("dist", pa.int64())]))
+
+
+def _q_embedding_norms_by_label(sf_dir: str):
+    """Per-row LIST REDUCTION (squared L2 norm of the embedding) rolled
+    up per label — the row-level sibling of embedding_dim_sums. Each
+    block flattens the list column zero-copy, fixed-points every
+    element (float32→float64 is exact, so both engines square the same
+    integer), segment-sums per row, and scatters into per-label
+    partials; ≤ |labels| rows per block reach the groupby. Squared
+    norm, not norm: sqrt is irrational so only the square hashes
+    identically across engines."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        el = np.floor(flat * 10_000 + 0.5).astype(np.int64)
+        sq = el * el
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offs = np.r_[0, np.cumsum(lens)]
+        # reduceat only over non-empty rows (empty segments corrupt the
+        # preceding one); empty lists contribute 0
+        row_sq = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            row_sq[nz] = np.add.reduceat(sq, offs[:-1][nz])
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, row_sq)
+        return pa.table({"label": pa.array(uniq),
+                         "sq_s": pa.array(s),
+                         "cnt": pa.array(np.bincount(
+                             inv, minlength=len(uniq)).astype(np.int64))})
+
+    return (ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("label").aggregate(Sum("sq_s", alias_name="sq_s"),
+                                        Sum("cnt", alias_name="cnt")))
+
+
 def _q_order_snapshot_diff(sf_dir: str):
     """CDC audit between two deterministic snapshot views of orders
     (old: keys %10≠0; new: keys %10≠1 with %7==0 prices bumped):
@@ -2719,6 +2787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders_ll": _q_customers_without_orders_ll,
         "events_lag_lead": _q_events_lag_lead,
         "embedding_dim_sums": _q_embedding_dim_sums,
+        "embedding_norms_by_label": _q_embedding_norms_by_label,
+        "fuzzy_doc_pairs": _q_fuzzy_doc_pairs,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_price_share": _q_order_price_share,
         "revenue_by_mktsegment": _q_revenue_by_mktsegment,
@@ -3271,6 +3341,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT)) AS BIGINT) AS s FROM (SELECT "
             "UNNEST(embedding) AS val, generate_subscripts(embedding, "
             "1) AS ord FROM embeddings) GROUP BY dim",
+        "embedding_norms_by_label":
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(SUM(sq) AS BIGINT) AS sq_s, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM (SELECT label, "
+            "list_sum(list_transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT) * "
+            "CAST(FLOOR(CAST(x AS DOUBLE)*10000+0.5) AS BIGINT))) AS "
+            "sq FROM embeddings) GROUP BY label",
+        "fuzzy_doc_pairs":
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON a.source = b.source "
+            "AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.text, b.text) <= 20",
         "order_snapshot_diff":
             "WITH o AS (SELECT o_orderkey AS k, CAST(FLOOR("
             "o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders "

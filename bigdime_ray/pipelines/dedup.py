@@ -968,6 +968,156 @@ def _verify_set_pairs(threshold: float):
     return fn
 
 
+# ------------------------------------------------------- edit distance
+
+def levenshtein_capped(a: np.ndarray, b: np.ndarray, k: int) -> int:
+    """Exact Levenshtein distance between two codepoint arrays, capped:
+    returns the true distance when it is ≤ k, else k+1.
+
+    Vectorized row DP: substitution/deletion relax elementwise; the
+    sequential insertion recurrence cur[j] = min(m[j], cur[j-1]+1)
+    collapses to cur[j] = j + min over l≤j of (m[l]−l), one
+    ``np.minimum.accumulate`` per row. Early exit when a whole row
+    exceeds k (DP row minima are non-decreasing), so non-matches cost
+    ~k rows, not |a| rows."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0:
+        return lb if lb <= k else k + 1
+    prev = np.arange(lb + 1, dtype=np.int64)
+    ar = np.arange(1, lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        m = np.minimum(prev[:-1] + (b != a[i - 1]), prev[1:] + 1)
+        acc = np.minimum(np.minimum.accumulate(m - ar), i)
+        cur = np.empty(lb + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = acc + ar
+        if cur.min() > k:
+            return k + 1
+        prev = cur
+    d = int(prev[lb])
+    return d if d <= k else k + 1
+
+
+def _block_edit_pairs(id_col: str, text_col: str, max_dist: int,
+                      cap_per_block: int):
+    """map_groups fn: all verified (id_a, id_b, dist) pairs inside one
+    blocking group. Candidates are the length-window pairs
+    (|len_a−len_b| ≤ max_dist — a necessary condition for
+    ed ≤ max_dist, found by one length sort + sliding window, never an
+    n² scan); each candidate is verified by the capped DP kernel."""
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        texts = [np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                 for t in g[text_col].astype(str)]
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        order = np.argsort(lens, kind="stable")
+        out_a, out_b, out_d = [], [], []
+        n, produced, capped = len(order), 0, 0
+        for oi in range(n):
+            i = order[oi]
+            for oj in range(oi + 1, n):
+                j = order[oj]
+                if lens[j] - lens[i] > max_dist:
+                    break  # sorted window: no further j can qualify
+                if produced >= cap_per_block:
+                    capped = 1
+                    break
+                produced += 1
+                d = levenshtein_capped(texts[i], texts[j], max_dist)
+                if d <= max_dist:
+                    a, b = (ids[i], ids[j]) if ids[i] < ids[j] \
+                        else (ids[j], ids[i])
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(d)
+            if capped:
+                break
+        if capped and not out_a:
+            # sentinel row (dist < 0) carries the cap flag for a
+            # pairless capped block — same discipline as the LSH caps
+            out_a, out_b, out_d = [ids[0]], [ids[0]], [-1]
+        return pd.DataFrame({"id_a": np.asarray(out_a),
+                             "id_b": np.asarray(out_b),
+                             "dist": np.asarray(out_d, dtype=np.int64),
+                             "capped": np.full(len(out_a), capped,
+                                               dtype=np.int64)})
+    return fn
+
+
+def edit_distance_pairs(ds: Dataset, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        block_col: str = "source",
+                        max_dist: int = 20,
+                        cap_per_block: int = 200_000) -> Dataset:
+    """Blocked fuzzy join: all pairs within each ``block_col`` group
+    whose exact Levenshtein distance is ≤ ``max_dist`` — the
+    edit-distance near-dup detector (fuzzy entity matching / OCR-noise
+    dedup shape).
+
+    Scale design: this is a BLOCKED verifier — candidate generation is
+    the blocking key plus a length window, so cost is Σ per-block
+    window pairs, never a global n². The blocking assumption is
+    explicit: pairs crossing blocks are out of scope by definition
+    (pick the key accordingly — provenance/source, URL host, LSH
+    bucket, or a (length band ⊕ shingle-prefix) composite for keyless
+    corpora). Each block must fit one task; ``cap_per_block`` bounds
+    runaway blocks honestly (capped=1 rows flag truncation, same
+    discipline as the LSH bucket caps). Only (id, text-length) sorting
+    and the verified pairs leave a task; the texts themselves never
+    shuffle beyond the one groupby that co-locates a block."""
+    from bigdime_ray.stages.shuffle import ensure_schema
+    id_type = _arrow_type(ds, id_col)
+    pairs = (ds.groupby(block_col)
+             .map_groups(_block_edit_pairs(id_col, text_col, max_dist,
+                                           cap_per_block),
+                         batch_format="pandas")
+             .map_batches(ensure_schema(pa.schema(
+                 [("id_a", id_type), ("id_b", id_type),
+                  ("dist", pa.int64()), ("capped", pa.int64())])),
+                 batch_format="pyarrow"))
+    return pairs
+
+
+def edit_distance_dedup(ds: Dataset, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        block_col: str = "source",
+                        max_dist: int = 20,
+                        cap_per_block: int = 200_000,
+                        cc_max_driver_pairs: int = 5_000_000
+                        ) -> NearDupResult:
+    """Edit-distance near-dup with the standard NearDupResult tail —
+    pairs carry the exact integer ``dist`` instead of a similarity.
+    Blocks are disjoint so no cross-bucket pair dedup is needed;
+    clustering dispatches to driver union-find or distributed label
+    propagation on the pair count like every other near-dup method."""
+    pair_ds = edit_distance_pairs(ds, id_col, text_col, block_col,
+                                  max_dist, cap_per_block).materialize()
+    n_rows = pair_ds.count()
+    if n_rows == 0:
+        return NearDupResult(pd.DataFrame({"id_a": [], "id_b": [],
+                                           "dist": []}),
+                             pd.DataFrame({"id": [], "rep": []}), 0, 0)
+    if n_rows <= cc_max_driver_pairs:
+        raw = pair_ds.to_pandas()
+        capped = int(raw["capped"].max())
+        pairs = (raw[raw["dist"] >= 0].drop(columns=["capped"])
+                 .reset_index(drop=True))
+        dup_ids = set(pairs.id_a) | set(pairs.id_b)
+        clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)),
+                                        dup_ids)
+        return NearDupResult(pairs, clusters, int(len(pairs)), capped)
+    capped = int(pair_ds.max("capped") or 0)
+    pair_ds = pair_ds.filter(expr="dist >= 0").materialize()
+    clusters_ds = label_propagation_components(pair_ds).materialize()
+    return NearDupResult(
+        pairs=pair_ds.limit(MAX_SAMPLED_PAIRS).to_pandas(),
+        clusters=clusters_ds.limit(MAX_SAMPLED_PAIRS).to_pandas(),
+        candidate_pairs=int(pair_ds.count()), capped_buckets=capped,
+        pairs_ds=pair_ds, clusters_ds=clusters_ds)
+
+
 # ---------------------------------------------------------- embeddings
 
 def embedding_near_dup(ds: Dataset, emb_col: str = "embedding",
@@ -1079,6 +1229,7 @@ DEDUP_METHODS = {
     "minhash": minhash_lsh_dedup,          # -> NearDupResult
     "simhash": simhash_dedup,              # -> NearDupResult
     "ngram_jaccard": ngram_jaccard_dedup,  # -> NearDupResult
+    "edit_distance": edit_distance_dedup,  # -> NearDupResult (dist pairs)
     "embedding": embedding_near_dup,       # -> NearDupResult
 }
 

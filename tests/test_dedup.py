@@ -296,3 +296,108 @@ def test_dedup_facade_dispatches_and_validates():
 
     with pytest.raises(ValueError, match="embedding"):
         dedup(ds, method="nope")
+
+
+def _brute_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_capped_matches_brute_force():
+    """Capped DP kernel == classic python DP, clipped at k+1, over
+    random short strings (incl. empties, equal strings, repeats)."""
+    from bigdime_ray.pipelines.dedup import levenshtein_capped
+    rng = np.random.default_rng(17)
+    alpha = "abcd"
+    strs = ["", "a", "aaaa", "abab"] + [
+        "".join(rng.choice(list(alpha), rng.integers(1, 15)))
+        for _ in range(40)]
+    def cp(s):
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for k in (0, 1, 3, 7):
+        for a in strs[:20]:
+            for b in strs[:20]:
+                want = min(_brute_lev(a, b), k + 1)
+                assert levenshtein_capped(cp(a), cp(b), k) == want, \
+                    (a, b, k)
+
+
+@pytest.fixture(scope="module")
+def fuzzy_ds():
+    rng = np.random.default_rng(31)
+    vocab = [f"t{i}" for i in range(300)]
+    rows = []
+    did = 0
+    for blk in range(4):
+        base = [" ".join(rng.choice(vocab, 30)) for _ in range(12)]
+        texts = list(base)
+        texts.append(base[0][:-3] + "zzz")        # near dup of base[0]
+        texts.append(base[1])                     # exact dup of base[1]
+        for t in texts:
+            rows.append((did, t, f"b{blk}"))
+            did += 1
+    # cross-block near-dup pair: same text, DIFFERENT blocks → must NOT
+    # be reported (blocking semantics)
+    rows.append((did, rows[0][1], "b3"))
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "source": pa.array([r[2] for r in rows])})).repartition(3)
+
+
+def test_edit_distance_dedup_matches_brute_force(fuzzy_ds):
+    """Blocked edit-distance pairs == brute-force python DP within each
+    block; cross-block duplicates are excluded by the blocking key."""
+    from bigdime_ray.pipelines.dedup import edit_distance_dedup
+    rows = fuzzy_ds.take_all()
+    K = 10
+    want = set()
+    by_blk = {}
+    for r in rows:
+        by_blk.setdefault(r["source"], []).append(r)
+    for blk in by_blk.values():
+        for i in range(len(blk)):
+            for j in range(i + 1, len(blk)):
+                a, b = blk[i], blk[j]
+                if abs(len(a["text"]) - len(b["text"])) > K:
+                    continue
+                d = _brute_lev(a["text"], b["text"])
+                if d <= K:
+                    want.add((min(a["doc_id"], b["doc_id"]),
+                              max(a["doc_id"], b["doc_id"]), d))
+    res = edit_distance_dedup(fuzzy_ds, max_dist=K)
+    got = set(zip(res.pairs.id_a, res.pairs.id_b, res.pairs.dist))
+    assert got == want and len(want) >= 8  # 2 planted pairs × 4 blocks
+    # the cross-block identical text must not appear in any pair
+    last = max(r["doc_id"] for r in rows)
+    assert all(last not in (a, b) for a, b, _ in got)
+    assert res.capped_buckets == 0
+    # clusters: every paired id appears with a rep
+    assert set(res.clusters.id) == {i for p in got for i in p[:2]}
+
+
+def test_edit_distance_dedup_distributed_equals_driver(fuzzy_ds):
+    from bigdime_ray.pipelines.dedup import edit_distance_dedup
+    drv = edit_distance_dedup(fuzzy_ds, max_dist=10)
+    dist = edit_distance_dedup(fuzzy_ds, max_dist=10,
+                               cc_max_driver_pairs=0)
+    def norm(df):
+        return sorted(zip(df.id_a, df.id_b, df.dist))
+    assert norm(drv.pairs) == norm(dist.pairs)
+    def norm_cl(df):
+        return sorted(map(tuple, df[["id", "rep"]].to_numpy().tolist()))
+    assert norm_cl(drv.clusters) == norm_cl(dist.clusters)
+
+
+def test_edit_distance_cap_reported(fuzzy_ds):
+    """cap_per_block=1 caps candidate verification; the truncation is
+    REPORTED (capped_buckets > 0), never silent."""
+    from bigdime_ray.pipelines.dedup import edit_distance_dedup
+    res = edit_distance_dedup(fuzzy_ds, max_dist=10, cap_per_block=1)
+    assert res.capped_buckets == 1
