@@ -2089,6 +2089,109 @@ def _q_embedding_dim_sums(sf_dir: str):
                                       Sum("s", alias_name="s")))
 
 
+def _q_session_funnel(sf_dir: str):
+    """Sessionized funnel: (user, session) pairs whose first signup
+    strictly precedes their first purchase WITHIN the same 30-min-gap
+    session (pipelines/stream.py::sessionized_funnel — session
+    segmentation + masked min-per-step reduceat in one kernel pass)."""
+    from bigdime_ray.pipelines.stream import sessionized_funnel
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return sessionized_funnel(ds, "user_id", "ts", "event_type",
+                              steps=["signup", "purchase"],
+                              gap_seconds=1800)
+
+
+def _q_user_time_weighted_value(sf_dir: str):
+    """Time-weighted average value per user (TWAP shape): each event's
+    value is held until the user's next event; Σ value·Δt is an exact
+    int64 (fixed-point value × µs gap per row), the average one integer
+    floor division (pipelines/stream.py::time_weighted_sum)."""
+    from bigdime_ray.pipelines.stream import time_weighted_sum
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "value"])
+    return time_weighted_sum(ds, "user_id", "ts", "event_id", "value",
+                             scale=10_000)
+
+
+def _q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature. Float determinism discipline: every
+    per-(user, type) term c·ln(c) is fixed-pointed ×10⁶ PER TERM (same
+    ln precedent as doc_tfidf — both engines evaluate the identical
+    double), so the per-user sum is an order-independent INTEGER sum;
+    the final H = (ln(n)·10⁶·n − Σ) // n is pure int64 arithmetic.
+    Counts ride the pivot_counts exchange (block crosstab partials);
+    the entropy map runs distributed on the ≤|users|-row wide table."""
+    from bigdime_ray.pipelines.frequency import pivot_counts
+    TYPES = ["click", "view", "purchase", "signup", "error"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    wide = pivot_counts(ds, "user_id", "event_type", TYPES)
+
+    def ent(batch: pa.Table) -> pa.Table:
+        c = np.stack([batch[f"n_{t}"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) for t in TYPES], axis=1)
+        n = c.sum(axis=1)
+        with np.errstate(divide="ignore"):
+            term = np.floor(np.where(c > 0, c * np.log(c), 0.0)
+                            * 1_000_000 + 0.5).astype(np.int64)
+        s = term.sum(axis=1)
+        ln_n = np.floor(np.log(n) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({"user_id": batch["user_id"],
+                         "n": pa.array(n), "s_clogc": pa.array(s),
+                         "entropy_micro": pa.array((ln_n * n - s) // n)})
+
+    return wide.map_batches(ent, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _q_label_centroid_dots(sf_dir: str):
+    """Pairwise label-centroid DOT PRODUCTS over the embedding table —
+    cluster-separation analytics. Exact integers end to end: per-label
+    per-dim fixed-point sums from the group_centroids exchange, then
+    dot_s(a,b) = Σ_d s_a·s_b on the ≤|labels|²/2 driver table (the
+    centroid dot is s_a·s_b/(n_a·n_b·scale²) — numerators and counts
+    are returned, never the float division)."""
+    from bigdime_ray.pipelines.similarity import group_centroids
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    cent = group_centroids(ds, "label", "embedding", dim=64)
+    labels = cent["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = cent["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    S = np.stack([cent[f"s_{j}"].to_numpy(zero_copy_only=False)
+                  .astype(np.int64) for j in range(64)], axis=1)
+    la, lb, dots, na, nb = [], [], [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            la.append(labels[i])
+            lb.append(labels[j])
+            na.append(n[i])
+            nb.append(n[j])
+            dots.append(int((S[i] * S[j]).sum()))
+    return pa.table({"label_a": pa.array(la, type=pa.int64()),
+                     "label_b": pa.array(lb, type=pa.int64()),
+                     "n_a": pa.array(na, type=pa.int64()),
+                     "n_b": pa.array(nb, type=pa.int64()),
+                     "dot_s": pa.array(dots, type=pa.int64())})
+
+
+def _q_word_bigrams(sf_dir: str):
+    """Corpus word-bigram counts (n-gram LM / boilerplate shape):
+    bigrams never cross documents; per-block Arrow group_by partials,
+    global (w1, w2, cnt) groupby-sum, min_count prunes the long tail
+    after the exact sum (pipelines/text.py::word_bigram_counts)."""
+    from bigdime_ray.pipelines.text import word_bigram_counts
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return word_bigram_counts(ds, min_count=3)
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Per-document trigram repetition score (Gopher-style quality
+    rule) — exact string-distinct per doc, zero shuffle, rep_ppm as
+    integer floor division (pipelines/text.py::repetition_scores)."""
+    from bigdime_ray.pipelines.text import repetition_scores
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_scores(ds, n=3)
+
+
 def _q_fuzzy_doc_pairs(sf_dir: str):
     """Edit-distance near-dup pairs (blocked fuzzy join): document
     pairs within the same source at Levenshtein distance ≤ 20 — exact,
@@ -2789,6 +2892,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_sums": _q_embedding_dim_sums,
         "embedding_norms_by_label": _q_embedding_norms_by_label,
         "fuzzy_doc_pairs": _q_fuzzy_doc_pairs,
+        "word_bigrams": _q_word_bigrams,
+        "doc_repetition": _q_doc_repetition,
+        "user_event_entropy": _q_user_event_entropy,
+        "user_time_weighted_value": _q_user_time_weighted_value,
+        "session_funnel": _q_session_funnel,
+        "label_centroid_dots": _q_label_centroid_dots,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_price_share": _q_order_price_share,
         "revenue_by_mktsegment": _q_revenue_by_mktsegment,
@@ -3355,6 +3464,76 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents a JOIN documents b ON a.source = b.source "
             "AND a.doc_id < b.doc_id "
             "WHERE levenshtein(a.text, b.text) <= 20",
+        "word_bigrams":
+            "WITH w AS (SELECT doc_id, ord, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS w, "
+            "generate_subscripts(string_split_regex(lower(text), "
+            "'\\s+'), 1) AS ord FROM documents) WHERE w <> ''), "
+            "b AS (SELECT w AS w1, LEAD(w) OVER (PARTITION BY doc_id "
+            "ORDER BY ord) AS w2 FROM w) "
+            "SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM b "
+            "WHERE w2 IS NOT NULL GROUP BY w1, w2 "
+            "HAVING COUNT(*) >= 3",
+        "doc_repetition":
+            "WITH w AS (SELECT doc_id, ord, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS w, "
+            "generate_subscripts(string_split_regex(lower(text), "
+            "'\\s+'), 1) AS ord FROM documents) WHERE w <> ''), "
+            "t AS (SELECT doc_id, w || ' ' || LEAD(w, 1) OVER dw || "
+            "' ' || LEAD(w, 2) OVER dw AS tg FROM w WINDOW dw AS "
+            "(PARTITION BY doc_id ORDER BY ord)) "
+            "SELECT doc_id, CAST(COUNT(tg) AS BIGINT) AS n_grams, "
+            "CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_distinct, "
+            "CAST((COUNT(tg) - COUNT(DISTINCT tg)) * 1000000 // "
+            "COUNT(tg) AS BIGINT) AS rep_ppm FROM t WHERE tg IS NOT "
+            "NULL GROUP BY doc_id",
+        "user_event_entropy":
+            "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS "
+            "BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(c * ln(c) * 1000000 + 0.5) AS "
+            "BIGINT)) AS BIGINT) AS s_clogc FROM c GROUP BY 1) "
+            "SELECT user_id, n, s_clogc, CAST((CAST(FLOOR(ln(n) * "
+            "1000000 + 0.5) AS BIGINT) * n - s_clogc) // n AS BIGINT) "
+            "AS entropy_micro FROM u",
+        "user_time_weighted_value":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t, "
+            "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v, "
+            "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY "
+            "ts, event_id) AS nt FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MAX(t) - MIN(t) AS BIGINT) AS dur_us, "
+            "CAST(SUM(CASE WHEN nt IS NOT NULL THEN v * (nt - t) "
+            "ELSE 0 END) AS BIGINT) AS num_s, "
+            "CAST(SUM(CASE WHEN nt IS NOT NULL THEN v * (nt - t) "
+            "ELSE 0 END) * 100 // (MAX(t) - MIN(t)) AS BIGINT) AS "
+            "twa_micro FROM e GROUP BY user_id "
+            "HAVING COUNT(*) >= 2 AND MAX(t) > MIN(t)",
+        "session_funnel":
+            "WITH g AS (SELECT user_id, ts, event_type, CASE WHEN ts "
+            "- LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "
+            "INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk FROM "
+            "events), s AS (SELECT user_id, ts, event_type, CAST(SUM("
+            "brk) OVER (PARTITION BY user_id ORDER BY ts ROWS "
+            "UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g), "
+            "f AS (SELECT user_id, session_id, MIN(CASE WHEN "
+            "event_type = 'signup' THEN ts END) AS signup_ts, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS "
+            "purchase_ts FROM s GROUP BY 1, 2) "
+            "SELECT user_id, session_id, signup_ts, purchase_ts "
+            "FROM f WHERE signup_ts < purchase_ts",
+        "label_centroid_dots":
+            "WITH e AS (SELECT label, ord AS dim, CAST(SUM(CAST(FLOOR("
+            "CAST(val AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS BIGINT)"
+            " AS s, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM "
+            "(SELECT vec_id, label, unnest(embedding) AS val, "
+            "generate_subscripts(embedding, 1) AS ord FROM embeddings)"
+            " GROUP BY 1, 2) "
+            "SELECT CAST(a.label AS BIGINT) AS label_a, "
+            "CAST(b.label AS BIGINT) AS label_b, a.n AS n_a, "
+            "b.n AS n_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot_s "
+            "FROM e a JOIN e b ON a.dim = b.dim AND a.label < b.label "
+            "GROUP BY 1, 2, 3, 4",
         "order_snapshot_diff":
             "WITH o AS (SELECT o_orderkey AS k, CAST(FLOOR("
             "o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders "

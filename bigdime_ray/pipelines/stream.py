@@ -560,6 +560,131 @@ def lag_delta(ds: Dataset, key: str, ts_col: str, id_col: str,
             .map_groups(kernel, batch_format="pandas"))
 
 
+def sessionized_funnel(ds: Dataset, key: str, ts_col: str,
+                       type_col: str, steps: list[str],
+                       gap_seconds: float,
+                       num_buckets: int = 64) -> Dataset:
+    """Ordered-event funnel WITHIN gap-based sessions: one row per
+    (key, session) whose first occurrence of each step is strictly
+    increasing step to step — the product-analytics conversion query
+    with session scoping (the sessionless variant is one packed
+    min-exchange; this composes the same min-per-step statistic with
+    the session segmentation kernel).
+
+    Session numbering matches ``session_windows`` (0-based per key,
+    break when the gap to the previous event exceeds ``gap_seconds``).
+    Per-step minima come from one masked ``np.minimum.reduceat`` per
+    step over the session segments — no per-session loop. Returns
+    (key, session_id, <step>_ts…) for completing sessions only.
+    The one shuffle co-partitions key hash buckets; a key's rows must
+    fit a task (salt upstream if pathological)."""
+    gap_us = int(gap_seconds * 1_000_000)
+    IDENT = np.iinfo(np.int64).max
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        et = g[type_col].to_numpy()
+        order = np.lexsort((ts, k))
+        k, ts, et = k[order], ts[order], et[order]
+        n = len(k)
+        out_cols = {key: k[:0], "session_id": ts[:0]}
+        for s in steps:
+            out_cols[f"{s}_ts"] = ts[:0].view("datetime64[us]")
+        if n == 0:
+            return pd.DataFrame(out_cols)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        brk = new_key | np.r_[False, (ts[1:] - ts[:-1]) > gap_us]
+        starts = np.nonzero(brk)[0]
+        sid_all = np.cumsum(brk) - 1
+        key_starts = np.nonzero(new_key)[0]
+        base = np.repeat(sid_all[key_starts],
+                         np.diff(np.r_[key_starts, n]))
+        sid = sid_all - base
+        mins = []
+        for s in steps:
+            tm = np.where(et == s, ts, IDENT)
+            mins.append(np.minimum.reduceat(tm, starts))
+        ok = mins[-1] < IDENT
+        for a, b in zip(mins[:-1], mins[1:]):
+            ok &= a < b
+        return pd.DataFrame({
+            key: k[starts][ok],
+            "session_id": sid[starts][ok].astype(np.int64),
+            **{f"{s}_ts": m[ok].view("datetime64[us]")
+               for s, m in zip(steps, mins)}})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
+def time_weighted_sum(ds: Dataset, key: str, ts_col: str, id_col: str,
+                      value_col: str, scale: int = 10_000,
+                      num_buckets: int = 64) -> Dataset:
+    """Per-key TIME-WEIGHTED aggregate — Σ value·Δt over the key's
+    (ts, id)-ordered events, each value held until the NEXT event
+    (the financial TWAP / telemetry duty-cycle shape).
+
+    Returns one row per key with ≥ 2 events: ``n`` (event count),
+    ``dur_us`` (last−first µs), ``num_s`` (Σ fixed-point value ×
+    holding-µs — exact int64, order-independent) and ``twa_micro`` =
+    num_s·100 // dur_us (the time-weighted average ×10⁶ when
+    scale=10⁴, as one integer floor division). Keys with fewer than 2
+    events or zero duration (all events at one timestamp) emit nothing
+    (SQL parity: HAVING COUNT(*) ≥ 2 AND MAX(t) > MIN(t)).
+    Bucketed vectorized kernel: one lexsort by (key, ts, id), one
+    shifted diff, per-key segment sums via ``np.add.reduceat`` — no
+    per-key loop; the only shuffle co-partitions key hash buckets."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        ids = g[id_col].to_numpy()
+        v = np.floor(g[value_col].to_numpy(dtype=np.float64)
+                     * scale + 0.5).astype(np.int64)
+        order = np.lexsort((ids, ts, k))
+        k, ts, v = k[order], ts[order], v[order]
+        n = len(k)
+        empty = pd.DataFrame({key: k[:0], "n": ts[:0], "dur_us": ts[:0],
+                              "num_s": ts[:0], "twa_micro": ts[:0]})
+        if n < 2:
+            return empty
+        starts = np.r_[True, k[1:] != k[:-1]]
+        bounds = np.nonzero(starts)[0]
+        ends = np.r_[bounds[1:], n]
+        seg_n = ends - bounds
+        keep = (seg_n >= 2) & (ts[ends - 1] > ts[bounds])
+        if not keep.any():
+            return empty
+        # holding time of each event = gap to the next event in-key
+        # (the last event of a key holds nothing)
+        gap = np.zeros(n, dtype=np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        gap[ends - 1] = 0
+        contrib = v * gap
+        # reduce over non-empty rows only (every segment non-empty here)
+        num = np.add.reduceat(contrib, bounds)
+        dur = ts[ends - 1] - ts[bounds]
+        kk, nn, du, nu = k[bounds][keep], seg_n[keep], dur[keep], \
+            num[keep]
+        # num_s can exceed int64/100 (µs gaps are huge), so nu·100//du
+        # must be split: q·100 + (r·100)//du — exact, overflow-free
+        # (r < du ≤ span µs, so r·100 stays well under 2⁶³)
+        mul = 1_000_000 // scale
+        q, r = np.divmod(nu, du)
+        twa = q * mul + (r * mul) // du
+        return pd.DataFrame({key: kk, "n": nn.astype(np.int64),
+                             "dur_us": du, "num_s": nu,
+                             "twa_micro": twa})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
 def gap_fill_windows(agg: Dataset, key: str, widx_col: str,
                      value_cols: list[str], fill: int = 0,
                      num_buckets: int = 64) -> Dataset:

@@ -457,3 +457,106 @@ def extract_int_field(ds, col: str, pattern: str, out_col: str = "val"):
 
     return ds.map_batches(ext, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _split_words(text, lowercase: bool = True):
+    """Shared whitespace tokenizer (document_frequency parity): returns
+    (flat words Array, doc_idx int64[n_words]) with empty tokens
+    REMOVED — identical to the SQL
+    ``unnest(string_split_regex(lower(text), '\\s+')) ... WHERE w <> ''``
+    including the adjacency that removal induces."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if lowercase:
+        text = pc.utf8_lower(text)
+    words = pc.split_pattern_regex(text, r"\s+")
+    n_words = (pc.fill_null(pc.list_value_length(words), 0)
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(words)
+    doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    keep = np.nonzero(nonempty)[0]
+    return flat.take(pa.array(keep)), doc_idx[keep]
+
+
+def word_bigram_counts(ds, text_col: str = "text", min_count: int = 1,
+                       lowercase: bool = True):
+    """Corpus-wide word-BIGRAM frequency — the n-gram language-model /
+    boilerplate-detection statistic. Bigrams never cross a document
+    boundary. Each block contributes one (w1, w2, cnt) partial per
+    distinct in-block bigram (Arrow C++ group_by — no Python loop);
+    the global shuffle moves only those partials, bounded by the
+    block's distinct-bigram count, never by words. ``min_count`` is the
+    web-scale vocabulary lever (filter AFTER the global sum, exact)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _split_words(batch[text_col], lowercase)
+        if len(doc_idx) < 2:
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        same_doc = doc_idx[1:] == doc_idx[:-1]
+        idx = np.nonzero(same_doc)[0]
+        g = (pa.table({"w1": flat.take(pa.array(idx)),
+                       "w2": flat.take(pa.array(idx + 1))})
+             .group_by(["w1", "w2"]).aggregate([([], "count_all")]))
+        g = g.rename_columns(["w1", "w2", "c"])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "cnt": pc.cast(g["c"], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")))
+    if min_count > 1:
+        out = out.filter(expr=f"cnt >= {min_count}")
+    return out
+
+
+def repetition_scores(ds, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      lowercase: bool = True):
+    """Per-document n-gram repetition score (Gopher-style quality
+    rule): rep_ppm = (n_grams − distinct_n_grams) · 10⁶ // n_grams.
+    Pure map — each doc lives in one block, so the whole statistic is
+    block-local (one Arrow group_by over (doc, gram) strings: exact
+    string distinct, no hash-collision risk) and NOTHING shuffles.
+    Documents with fewer than ``n`` words emit no row (SQL parity:
+    their window n-grams are all NULL)."""
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, doc_idx = _split_words(batch[text_col], lowercase)
+        empty = pa.table({"doc_id": pa.array([], type=ids.type),
+                          "n_grams": pa.array([], type=pa.int64()),
+                          "n_distinct": pa.array([], type=pa.int64()),
+                          "rep_ppm": pa.array([], type=pa.int64())})
+        if len(doc_idx) < n:
+            return empty
+        # gram start positions: all n tokens inside the same doc
+        ok = doc_idx[n - 1:] == doc_idx[:len(doc_idx) - n + 1]
+        idx = np.nonzero(ok)[0]
+        if len(idx) == 0:
+            return empty
+        parts = [flat.take(pa.array(idx + k)) for k in range(n)]
+        gram = pc.binary_join_element_wise(
+            *parts, pa.scalar(" "))
+        d = pa.array(doc_idx[idx])
+        pair = (pa.table({"d": d, "g": gram})
+                .group_by(["d", "g"]).aggregate([([], "count_all")]))
+        dd = pair["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cc = pair["count_all"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(dd, return_inverse=True)
+        n_tg = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_tg, inv, cc)
+        n_dist = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "doc_id": ids.take(pa.array(uniq)),
+            "n_grams": pa.array(n_tg),
+            "n_distinct": pa.array(n_dist),
+            "rep_ppm": pa.array((n_tg - n_dist) * 1_000_000 // n_tg)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -631,3 +631,87 @@ def test_gap_fill_windows_rejects_duplicates():
     with pytest.raises(ValueError, match="one row per"):
         gap_fill_windows(ray.data.from_pandas(agg), "k", "w",
                          ["cnt"]).materialize()
+
+
+def test_time_weighted_sum_brute_force():
+    """time_weighted_sum == per-key python brute force over the
+    (ts, id)-ordered stream, incl. heavy ts ties and 1-event keys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import time_weighted_sum
+    rng = np.random.default_rng(41)
+    n = 3000
+    key = rng.integers(0, 120, n)
+    ts = rng.integers(0, 500, n) * 1_000_000  # heavy ties
+    eid = rng.permutation(n)
+    val = rng.uniform(-5, 5, n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(key, type=pa.int64()),
+        "ts": pa.array(ts.view("datetime64[us]"), type=pa.timestamp("us")),
+        "id": pa.array(eid, type=pa.int64()),
+        "v": pa.array(val)})).repartition(5)
+    got = {r["k"]: r for r in
+           time_weighted_sum(ds, "k", "ts", "id", "v",
+                             scale=10_000).take_all()}
+    df = pd.DataFrame({"k": key, "t": ts, "id": eid,
+                       "v": np.floor(val * 10_000 + 0.5).astype(np.int64)})
+    df = df.sort_values(["k", "t", "id"], kind="stable")
+    want_keys = set()
+    for k, g in df.groupby("k"):
+        if len(g) < 2 or g.t.max() == g.t.min():
+            continue
+        want_keys.add(k)
+        t = g.t.to_numpy()
+        v = g.v.to_numpy()
+        num = int((v[:-1] * (t[1:] - t[:-1])).sum())
+        dur = int(t[-1] - t[0])
+        r = got[k]
+        assert r["n"] == len(g) and r["dur_us"] == dur \
+            and r["num_s"] == num and r["twa_micro"] == num * 100 // dur, k
+    assert set(got) == want_keys
+
+
+def test_sessionized_funnel_brute_force():
+    """sessionized_funnel == python brute force: session segmentation
+    (30s gap), first-occurrence-per-step minima, strict ordering."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import sessionized_funnel
+    rng = np.random.default_rng(53)
+    n = 2500
+    key = rng.integers(0, 60, n)
+    ts = np.sort(rng.integers(0, 3_000, n)) * 1_000_000
+    rng.shuffle(ts)
+    et = rng.choice(["a", "b", "c"], n, p=[0.3, 0.3, 0.4])
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(key, type=pa.int64()),
+        "ts": pa.array(ts.view("datetime64[us]"), type=pa.timestamp("us")),
+        "et": pa.array(et)})).repartition(4)
+    got = {(r["k"], r["session_id"]): (r["a_ts"], r["b_ts"]) for r in
+           sessionized_funnel(ds, "k", "ts", "et", ["a", "b"],
+                              gap_seconds=30).take_all()}
+    df = pd.DataFrame({"k": key, "t": ts, "et": et}) \
+        .sort_values(["k", "t"], kind="stable")
+    want = {}
+    for k, g in df.groupby("k"):
+        t = g.t.to_numpy()
+        sid = np.cumsum(np.r_[0, (t[1:] - t[:-1]) > 30_000_000])
+        for s in np.unique(sid):
+            m = sid == s
+            ats = g.et.to_numpy()[m]
+            tt = t[m]
+            a = tt[ats == "a"].min() if (ats == "a").any() else None
+            b = tt[ats == "b"].min() if (ats == "b").any() else None
+            if a is not None and b is not None and a < b:
+                want[(k, int(s))] = (a, b)
+    assert set(got) == set(want) and len(want) > 3
+    for ks, (a, b) in want.items():
+        ga, gb = got[ks]
+        assert np.datetime64(ga).astype("datetime64[us]") \
+            .astype(np.int64) == a, ks
+        assert np.datetime64(gb).astype("datetime64[us]") \
+            .astype(np.int64) == b, ks

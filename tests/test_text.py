@@ -249,3 +249,50 @@ def test_extract_int_field_matches_python_re():
         v = row["val"]
         assert (None if v is None else int(v)) == expect[row["props"]], \
             row["props"]
+
+
+def test_word_bigram_counts_matches_brute_force():
+    """Bigram counts == python brute force; bigrams never cross doc
+    boundaries; empty tokens from odd whitespace are skipped (the
+    removal-induced adjacency matches the SQL's WHERE w <> '')."""
+    from collections import Counter
+    from bigdime_ray.pipelines.text import word_bigram_counts
+    texts = ["a b c a b", "b  c\tb c", "  a b  ", "x", "", "c a b"]
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(3)
+    got = {(r["w1"], r["w2"]): r["cnt"]
+           for r in word_bigram_counts(ds).take_all()}
+    want = Counter()
+    for t in texts:
+        w = t.lower().split()
+        for i in range(len(w) - 1):
+            want[(w[i], w[i + 1])] += 1
+    assert got == dict(want)
+    # min_count filter
+    got2 = {(r["w1"], r["w2"]): r["cnt"]
+            for r in word_bigram_counts(ds, min_count=2).take_all()}
+    assert got2 == {k: v for k, v in want.items() if v >= 2}
+
+
+def test_repetition_scores_matches_brute_force():
+    from bigdime_ray.pipelines.text import repetition_scores
+    texts = {
+        1: "a b c a b c a b c",          # heavy repetition
+        2: "w x y z q r s",              # all distinct
+        3: "a a a a a",                  # one distinct trigram
+        4: "p q",                        # < 3 words → no row
+        5: "",                           # empty → no row
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array(list(texts.values()))})).repartition(2)
+    rows = {r["doc_id"]: r for r in repetition_scores(ds, n=3).take_all()}
+    assert set(rows) == {1, 2, 3}
+    for did, row in rows.items():
+        w = texts[did].lower().split()
+        grams = [" ".join(w[i:i + 3]) for i in range(len(w) - 2)]
+        assert row["n_grams"] == len(grams)
+        assert row["n_distinct"] == len(set(grams))
+        assert row["rep_ppm"] == \
+            (len(grams) - len(set(grams))) * 1_000_000 // len(grams)
+    assert rows[3]["rep_ppm"] == 2 * 1_000_000 // 3
+    assert rows[2]["rep_ppm"] == 0
