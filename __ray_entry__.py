@@ -2293,6 +2293,60 @@ def _q_order_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, "o_orderkey", "cents")
 
 
+def _q_order_upsert_apply(sf_dir: str):
+    """MERGE / upsert apply (the CDC-apply dual of order_snapshot_diff):
+    a change feed (bumped prices for keys %7==0, deletes for keys
+    %9==0 — delete wins on overlap so keys stay unique) applied to the
+    old snapshot via pipelines/diff.py::upsert_snapshot — ONE anti-join
+    exchange (changes side projected to keys) plus a streaming union;
+    no side ever materializes."""
+    from bigdime_ray.pipelines.diff import upsert_snapshot
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep_old(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vs = np.floor(batch["o_totalprice"]
+                      .to_numpy(zero_copy_only=False) * 100
+                      + 0.5).astype(np.int64)
+        keep = k % 10 != 0
+        return pa.table({"k": pa.array(k[keep]),
+                         "cents": pa.array(vs[keep])})
+
+    def prep_changes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vs = np.floor(batch["o_totalprice"]
+                      .to_numpy(zero_copy_only=False) * 100
+                      + 0.5).astype(np.int64)
+        keep = (k % 7 == 0) | (k % 9 == 0)
+        k, vs = k[keep], vs[keep]
+        return pa.table({"k": pa.array(k),
+                         "cents": pa.array(vs + 1000),
+                         "deleted": pa.array((k % 9 == 0)
+                                             .astype(np.int64))})
+
+    old = ds.map_batches(prep_old, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    ch = ds.map_batches(prep_changes, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = upsert_snapshot(old, ch, "k", delete_col="deleted")
+    return _collect(out, pa.schema([("k", pa.int64()),
+                                    ("cents", pa.int64())]))
+
+
+def _q_table_row_counts(sf_dir: str):
+    """COUNT(*) from parquet footers ONLY (zero data rows read) for
+    every testdata table — the metadata-pushdown counting pattern a
+    100 TB table relies on (sources/tables.py::metadata_row_counts)."""
+    import os as _os
+    from bigdime_ray.sources.tables import metadata_row_counts
+    t = metadata_row_counts(sf_dir)
+    names = [_os.path.basename(p) for p in t["path"].to_pylist()]
+    return pa.table({"file": pa.array(names, type=pa.string()),
+                     "rows": t["rows"]})
+
+
 def _q_order_price_share(sf_dir: str):
     """RATIO_TO_REPORT window shape: each order's share of its
     priority group's revenue in exact integer parts-per-million
@@ -2899,6 +2953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_funnel": _q_session_funnel,
         "label_centroid_dots": _q_label_centroid_dots,
         "order_snapshot_diff": _q_order_snapshot_diff,
+        "order_upsert_apply": _q_order_upsert_apply,
+        "table_row_counts": _q_table_row_counts,
         "order_price_share": _q_order_price_share,
         "revenue_by_mktsegment": _q_revenue_by_mktsegment,
         "order_price_outliers": _q_order_price_outliers,
@@ -3534,6 +3590,29 @@ def oracle_sql() -> dict[str, str]:
             "b.n AS n_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot_s "
             "FROM e a JOIN e b ON a.dim = b.dim AND a.label < b.label "
             "GROUP BY 1, 2, 3, 4",
+        "order_upsert_apply":
+            "WITH old AS (SELECT o_orderkey AS k, CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders"
+            " WHERE o_orderkey % 10 <> 0), "
+            "ch AS (SELECT o_orderkey AS k, CAST(FLOOR(o_totalprice * "
+            "100 + 0.5) AS BIGINT) + 1000 AS cents, CASE WHEN "
+            "o_orderkey % 9 = 0 THEN 1 ELSE 0 END AS del FROM orders "
+            "WHERE o_orderkey % 7 = 0 OR o_orderkey % 9 = 0) "
+            "SELECT k, cents FROM old WHERE k NOT IN (SELECT k FROM "
+            "ch) UNION ALL SELECT k, cents FROM ch WHERE del = 0",
+        "table_row_counts":
+            "SELECT * FROM (VALUES "
+            "('region.parquet', (SELECT COUNT(*) FROM region)), "
+            "('nation.parquet', (SELECT COUNT(*) FROM nation)), "
+            "('customer.parquet', (SELECT COUNT(*) FROM customer)), "
+            "('supplier.parquet', (SELECT COUNT(*) FROM supplier)), "
+            "('part.parquet', (SELECT COUNT(*) FROM part)), "
+            "('orders.parquet', (SELECT COUNT(*) FROM orders)), "
+            "('lineitem.parquet', (SELECT COUNT(*) FROM lineitem)), "
+            "('events.parquet', (SELECT COUNT(*) FROM events)), "
+            "('documents.parquet', (SELECT COUNT(*) FROM documents)), "
+            "('embeddings.parquet', (SELECT COUNT(*) FROM embeddings))"
+            ") AS t(file, rows)",
         "order_snapshot_diff":
             "WITH o AS (SELECT o_orderkey AS k, CAST(FLOOR("
             "o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders "

@@ -80,3 +80,39 @@ def snapshot_diff(old: Dataset, new: Dataset, key: str, value_col: str,
                      "status": pa.DictionaryArray.from_arrays(
                          pa.array(status[order], type=pa.int8()),
                          pa.array(list(STATUSES))).cast(pa.string())})
+
+
+def upsert_snapshot(old: Dataset, changes: Dataset, key: str,
+                    delete_col: str | None = None,
+                    num_partitions: int = 16) -> Dataset:
+    """MERGE / upsert: apply a change set to a snapshot — rows in
+    ``changes`` replace same-key rows of ``old``, new keys insert, and
+    (when ``delete_col`` names an int/bool column) delete-flagged
+    change rows remove the key entirely. The CDC-apply dual of
+    ``snapshot_diff``.
+
+    Exactly one exchange does all the work: the surviving-old side is
+    ``key_anti_join(old, changes)`` (Ray-native left_anti, right side
+    projected to 8 B/row keys), unioned with the non-delete change
+    rows — neither side ever materializes, and the union is zero-copy
+    concatenation of streams. Snapshot semantics assume unique keys
+    per side (same contract ``snapshot_diff`` enforces; here it is
+    documented, not scanned, because validating would cost a second
+    pass over ``changes`` — run ``duplicate_keys`` upstream when the
+    feed is untrusted). Column schemas of ``old`` and the non-delete
+    ``changes`` projection must match. ``delete_col`` must be a valid
+    Python identifier that is not a keyword (it is spliced into a Ray
+    filter expression)."""
+    from bigdime_ray.pipelines.join import key_anti_join
+    from bigdime_ray.stages.shuffle import drop_empty_blocks
+
+    survivors = key_anti_join(old, changes, key, key,
+                              num_partitions=num_partitions)
+    if delete_col is not None:
+        upserts = changes.filter(expr=f"{delete_col} == 0") \
+            .drop_columns([delete_col])
+    else:
+        upserts = changes
+    # anti-join output came through a hash shuffle → normalize its
+    # empty blocks before the union sees mismatched schemas
+    return drop_empty_blocks(survivors).union(upserts)

@@ -64,3 +64,57 @@ def test_snapshot_diff_zero_value_vs_absent():
     got = snapshot_diff(ray.data.from_pandas(old),
                         ray.data.from_pandas(new), "k", "v").to_pandas()
     assert dict(zip(got.k, got.status)) == {1: "same", 2: "added"}
+
+
+def test_upsert_snapshot_matches_pandas():
+    """upsert_snapshot == pandas set logic: replaced, inserted and
+    deleted keys land exactly; untouched old rows survive unchanged."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.diff import upsert_snapshot
+    old = pd.DataFrame({"k": np.arange(0, 50, dtype=np.int64),
+                        "v": np.arange(0, 50, dtype=np.int64) * 10})
+    ch = pd.DataFrame({
+        "k": np.asarray([3, 7, 60, 61, 9, 12], dtype=np.int64),
+        "v": np.asarray([-3, -7, -60, -61, 0, 0], dtype=np.int64),
+        "deleted": np.asarray([0, 0, 0, 0, 1, 1], dtype=np.int64)})
+    got = (upsert_snapshot(rd.from_pandas(old).repartition(3),
+                           rd.from_pandas(ch).repartition(2),
+                           "k", delete_col="deleted")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    keep = old[~old.k.isin(ch.k)]
+    ins = ch[ch.deleted == 0][["k", "v"]]
+    want = (pd.concat([keep, ins]).sort_values("k")
+            .reset_index(drop=True))
+    assert got.k.tolist() == want.k.tolist()
+    assert got.v.tolist() == want.v.tolist()
+    assert 9 not in got.k.tolist() and 60 in got.k.tolist()
+
+
+def test_metadata_row_counts(tmp_path):
+    """Footer-only counts equal true row counts; directory sweep and
+    single-file forms agree; no data pages are touched (counts come
+    from metadata even for column-heavy files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from bigdime_ray.sources.tables import metadata_row_counts
+    for i, n in enumerate((7, 0, 123)):
+        pq.write_table(pa.table({"a": pa.array(range(n)),
+                                 "b": pa.array([str(x) for x in
+                                                range(n)])}),
+                       tmp_path / f"f{i}.parquet")
+    t = metadata_row_counts(str(tmp_path))
+    rows = dict(zip([p.split("/")[-1] for p in t["path"].to_pylist()],
+                    t["rows"].to_pylist()))
+    assert rows == {"f0.parquet": 7, "f1.parquet": 0,
+                    "f2.parquet": 123}
+    one = metadata_row_counts(str(tmp_path / "f2.parquet"))
+    assert one["rows"].to_pylist() == [123]
+    d = tmp_path / "empty_dir"
+    d.mkdir()
+    assert metadata_row_counts(str(d)).num_rows == 0
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        metadata_row_counts(str(tmp_path / "nope_missing"))
