@@ -963,6 +963,50 @@ def _q_interval_overlap(sf_dir: str):
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _q_media_near_dup_pairs(sf_dir: str):
+    """Multimodal NEAR-DUP detection (rows-only): deterministic real
+    media with PLANTED perceptual duplicates (noise-perturbed image
+    copies, gain-scaled audio copies) → actor-pool perceptual hashes
+    (dHash / envelope fingerprint) → generic Hamming LSH + in-bucket
+    verify (pipelines/multimodal.py::media_perceptual_dedup over
+    pipelines/dedup.py::hamming_near_dup). Pytest pins the planted
+    pairs; this entry drives the same path through the driver
+    surface."""
+    import ray.data as rd
+    from bigdime_ray.functions.codecs import (decode_ppm, decode_wav,
+                                              encode_ppm, encode_wav)
+    from bigdime_ray.pipelines.multimodal import (media_perceptual_dedup,
+                                                  synth_real_media_table)
+    t = synth_real_media_table(n=120, seed=13).to_pandas()
+    rng = np.random.default_rng(29)
+    extra = []
+    for i, (_, row) in enumerate(
+            t[t.kind == "image"].head(5).iterrows()):
+        px = decode_ppm(row.payload)
+        noisy = np.clip(px.astype(np.int64)
+                        + rng.integers(-4, 5, px.shape), 0, 255) \
+            .astype(np.uint8)
+        extra.append({"media_id": f"dup-img-{i}", "kind": "image",
+                      "payload": encode_ppm(noisy),
+                      "width": px.shape[1], "height": px.shape[0],
+                      "sample_rate": 0})
+    for i, (_, row) in enumerate(
+            t[t.kind == "audio"].head(5).iterrows()):
+        s, sr = decode_wav(row.payload)
+        half = (s.astype(np.float64) * 0.5).astype(np.int16)
+        extra.append({"media_id": f"dup-aud-{i}", "kind": "audio",
+                      "payload": encode_wav(half, sr), "width": 0,
+                      "height": 0, "sample_rate": sr})
+    full = pd.concat([t, pd.DataFrame(extra)], ignore_index=True)
+    ds = rd.from_arrow(pa.Table.from_pandas(full)).repartition(4)
+    res = media_perceptual_dedup(ds, max_hamming=6, concurrency=2)
+    out = res.pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.table({"id_a": pa.array(out.id_a, type=pa.string()),
+                     "id_b": pa.array(out.id_b, type=pa.string()),
+                     "similarity": pa.array(out.similarity,
+                                            type=pa.float64())})
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal pipeline end-to-end through the driver surface with
     REAL codecs: deterministic real media (binary PPM images, PCM16 WAV
@@ -2977,6 +3021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": _q_order_price_quantiles,
         "revenue_by_region": _q_revenue_by_region,
         "media_features": _q_media_features,
+        "media_near_dup_pairs": _q_media_near_dup_pairs,
         "stratified_sample": _q_stratified_sample,
         "events_hopping_window": _q_hopping_window,
     }

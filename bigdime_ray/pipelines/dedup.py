@@ -709,35 +709,48 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def simhash_dedup(ds: Dataset, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3,
-                  bucket_cap: int = 64,
-                  cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
-    """Near-dup by SimHash: 4×16-bit chunk LSH (any pair within Hamming
-    distance ≤3 shares at least one exact 16-bit chunk). Hamming
-    verification runs INSIDE the bucket group task (signatures are
-    already co-located there — nothing returns to the driver
+def hamming_near_dup(sig_ds: Dataset, id_col: str = "doc_id",
+                     sig_col: str = "sig", max_hamming: int = 3,
+                     bucket_cap: int = 64,
+                     cc_max_driver_pairs: int = 5_000_000
+                     ) -> NearDupResult:
+    """Generic Hamming-distance near-dup over PRECOMPUTED 64-bit
+    signatures (``sig_col``: u64 stored as int64) — the LSH + verify
+    machinery shared by SimHash text dedup and perceptual-hash media
+    dedup. Chunk LSH with ``max_hamming + 1`` bands (pigeonhole: a
+    pair within distance k differs in ≤ k bands, so it MATCHES in at
+    least one of k+1 — recall is guaranteed, not probabilistic).
+    Hamming verification runs INSIDE the bucket group task (signatures
+    are already co-located there — nothing returns to the driver
     unverified); capped buckets are counted, not silent; clustering
     dispatches to distributed label propagation above
     ``cc_max_driver_pairs`` verified pairs."""
+    num_chunks = max_hamming + 1
+    if not 1 <= num_chunks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    width = (64 + num_chunks - 1) // num_chunks
 
     def to_chunks(batch: pa.Table) -> pa.Table:
-        sig = simhash_signatures(batch[text_col])
+        sig = (batch[sig_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64).view(np.uint64))
         n = batch.num_rows
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        chunks = np.empty((n, 4), dtype=np.int64)
-        for c in range(4):
-            chunks[:, c] = ((sig >> np.uint64(16 * c)) &
-                            np.uint64(0xFFFF)).astype(np.int64)
+        chunks = np.empty((n, num_chunks), dtype=np.int64)
+        for c in range(num_chunks):
+            lo = c * width
+            w = min(width, 64 - lo)
+            chunks[:, c] = ((sig >> np.uint64(lo)) &
+                            np.uint64((1 << w) - 1)).astype(np.int64)
         return pa.table({
-            id_col: pa.array(np.repeat(ids, 4)),
-            "chunk": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            id_col: pa.array(np.repeat(ids, num_chunks)),
+            "chunk": pa.array(np.tile(
+                np.arange(num_chunks, dtype=np.int32), n)),
             "ch": pa.array(chunks.reshape(-1)),
-            "sig": pa.array(u64_to_i64(np.repeat(sig, 4))),
+            "sig": pa.array(u64_to_i64(np.repeat(sig, num_chunks))),
         })
 
-    rows = ds.map_batches(to_chunks, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    rows = sig_ds.map_batches(to_chunks, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "similarity": [],
                           "capped": []})
@@ -784,6 +797,25 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
         .map_groups(lambda df: chunk_pairs(df.drop(columns=["__bucket"])),
                     batch_format="pandas"),
         cc_max_driver_pairs)
+
+
+def simhash_dedup(ds: Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int = 64,
+                  cc_max_driver_pairs: int = 5_000_000) -> NearDupResult:
+    """Near-dup by SimHash: 64-bit text signatures →
+    ``hamming_near_dup`` (chunk LSH + in-bucket verify; 4×16-bit bands
+    at the default max_hamming=3)."""
+    def sigs(batch: pa.Table) -> pa.Table:
+        sig = simhash_signatures(batch[text_col])
+        return pa.table({id_col: batch[id_col],
+                         "sig": pa.array(u64_to_i64(sig))})
+
+    return hamming_near_dup(
+        ds.map_batches(sigs, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        id_col=id_col, sig_col="sig", max_hamming=max_hamming,
+        bucket_cap=bucket_cap, cc_max_driver_pairs=cc_max_driver_pairs)
 
 
 def _verified_pairs_result(pair_ds: Dataset,

@@ -418,3 +418,98 @@ def frame_sample(ds: Dataset, num_frames: int = 4,
     return ds.map_batches(explode_auto if decoder == "auto" else explode,
                           batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def _dhash_image(px: np.ndarray) -> np.uint64:
+    """64-bit dHash of an (h, w, 3) uint8 image: luminance → 8×9
+    nearest-neighbor downsample → horizontal gradient sign bits. The
+    standard perceptual hash — stable under resize/re-encode/noise,
+    flipped bits ∝ visual difference."""
+    lum = px.astype(np.float64) @ np.asarray([0.299, 0.587, 0.114])
+    h, w = lum.shape
+    yi = (np.arange(8, dtype=np.int64) * h) // 8
+    xi = (np.arange(9, dtype=np.int64) * w) // 9
+    g = lum[yi][:, xi]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    return (bits.astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+
+
+def _dhash_audio(samples: np.ndarray) -> np.uint64:
+    """64-bit audio fingerprint: RMS envelope over 65 equal windows →
+    envelope gradient sign bits — the same gradient-sign trick as
+    dHash, over loudness instead of luminance (robust to gain and
+    resampling, the coarse Shazam-style envelope shape)."""
+    n = len(samples)
+    if n == 0:
+        return np.uint64(0)
+    s = samples.astype(np.float64)
+    edges = (np.arange(66, dtype=np.int64) * n) // 65
+    sq = np.r_[0.0, np.cumsum(s * s)]
+    widths = np.maximum(edges[1:] - edges[:-1], 1)
+    env = (sq[np.minimum(edges[1:], n)] - sq[edges[:-1]]) / widths
+    bits = env[1:] > env[:-1]
+    return (bits.astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+
+
+class MediaPerceptualHasher:
+    """Actor-pool stage: payload → 64-bit perceptual signature.
+    Images (P6, incl. the first frame of a P6 video stream) hash by
+    dHash; WAV audio by envelope fingerprint; undecodable payloads
+    emit decode_ok=false with sig 0. Per-payload loop is intrinsic to
+    per-row codecs (same contract as MediaFeatureExtractor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from bigdime_ray.functions.codecs import decode_ppm, decode_wav
+        from bigdime_ray.functions.hashing import u64_to_i64
+        sigs = np.zeros(batch.num_rows, dtype=np.uint64)
+        ok = np.zeros(batch.num_rows, dtype=bool)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            try:
+                if payload[:2] == b"P6":
+                    sigs[i] = _dhash_image(decode_ppm(payload))
+                elif payload[:4] == b"RIFF":
+                    sigs[i] = _dhash_audio(decode_wav(payload)[0])
+                else:
+                    continue
+                ok[i] = True
+            except Exception:
+                ok[i] = False
+        return pa.table({"media_id": batch["media_id"],
+                         "kind": batch["kind"],
+                         "sig": pa.array(u64_to_i64(sigs)),
+                         "decode_ok": pa.array(ok)})
+
+
+def media_perceptual_hashes(ds: "Dataset", concurrency: int = 4,
+                            batch_size: int = 64) -> "Dataset":
+    """Perceptual-signature stage (actor pool; small batches — payload
+    rows are large, batch_size × concurrency × payload must fit the
+    worker heap)."""
+    return ds.map_batches(MediaPerceptualHasher,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)
+
+
+def media_perceptual_dedup(ds: "Dataset", max_hamming: int = 6,
+                           bucket_cap: int = 64,
+                           cc_max_driver_pairs: int = 5_000_000,
+                           concurrency: int = 4, batch_size: int = 64):
+    """Near-duplicate MEDIA detection: perceptual 64-bit signatures
+    (dHash for images/video first frames, envelope fingerprint for
+    audio) through the generic Hamming LSH + in-bucket verify
+    (pipelines/dedup.py::hamming_near_dup — max_hamming+1 chunk bands,
+    recall guaranteed by pigeonhole). Signatures only hash WITHIN a
+    modality in practice (image vs audio sigs live in different bit
+    distributions), but ids are global so one pass covers the whole
+    media table. Undecodable rows are excluded (decode_ok=false).
+    Returns a NearDupResult (pairs carry similarity = 1 − dist/64)."""
+    from bigdime_ray.pipelines.dedup import hamming_near_dup
+    sigs = media_perceptual_hashes(ds, concurrency=concurrency,
+                                   batch_size=batch_size) \
+        .filter(expr="decode_ok == True")
+    return hamming_near_dup(sigs, id_col="media_id", sig_col="sig",
+                            max_hamming=max_hamming,
+                            bucket_cap=bucket_cap,
+                            cc_max_driver_pairs=cc_max_driver_pairs)

@@ -100,3 +100,80 @@ def test_resize_tolerates_corrupt_payloads():
     w, h, _ = np.frombuffer(ok[4:16], dtype=np.int32)
     assert (w, h) == (128, 128)
     assert ok[16:] == good[16:]  # body preserved
+
+
+def test_perceptual_hashes_stability_and_separation():
+    """dHash: small pixel noise flips few bits; a different image flips
+    many. Audio envelope fingerprint survives gain changes exactly."""
+    import numpy as np
+    from bigdime_ray.functions.codecs import encode_wav
+    from bigdime_ray.pipelines.dedup import hamming64
+    from bigdime_ray.pipelines.multimodal import (_dhash_audio,
+                                                  _dhash_image)
+    rng = np.random.default_rng(7)
+    gx = np.linspace(0, 255, 32)
+    base = np.clip(np.stack([gx[None, :].repeat(24, 0)] * 3, axis=2),
+                   0, 255).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int64)
+                    + rng.integers(-8, 9, base.shape), 0, 255) \
+        .astype(np.uint8)
+    other = rng.integers(0, 256, base.shape).astype(np.uint8)
+    h_base = np.asarray([_dhash_image(base)], dtype=np.uint64)
+    h_noisy = np.asarray([_dhash_image(noisy)], dtype=np.uint64)
+    h_other = np.asarray([_dhash_image(other)], dtype=np.uint64)
+    assert hamming64(h_base, h_noisy)[0] <= 6
+    assert hamming64(h_base, h_other)[0] > 10
+    t = np.arange(800) / 16000.0
+    wave = np.sin(2 * np.pi * 440 * t) * (1 + 0.5 * np.sin(
+        2 * np.pi * 3 * t))
+    a = (wave * 16000).astype(np.int16)
+    b = (wave * 8000).astype(np.int16)  # half gain, same shape
+    from bigdime_ray.functions.codecs import decode_wav
+    sa = _dhash_audio(decode_wav(encode_wav(a, 16000))[0])
+    sb = _dhash_audio(decode_wav(encode_wav(b, 16000))[0])
+    assert hamming64(np.asarray([sa], dtype=np.uint64),
+                     np.asarray([sb], dtype=np.uint64))[0] <= 2
+
+
+def test_media_perceptual_dedup_finds_planted_pairs():
+    """Planted near-dup media (noise-perturbed image copy, gain-scaled
+    audio copy) are found; the undecodable row is excluded; unrelated
+    media do not pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.multimodal import (media_perceptual_dedup,
+                                                  synth_real_media_table)
+    from bigdime_ray.functions.codecs import (decode_ppm, decode_wav,
+                                              encode_ppm, encode_wav)
+    t = synth_real_media_table(24, seed=11).to_pandas()
+    rng = np.random.default_rng(3)
+    extra = []
+    img_src = t[t.kind == "image"].iloc[0]
+    px = decode_ppm(img_src.payload)
+    noisy = np.clip(px.astype(np.int64) + rng.integers(-4, 5, px.shape),
+                    0, 255).astype(np.uint8)
+    extra.append({"media_id": "dup-img", "kind": "image",
+                  "payload": encode_ppm(noisy), "width": px.shape[1],
+                  "height": px.shape[0], "sample_rate": 0})
+    aud_src = t[t.kind == "audio"].iloc[0]
+    samples, sr = decode_wav(aud_src.payload)  # int16 samples
+    half_gain = (samples.astype(np.float64) * 0.5).astype(np.int16)
+    extra.append({"media_id": "dup-aud", "kind": "audio",
+                  "payload": encode_wav(half_gain, sr), "width": 0,
+                  "height": 0, "sample_rate": sr})
+    extra.append({"media_id": "junk", "kind": "image",
+                  "payload": b"\x00garbage", "width": 0, "height": 0,
+                  "sample_rate": 0})
+    import pandas as pd
+    full = pd.concat([t, pd.DataFrame(extra)], ignore_index=True)
+    ds = rd.from_arrow(pa.Table.from_pandas(full)).repartition(3)
+    # concurrency < cluster CPUs: an actor pool sized to ALL cpus can
+    # deadlock the unfused upstream (repo-wide known Ray behavior)
+    res = media_perceptual_dedup(ds, max_hamming=6, concurrency=2)
+    pairs = {frozenset((a, b)) for a, b in
+             zip(res.pairs.id_a, res.pairs.id_b)}
+    assert frozenset((img_src.media_id, "dup-img")) in pairs
+    assert frozenset((aud_src.media_id, "dup-aud")) in pairs
+    flat = {i for p in pairs for i in p}
+    assert "junk" not in flat
