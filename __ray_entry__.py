@@ -2133,6 +2133,59 @@ def _q_embedding_dim_sums(sf_dir: str):
                                       Sum("s", alias_name="s")))
 
 
+def _q_event_dow_chi2(sf_dir: str):
+    """χ² INDEPENDENCE test on the event_type × day-of-week
+    contingency table — the drift/statistics shape as a query. Counts
+    come from block crosstab partials (≤ types×dows rows per block);
+    the statistic is computed on the ≤35-cell table: every per-cell
+    term (o−e)²/e is the SAME double in both engines (o, row/col
+    totals and n are exact ints; e = r·c/n one double division), fixed-
+    pointed ×10⁶ PER CELL, then integer-summed — order-independent.
+    Absent cells still contribute e (o=0 → term = e)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        uniq = pc.unique(et)
+        code = pc.index_in(et, uniq).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ti = (batch["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        dow = ((ti // 86_400_000_000) + 4) % 7
+        n_et = len(uniq)
+        m = np.zeros((n_et, 7), dtype=np.int64)
+        np.add.at(m, (code, dow), 1)
+        nz = np.nonzero(m)
+        return pa.table({
+            "et": uniq.take(pa.array(nz[0])),
+            "dow": pa.array(nz[1].astype(np.int64)),
+            "o": pa.array(m[nz])})
+
+    cells = (ds.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["et", "dow"]).aggregate(Sum("o", alias_name="o"))
+             .to_pandas())
+    ets = sorted(cells["et"].unique())
+    dows = sorted(cells["dow"].unique())
+    full = np.zeros((len(ets), len(dows)), dtype=np.int64)
+    ei = {e: i for i, e in enumerate(ets)}
+    di = {d: i for i, d in enumerate(dows)}
+    for _, r in cells.iterrows():
+        full[ei[r["et"]], di[r["dow"]]] = int(r["o"])
+    rt = full.sum(axis=1)
+    ct = full.sum(axis=0)
+    n = int(full.sum())
+    e = (rt[:, None] * ct[None, :]) / float(n)
+    term = np.floor((full - e) ** 2 / e * 1_000_000 + 0.5) \
+        .astype(np.int64)
+    dof = (len(ets) - 1) * (len(dows) - 1)
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "dof": pa.array([dof], type=pa.int64()),
+                     "chi2_micro": pa.array([int(term.sum())],
+                                            type=pa.int64())})
+
+
 def _q_session_funnel(sf_dir: str):
     """Sessionized funnel: (user, session) pairs whose first signup
     strictly precedes their first purchase WITHIN the same 30-min-gap
@@ -2995,6 +3048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": _q_user_event_entropy,
         "user_time_weighted_value": _q_user_time_weighted_value,
         "session_funnel": _q_session_funnel,
+        "event_dow_chi2": _q_event_dow_chi2,
         "label_centroid_dots": _q_label_centroid_dots,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_upsert_apply": _q_order_upsert_apply,
@@ -3623,6 +3677,29 @@ def oracle_sql() -> dict[str, str]:
             "purchase_ts FROM s GROUP BY 1, 2) "
             "SELECT user_id, session_id, signup_ts, purchase_ts "
             "FROM f WHERE signup_ts < purchase_ts",
+        "event_dow_chi2":
+            "WITH b AS (SELECT event_type AS et, CAST((CAST(FLOOR("
+            "epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS BIGINT) AS dow "
+            "FROM events), "
+            "c AS (SELECT et, dow, CAST(COUNT(*) AS BIGINT) AS o "
+            "FROM b GROUP BY 1, 2), "
+            "grid AS (SELECT e.et, d.dow, COALESCE(c.o, 0) AS o FROM "
+            "(SELECT DISTINCT et FROM c) e CROSS JOIN (SELECT "
+            "DISTINCT dow FROM c) d LEFT JOIN c ON c.et = e.et AND "
+            "c.dow = d.dow), "
+            "rt AS (SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM grid "
+            "GROUP BY 1), ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) "
+            "AS cc FROM grid GROUP BY 1), "
+            "n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid), "
+            "oe AS (SELECT grid.o AS o, (rt.r * ct.cc) / CAST(n.n AS "
+            "DOUBLE) AS e FROM grid, rt, ct, n WHERE grid.et = rt.et "
+            "AND grid.dow = ct.dow), "
+            "t AS (SELECT CAST(FLOOR((o - e) * (o - e) / e * 1000000 "
+            "+ 0.5) AS BIGINT) AS term FROM oe) "
+            "SELECT (SELECT n FROM n) AS n, "
+            "CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) "
+            "FROM ct) - 1) AS BIGINT) AS dof, "
+            "CAST(SUM(term) AS BIGINT) AS chi2_micro FROM t",
         "label_centroid_dots":
             "WITH e AS (SELECT label, ord AS dim, CAST(SUM(CAST(FLOOR("
             "CAST(val AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS BIGINT)"

@@ -16,6 +16,7 @@ from bigdime_ray.validators.drift import DriftChi2Validator, DriftKSValidator  #
 from bigdime_ray.validators.uniqueness import UniquenessValidator  # noqa: F401
 from bigdime_ray.validators.per_source import PerSourceStatsValidator  # noqa: F401
 from bigdime_ray.validators.row_equality import RowEqualityValidator  # noqa: F401
+from bigdime_ray.validators.expression import make_expression_validator  # noqa: F401
 
 DEFAULT_SUITE = [
     "schema", "record_count", "raw_checksum", "ntok_consistency",

@@ -317,3 +317,52 @@ def test_incremental_profile_equals_rebuild(golden, tmp_path):
     qs = [0.1, 0.5, 0.9]
     assert np.allclose(inc.ntok_digest.quantile(qs),
                        full.ntok_digest.quantile(qs), rtol=0.02, atol=1.5)
+
+
+def test_user_expression_validator_extension(tmp_path):
+    """B-V0 extension surface: a USER-registered row-predicate
+    validator (make_expression_validator, no class written) runs in
+    the shared scan pass by suite id, caps + emits violation rows,
+    and verdicts FAILED on exactly the violating partitions."""
+    import pyarrow.compute as _pc
+    from bigdime_ray.validators import make_expression_validator
+    from bigdime_ray.spi import registered_validators
+
+    make_expression_validator(
+        "ntok_budget",
+        lambda tbl: _pc.greater(tbl["n_tok"], 48)
+        .to_numpy(zero_copy_only=False),
+        "n_tok exceeds the 48-token budget")
+    assert "ntok_budget" in registered_validators()
+
+    base = tmp_path / "expr"
+    cfg_small = SynthConfig(num_rows=2000, num_partitions=4, seed=7)
+    generate_dataset(str(base / "in"), cfg_small)
+    rep = run_validation(ValidationRunConfig(
+        input_dir=str(base / "in"), run_dir=str(base / "run"),
+        suite=["schema", "ntok_budget"]))
+    mine = [r for r in rep.responses if r.validator_id == "ntok_budget"]
+    assert mine, "custom validator produced no responses"
+    import duckdb
+    truth = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{base}/in/data/**/*.parquet')"
+        " WHERE n_tok > 48").fetchone()[0]
+    total = sum(r.metrics.get("violations", 0) for r in mine
+                if r.partition_id != "__global__")
+    assert total == truth and truth > 0
+    # every partition of the random synth data holds n_tok>48 rows, so
+    # each per-partition response must be FAILED with a positive count
+    for r in mine:
+        if r.partition_id == "__global__":
+            continue
+        assert r.result.value == "FAILED" and \
+            r.metrics["violations"] > 0, r
+    viol_dir = base / "run" / "violations"
+    assert viol_dir.exists()
+    # the §4.3 layout holds BOTH a consolidated file and per-partition
+    # copies — read only the partition-granular layer
+    got_viols = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet("
+        f"'{viol_dir}/part=*/violations.parquet') WHERE validator_id "
+        "= 'ntok_budget'").fetchone()[0]
+    assert got_viols == truth  # under the cap → all rows emitted
