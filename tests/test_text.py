@@ -296,3 +296,29 @@ def test_repetition_scores_matches_brute_force():
             (len(grams) - len(set(grams))) * 1_000_000 // len(grams)
     assert rows[3]["rep_ppm"] == 2 * 1_000_000 // 3
     assert rows[2]["rep_ppm"] == 0
+
+
+def test_vocabulary_jaccard_matches_brute_force():
+    from bigdime_ray.pipelines.text import vocabulary_jaccard
+    docs = [("s1", "a b c d"), ("s1", "c d e"), ("s2", "c d x"),
+            ("s2", "y z"), ("s3", "q r"), ("s3", "a  q")]
+    ds = ray.data.from_arrow(pa.table({
+        "source": pa.array([d[0] for d in docs]),
+        "text": pa.array([d[1] for d in docs])})).repartition(3)
+    t = vocabulary_jaccard(ds).to_pandas()
+    vocab = {}
+    for s, txt in docs:
+        vocab.setdefault(s, set()).update(txt.split())
+    got = {(r.source_a, r.source_b): (r.inter, r.uni, r.jaccard_ppm)
+           for r in t.itertuples()}
+    names = sorted(vocab)
+    want = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = vocab[names[i]], vocab[names[j]]
+            ix = len(a & b)
+            if ix:
+                u = len(a | b)
+                want[(names[i], names[j])] = (ix, u, ix * 10**6 // u)
+    assert got == want
+    assert ("s2", "s3") not in got  # disjoint vocabularies → omitted
