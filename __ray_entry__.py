@@ -2411,6 +2411,36 @@ def _q_order_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, "o_orderkey", "cents")
 
 
+def _q_orders_price_ranked(sf_dir: str):
+    """GLOBAL ORDER BY via Ray's distributed range-partitioned sort
+    (``Dataset.sort`` — the one wide primitive no other query needed):
+    every order ranked by fixed-point price DESC with key ASC
+    tie-break. After the sort, block order IS global order, so the
+    driver enumerates positions while collecting in order — the pos
+    column is what lets the hash oracle verify the ORDER, not just the
+    content (the driver compare is row-order-insensitive). Top-k/
+    pagination shapes use the cheaper per-block prune (orders_page);
+    this is the full-table sorted-export path (sorted runs for
+    binary-searchable layouts)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "cents": _scaled_i64(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False),
+                100)})
+
+    s = (ds.map_batches(prep, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .sort(["cents", "o_orderkey"], descending=[True, False]))
+    t = _collect(s, pa.schema([("o_orderkey", pa.int64()),
+                               ("cents", pa.int64())]))
+    return pa.table({
+        "pos": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        "o_orderkey": t["o_orderkey"], "cents": t["cents"]})
+
+
 def _q_order_upsert_apply(sf_dir: str):
     """MERGE / upsert apply (the CDC-apply dual of order_snapshot_diff):
     a change feed (bumped prices for keys %7==0, deletes for keys
@@ -3075,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_upsert_apply": _q_order_upsert_apply,
+        "orders_price_ranked": _q_orders_price_ranked,
         "table_row_counts": _q_table_row_counts,
         "order_price_share": _q_order_price_share,
         "revenue_by_mktsegment": _q_revenue_by_mktsegment,
@@ -3761,6 +3792,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n "
             "FROM e a JOIN e b ON a.vec_id = b.vec_id AND "
             "a.dim <= b.dim GROUP BY 1, 2",
+        "orders_price_ranked":
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(FLOOR("
+            "o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) "
+            "AS BIGINT) AS pos, o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM orders",
         "order_upsert_apply":
             "WITH old AS (SELECT o_orderkey AS k, CAST(FLOOR("
             "o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders"
