@@ -103,3 +103,25 @@ def train_val_split(ds: Dataset, id_col: str = "doc_id",
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def shuffled_export(ds, seed: int, out_dir: str | None = None,
+                    min_rows_per_file: int | None = None):
+    """Seeded GLOBAL SHUFFLE for training export — the epoch-ordering
+    primitive every training run needs (hash-derived sampling covers
+    subsetting; this covers ordering). ``ds.random_shuffle(seed=)`` is
+    Ray's all-to-all shuffle: deterministic for a fixed seed and plan,
+    so a retried/resumed export reproduces the same epoch order.
+    With ``out_dir`` the shuffled stream writes partitioned parquet
+    (optionally coalesced via ``min_rows_per_file``) and the Dataset
+    is returned un-consumed otherwise. At 100 TB prefer ONE
+    random_shuffle per epoch materialized to storage over shuffling
+    per consumer — the write amortizes the exchange across trainers."""
+    out = ds.random_shuffle(seed=seed)
+    if out_dir is not None:
+        kw = {}
+        if min_rows_per_file:
+            kw["min_rows_per_file"] = int(min_rows_per_file)
+        out.write_parquet(out_dir, **kw)
+        return None
+    return out

@@ -133,3 +133,21 @@ def test_train_val_split_deterministic_and_partition_invariant():
     frac = (a.split == "val").mean()
     assert 0.06 < frac < 0.14  # ~10% with hash wobble
     assert set(a.split) == {"train", "val"}
+
+
+def test_shuffled_export_deterministic_permutation():
+    """shuffled_export: output is a permutation of the input; the same
+    seed reproduces the same order; a different seed differs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.curate import shuffled_export
+    tbl = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+    ds = rd.from_arrow(tbl).repartition(5)
+    a1 = shuffled_export(ds, seed=7).to_pandas().k.to_numpy()
+    a2 = shuffled_export(ds, seed=7).to_pandas().k.to_numpy()
+    b = shuffled_export(ds, seed=8).to_pandas().k.to_numpy()
+    assert sorted(a1) == list(range(5000))
+    assert np.array_equal(a1, a2)          # seed-deterministic
+    assert not np.array_equal(a1, b)       # seed-sensitive
+    assert not np.array_equal(a1, np.arange(5000))  # actually shuffled
