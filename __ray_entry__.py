@@ -2241,6 +2241,80 @@ def _q_user_event_entropy(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding table (rows-only:
+    iterative, no SQL oracle — pytest pins bit-exact equality with a
+    single-process reference and partition invariance). Returns one
+    row per cluster: count + fixed-point centroid preview (first 4
+    dims) — deterministic across runs."""
+    from bigdime_ray.pipelines.similarity import kmeans_distributed
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    cent, n = kmeans_distributed(ds, k=8, iters=4, dim=64)
+    cf = np.floor(cent * 1_000_000 + 0.5).astype(np.int64)
+    return pa.table({
+        "cluster": pa.array(np.arange(len(n), dtype=np.int64)),
+        "n": pa.array(n),
+        **{f"c{j}_micro": pa.array(cf[:, j]) for j in range(4)}})
+
+
+def _q_nation_trade_flows(sf_dir: str):
+    """TPC-H Q7 shape: revenue BETWEEN nation pairs (supplier nation ≠
+    customer nation) for one order year — one large-large join
+    (lineitem ⋈ orders, year filter pushed into the read) plus two
+    broadcast LUT stages; the pair key packs both nation keys into one
+    int64 so the final aggregate is a packed exchange over ≤ 25² keys."""
+    import datetime as _dt
+    import pyarrow.dataset as pads
+    from bigdime_ray.pipelines.join import broadcast_join
+    from bigdime_ray.stages.shuffle import (drop_empty_blocks,
+                                            grouped_int_sums_exchange)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev_s": _scaled_i64(ep * (1.0 - disc), 1_000)})
+
+    li = li.map_batches(revenue, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= _dt.datetime(1997, 1, 1))
+                & (pads.field("o_orderdate")
+                   < _dt.datetime(1998, 1, 1))))
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = drop_empty_blocks(joined).materialize()
+    j1 = broadcast_join(joined, supp, "l_suppkey", "s_suppkey")
+    j2 = broadcast_join(j1, cust, "o_custkey", "c_custkey")
+
+    def extract(batch: pa.Table):
+        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev = batch["rev_s"].to_numpy(zero_copy_only=False)
+        m = sn != cn
+        return (sn[m] * 1_000 + cn[m]), [rev[m]]
+
+    keys, (rev,) = grouped_int_sums_exchange(j2, extract, 1,
+                                             num_buckets=1)
+    o = np.argsort(keys)
+    keys, rev = keys[o], rev[o]
+    return pa.table({
+        "supp_nation": pa.array(keys // 1_000),
+        "cust_nation": pa.array(keys % 1_000),
+        "revenue": pa.array(rev)})
+
+
 def _q_embedding_gram(sf_dir: str):
     """Exact Gram matrix Σ xxᵀ over the embedding table (the PCA /
     covariance input): int64 fixed-point matmul per block, ≤ 2 080
@@ -3103,6 +3177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dow_chi2": _q_event_dow_chi2,
         "label_centroid_dots": _q_label_centroid_dots,
         "embedding_gram": _q_embedding_gram,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "nation_trade_flows": _q_nation_trade_flows,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_upsert_apply": _q_order_upsert_apply,
         "orders_price_ranked": _q_orders_price_ranked,
@@ -3781,6 +3857,17 @@ def oracle_sql() -> dict[str, str]:
             "b.n AS n_b, CAST(SUM(a.s * b.s) AS BIGINT) AS dot_s "
             "FROM e a JOIN e b ON a.dim = b.dim AND a.label < b.label "
             "GROUP BY 1, 2, 3, 4",
+        "nation_trade_flows":
+            "SELECT CAST(s_nationkey AS BIGINT) AS supp_nation, "
+            "CAST(c_nationkey AS BIGINT) AS cust_nation, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 1000 + 0.5) AS BIGINT)) AS BIGINT) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND "
+            "o_orderdate < TIMESTAMP '1998-01-01' AND "
+            "s_nationkey <> c_nationkey GROUP BY 1, 2",
         "embedding_gram":
             "WITH e AS (SELECT vec_id, CAST(ord - 1 AS BIGINT) AS "
             "dim, CAST(FLOOR(CAST(val AS DOUBLE) * 10000 + 0.5) AS "

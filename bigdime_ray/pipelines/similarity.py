@@ -348,3 +348,62 @@ def embedding_gram(ds: Dataset, vec_col: str = "embedding",
         "dim_b": pa.array(out["dim_b"].to_numpy().astype(np.int64)),
         "s": pa.array(out["s"].to_numpy().astype(np.int64)),
         "n": pa.array(out["n"].to_numpy().astype(np.int64))})
+
+
+def kmeans_distributed(ds: Dataset, vec_col: str = "embedding",
+                       k: int = 8, iters: int = 5, dim: int = 64,
+                       scale: int = 10_000
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """DISTRIBUTED Lloyd k-means (cosine) — the iterative-algorithm
+    pattern: per round, centroids broadcast once (``ray.put``), every
+    block assigns its vectors vectorized and emits ≤ k partial rows
+    (count + fixed-point int64 member sums — order-independent, so the
+    reduction is exact and the result is partition-invariant); the
+    driver folds k×dim ints and renormalizes. The data never moves —
+    only 2·k·dim scalars per block per round cross the wire, which is
+    the right shape at 10⁹ vectors × small k.
+
+    Deterministic: init = the dataset's FIRST k rows (stable parquet
+    order), assignment ties → lowest cluster index (argmax-first).
+    Returns (centroids (k, dim) float64 unit rows, member counts).
+    Empty clusters keep their previous centroid. Exactly equal to a
+    single-process implementation using the same fixed-point rule
+    (pinned by test)."""
+    import ray as _ray
+
+    first = ds.limit(k).take_batch(k, batch_format="pyarrow")
+    cent = _normalize(_to_matrix(pa.table(first)[vec_col], dim))
+    if len(cent) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(cent)}")
+
+    for _ in range(iters):
+        cref = _ray.put(cent)
+
+        def part(batch: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            x = _normalize(_to_matrix(batch[vec_col], dim))
+            a = (x @ c.T).argmax(axis=1)
+            fx = np.floor(x * scale + 0.5).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, fx)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            out = {"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                   "n": pa.array(cnt)}
+            for j in range(dim):
+                out[f"s_{j}"] = pa.array(sums[:, j])
+            return pa.table(out)
+
+        rows = ds.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim), dtype=np.int64)
+        for r in rows:
+            ci = int(r["cluster"])
+            n[ci] += int(r["n"])
+            s[ci] += np.asarray([r[f"s_{j}"] for j in range(dim)],
+                                dtype=np.int64)
+        nz = n > 0
+        new = cent.copy()
+        new[nz] = s[nz] / (n[nz][:, None] * float(scale))
+        cent = _normalize(new)
+    return cent, n

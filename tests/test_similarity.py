@@ -144,3 +144,55 @@ def test_embedding_gram_exact():
     for a, b in zip(*iu):
         assert got[(a, b)] == want[a, b], (a, b)
     assert set(t["n"].to_pylist()) == {n}
+
+
+def test_kmeans_distributed_equals_single_process():
+    """Distributed Lloyd == single-process Lloyd with the same
+    fixed-point reduction rule, bit-exact, regardless of partitioning;
+    counts cover all rows; more iters never increases inertia."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.similarity import (_normalize,
+                                                  kmeans_distributed)
+    rng = np.random.default_rng(5)
+    dim, k, n = 16, 4, 600
+    centers = rng.standard_normal((k, dim)) * 3
+    x = (centers[rng.integers(0, k, n)]
+         + rng.standard_normal((n, dim))).astype(np.float32)
+    tbl = pa.table({"embedding": pa.array(x.tolist(),
+                                          type=pa.list_(pa.float32()))})
+
+    def single(iters):
+        xx = _normalize(x.astype(np.float64))
+        cent = _normalize(xx[:k].copy())
+        cnt = None
+        for _ in range(iters):
+            a = (xx @ cent.T).argmax(axis=1)
+            fx = np.floor(xx * 10_000 + 0.5).astype(np.int64)
+            s = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(s, a, fx)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            nz = cnt > 0
+            new = cent.copy()
+            new[nz] = s[nz] / (cnt[nz][:, None] * 10_000.0)
+            cent = _normalize(new)
+        return cent, cnt
+
+    for parts in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got_c, got_n = kmeans_distributed(ds, k=k, iters=3, dim=dim)
+        want_c, want_n = single(3)
+        assert np.array_equal(got_n, want_n), parts
+        assert np.array_equal(got_c, want_c), parts
+    assert got_n.sum() == n
+
+    def inertia(cent):
+        xx = _normalize(x.astype(np.float64))
+        return float((1.0 - (xx @ cent.T).max(axis=1)).sum())
+
+    c1, _ = kmeans_distributed(rd.from_arrow(tbl).repartition(4),
+                               k=k, iters=1, dim=dim)
+    c5, _ = kmeans_distributed(rd.from_arrow(tbl).repartition(4),
+                               k=k, iters=5, dim=dim)
+    assert inertia(c5) <= inertia(c1) + 1e-12
