@@ -2241,6 +2241,32 @@ def _q_user_event_entropy(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (rows-only: approximate by design;
+    recall pinned in pytest): codebooks trained on a driver sample,
+    DISTRIBUTED encode to m=8 uint8 codes per vector (32× smaller than
+    float32), ADC top-10 via per-batch byte-gather against one m×k
+    lookup table (pipelines/similarity.py::{pq_train,pq_encode,
+    pq_search}). The memory-scale path for 10¹²-vector ANN."""
+    import ray as _ray
+    from bigdime_ray.pipelines.similarity import (_to_matrix, pq_encode,
+                                                  pq_search, pq_train)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = _to_matrix(
+        pa.table(ds.limit(2000).take_batch(2000,
+                                           batch_format="pyarrow"))
+        ["embedding"], 64)
+    books = pq_train(sample, m=8, bits=8, iters=6)
+    codes = pq_encode(ds, books)
+    q = sample[0]
+    out = pq_search(codes, books, q, topk=10)
+    return pa.table({
+        "vec_id": pc.cast(out["vec_id"], pa.int64()),
+        "adc_micro": pa.array(np.floor(
+            out["adc"].to_numpy(zero_copy_only=False) * 1_000_000
+            + 0.5).astype(np.int64))})
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table (rows-only:
     iterative, no SQL oracle — pytest pins bit-exact equality with a
@@ -3178,6 +3204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_dots": _q_label_centroid_dots,
         "embedding_gram": _q_embedding_gram,
         "kmeans_clusters": _q_kmeans_clusters,
+        "pq_topk": _q_pq_topk,
         "nation_trade_flows": _q_nation_trade_flows,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_upsert_apply": _q_order_upsert_apply,

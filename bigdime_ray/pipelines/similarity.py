@@ -407,3 +407,102 @@ def kmeans_distributed(ds: Dataset, vec_col: str = "embedding",
         new[nz] = s[nz] / (n[nz][:, None] * float(scale))
         cent = _normalize(new)
     return cent, n
+
+
+def pq_train(sample: np.ndarray, m: int = 8, bits: int = 4,
+             iters: int = 10, seed: int = 23) -> np.ndarray:
+    """Train PRODUCT-QUANTIZATION codebooks on a driver-side sample
+    (standard PQ practice — codebooks are tiny and training needs a
+    few 10⁴ vectors): split dims into ``m`` subspaces, plain-L2 Lloyd
+    per subspace. Returns (m, 2**bits, dim//m) float64 codebooks."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    k = 1 << bits
+    if k > 256:
+        raise ValueError("bits > 8 would not fit uint8 codes")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    x = sample.astype(np.float64)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cent = xs[rng.choice(n, size=min(k, n), replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(len(cent)):
+                mem = xs[a == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        books[j, :len(cent)] = cent
+        if len(cent) < k:
+            books[j, len(cent):] = cent[0]
+    return books
+
+
+def pq_encode(ds: Dataset, books: np.ndarray,
+              vec_col: str = "embedding", id_col: str = "vec_id"
+              ) -> Dataset:
+    """Distributed PQ encode: each vector becomes ``m`` uint8 codes
+    (one binary cell) — 32× smaller than float32 at m=8, the memory
+    lever that lets 10¹² vectors live in RAM-adjacent storage.
+    Codebooks broadcast once (``ray.put``); per batch the assignment
+    is one ‖x−c‖² argmin per subspace, fully vectorized."""
+    import ray as _ray
+    m, k, dsub = books.shape
+    dim = m * dsub
+    bref = _ray.put(np.ascontiguousarray(books))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        b = _ray.get(bref)
+        x = _to_matrix(batch[vec_col], dim)
+        n = len(x)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² constant per row
+            d = -2.0 * (xs @ b[j].T) + (b[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: batch[id_col],
+            "codes": pa.array(list(codes.tobytes()[i * m:(i + 1) * m]
+                                   for i in range(n)),
+                              type=pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def pq_search(codes_ds: Dataset, books: np.ndarray, query: np.ndarray,
+              topk: int = 10, id_col: str = "vec_id") -> pa.Table:
+    """ADC (asymmetric distance) top-k over PQ codes: ONE m×k lookup
+    table per query (exact query-to-centroid distances), then every
+    code row scores via m byte-gathers + adds — no vectors are ever
+    touched. Per-block top-k prune → ≤ blocks×topk rows to the driver
+    merge (same discipline as every top-k in this repo). Approximate
+    by construction; recall is pinned by test against exact L2."""
+    import ray as _ray
+    m, k, dsub = books.shape
+    q = np.asarray(query, dtype=np.float64).reshape(m, dsub)
+    lut = ((books - q[:, None, :]) ** 2).sum(axis=2)  # (m, k)
+    lref = _ray.put(lut)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        tbl = _ray.get(lref)
+        col = batch["codes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        flat = np.frombuffer(b"".join(col.to_pylist()), dtype=np.uint8)
+        codes = flat.reshape(n, m)
+        dist = tbl[np.arange(m)[None, :], codes].sum(axis=1)
+        kk = min(topk, n)
+        sel = np.argpartition(dist, kk - 1)[:kk]
+        return pa.table({id_col: batch[id_col].take(pa.array(sel)),
+                         "adc": pa.array(dist[sel])})
+
+    rows = codes_ds.map_batches(block_topk, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+    rows = rows.sort_values(["adc", id_col]).head(topk)
+    return pa.Table.from_pandas(rows, preserve_index=False)
