@@ -2210,6 +2210,17 @@ def _q_user_time_weighted_value(sf_dir: str):
                              scale=10_000)
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """Grouped HyperLogLog (rows-only: approximate by design; accuracy
+    + partition invariance pinned in pytest): approx distinct users
+    per event type at a FIXED 256 B per group — the 10¹²-scale sibling
+    of the exact `distinct_users_by_type`
+    (pipelines/frequency.py::grouped_approx_distinct)."""
+    from bigdime_ray.pipelines.frequency import grouped_approx_distinct
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ds, "event_type", "user_id", p=8)
+
+
 def _q_user_event_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution — the
     behavioral-diversity feature. Float determinism discipline: every
@@ -3198,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "user_event_entropy": _q_user_event_entropy,
+        "approx_distinct_users": _q_approx_distinct_users,
         "user_time_weighted_value": _q_user_time_weighted_value,
         "session_funnel": _q_session_funnel,
         "event_dow_chi2": _q_event_dow_chi2,

@@ -99,7 +99,8 @@ def ingest(ds: Dataset, out_dir: str,
 
 def compact_parquet(in_dir: str, out_dir: str,
                     target_rows_per_file: int = 1_000_000,
-                    columns: list[str] | None = None) -> dict:
+                    columns: list[str] | None = None,
+                    zorder_by: list[str] | None = None) -> dict:
     """Small-file compaction — the operational chore every long-lived
     100 TB dataset needs: a directory accreted from many incremental
     writes (one file per micro-batch) re-emerges as files of
@@ -111,13 +112,19 @@ def compact_parquet(in_dir: str, out_dir: str,
     Ray's ``min_rows_per_file`` sizing — no repartition shuffle and no
     driver materialization; the object store spills if a block exceeds
     memory. ``columns`` optionally prunes while compacting (schema
-    evolution / column retirement in the same pass). Returns
-    {files_in, files_out, rows}."""
+    evolution / column retirement in the same pass); ``zorder_by``
+    additionally CLUSTERS the rewrite by the Morton key of those
+    columns (stages/layout.py) — one distributed sort folded into the
+    compaction pass so downstream multi-column range scans prune row
+    groups. Returns {files_in, files_out, rows}."""
     import glob
     import ray
 
     files_in = len(glob.glob(os.path.join(in_dir, "*.parquet")))
     ds = ray.data.read_parquet(in_dir, columns=columns)
+    if zorder_by:
+        from bigdime_ray.stages.layout import zorder_sort
+        ds = zorder_sort(ds, zorder_by)
     ds.write_parquet(out_dir, min_rows_per_file=target_rows_per_file)
     files_out = len(glob.glob(os.path.join(out_dir, "*.parquet")))
     rows = ray.data.read_parquet(out_dir).count()

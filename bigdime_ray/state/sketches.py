@@ -367,6 +367,38 @@ class TDigestState(PartialState):
         return np.clip(out, self.minimum, self.maximum)
 
 
+def hll_index_rank(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) per 64-bit hash: index = top p bits,
+    rank = leading zeros of the rest + 1 (capped) — the HLL update,
+    vectorized per bit, shared by the global and grouped sketches."""
+    h = h.view(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    found = np.zeros(len(h), dtype=bool)
+    for bit in range(64 - p):
+        hit = ~found & ((rest >> np.uint64(63 - bit))
+                        & np.uint64(1)).astype(bool)
+        rank[hit] = bit + 1
+        found |= hit
+    return idx, rank
+
+
+def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Vectorized HLL estimate per ROW of a (n_keys, m) register
+    matrix — same bias-corrected + linear-counting rule as
+    ``HyperLogLogState.estimate``."""
+    n, m = regs.shape
+    mf = float(m)
+    alpha = 0.7213 / (1.0 + 1.079 / mf)
+    inv = np.ldexp(1.0, -regs.astype(np.int64))
+    raw = alpha * mf * mf / inv.sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    lc = np.where(zeros > 0, mf * np.log(mf / np.maximum(zeros, 1)),
+                  raw)
+    return np.where((raw <= 2.5 * mf) & (zeros > 0), lc, raw)
+
+
 @dataclass
 class HyperLogLogState(PartialState):
     """HyperLogLog distinct-count sketch (p-bit register index, 2^p
@@ -385,17 +417,7 @@ class HyperLogLogState(PartialState):
                                                       dtype=np.uint8))
         if len(h) == 0:
             return st
-        h = h.view(np.uint64)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)
-        # rank = leading zeros of the remaining 64-p bits, +1 (capped)
-        rank = np.full(len(h), 64 - p + 1, dtype=np.uint8)
-        found = np.zeros(len(h), dtype=bool)
-        for bit in range(64 - p):
-            hit = ~found & ((rest >> np.uint64(63 - bit))
-                            & np.uint64(1)).astype(bool)
-            rank[hit] = bit + 1
-            found |= hit
+        idx, rank = hll_index_rank(h, p)
         np.maximum.at(st.registers, idx, rank)
         return st
 

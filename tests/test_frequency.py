@@ -520,3 +520,39 @@ def test_grouped_iqr_outliers_matches_brute_force():
         assert row.n_low.iloc[0] == nl, g
         assert row.n_high.iloc[0] == nh, g
         assert row.n_outliers.iloc[0] == nl + nh, g
+
+
+def test_grouped_approx_distinct_accuracy_and_invariance():
+    """Grouped HLL: estimates within sketch tolerance of the exact
+    per-group distinct counts, and PARTITION-INVARIANT (register
+    merges are exact maxima, so any block split yields the identical
+    table)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.frequency import grouped_approx_distinct
+    rng = np.random.default_rng(21)
+    n = 30_000
+    grp = rng.choice(["a", "b", "c", "d"], n, p=[0.5, 0.3, 0.15, 0.05])
+    # very different distinct cardinalities per group
+    key = np.where(grp == "a", rng.integers(0, 8000, n),
+                   np.where(grp == "b", rng.integers(0, 800, n),
+                            np.where(grp == "c",
+                                     rng.integers(0, 60, n),
+                                     rng.integers(0, 5, n))))
+    tbl = pa.table({"g": pa.array(grp), "k": pa.array(key,
+                                                      type=pa.int64())})
+    exact = pd.DataFrame({"g": grp, "k": key}).groupby("g")["k"] \
+        .nunique()
+    results = {}
+    for parts in (2, 7):
+        t = grouped_approx_distinct(
+            rd.from_arrow(tbl).repartition(parts), "g", "k", p=8,
+            num_buckets=3)
+        results[parts] = list(zip(t["g"].to_pylist(),
+                                  t["approx_distinct"].to_pylist()))
+    assert results[2] == results[7]  # partition-invariant, bit-exact
+    for g, est in results[2]:
+        true = exact[g]
+        assert abs(est - true) <= max(3, 0.2 * true), (g, est, true)
