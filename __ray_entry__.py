@@ -2278,6 +2278,31 @@ def _q_pq_topk(sf_dir: str):
             + 0.5).astype(np.int64))})
 
 
+def _q_pq_ivf_topk(sf_dir: str):
+    """IVF×PQ hybrid serving layout (rows-only: doubly approximate —
+    probe recall × quantization, both pinned in pytest): build a
+    cluster-partitioned CODE index under /tmp, search reading ONLY the
+    probed partitions' m-byte codes
+    (pipelines/similarity.py::{build_pq_ivf_index, pq_ivf_search})."""
+    import tempfile
+    from bigdime_ray.pipelines.similarity import (_to_matrix,
+                                                  build_pq_ivf_index,
+                                                  pq_ivf_search)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _to_matrix(
+        pa.table(ds.limit(1).take_batch(1, batch_format="pyarrow"))
+        ["embedding"], 64)[0]
+    with tempfile.TemporaryDirectory(prefix="pqivf_") as d:
+        build_pq_ivf_index(ds, d, nlist=8, m=8, bits=8,
+                           sample_size=4000)
+        out = pq_ivf_search(d, q, k=10, nprobe=3)
+    return pa.table({
+        "vec_id": pc.cast(out["vec_id"], pa.int64()),
+        "adc_micro": pa.array(np.floor(
+            out["adc"].to_numpy(zero_copy_only=False) * 1_000_000
+            + 0.5).astype(np.int64))})
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embedding table (rows-only:
     iterative, no SQL oracle — pytest pins bit-exact equality with a
@@ -3217,6 +3242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "kmeans_clusters": _q_kmeans_clusters,
         "pq_topk": _q_pq_topk,
+        "pq_ivf_topk": _q_pq_ivf_topk,
         "nation_trade_flows": _q_nation_trade_flows,
         "order_snapshot_diff": _q_order_snapshot_diff,
         "order_upsert_apply": _q_order_upsert_apply,

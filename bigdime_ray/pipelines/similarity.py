@@ -506,3 +506,88 @@ def pq_search(codes_ds: Dataset, books: np.ndarray, query: np.ndarray,
                                 zero_copy_batch=True).to_pandas()
     rows = rows.sort_values(["adc", id_col]).head(topk)
     return pa.Table.from_pandas(rows, preserve_index=False)
+
+
+def build_pq_ivf_index(ds: Dataset, index_dir: str, nlist: int = 16,
+                       m: int = 8, bits: int = 8,
+                       emb_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       sample_size: int = 10_000,
+                       seed: int = 11) -> None:
+    """IVF × PQ hybrid index — the standard billion-vector serving
+    layout: coarse centroids route queries to ``nprobe`` partitions
+    (READ pruning, as in ``build_ivf_index``) and each partition holds
+    only m-byte PQ CODES (32× memory pruning, as in ``pq_encode``).
+    Both trained on one driver sample; one distributed pass assigns +
+    encodes every row and writes parquet partitioned by cluster.
+    PQ codebooks quantize the NORMALIZED vectors (L2 on unit vectors is
+    monotone in cosine), no residual coding — documented simplification.
+
+    Layout: ``centroids.npz`` (coarse centroids + codebooks + meta),
+    ``codes/cluster=N/*.parquet`` of (id, codes binary)."""
+    import os
+    sample_rows = ds.limit(sample_size).select_columns([emb_col]) \
+        .take_all()
+    sample = np.asarray([r[emb_col] for r in sample_rows],
+                        dtype=np.float64)
+    dim = sample.shape[1]
+    xs = _normalize(sample)
+    cent = kmeans_fit(sample, nlist, seed=seed)
+    books = pq_train(xs, m=m, bits=bits, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    np.savez(os.path.join(index_dir, "centroids.npz"),
+             centroids=cent, books=books,
+             emb_col=np.array(emb_col), id_col=np.array(id_col))
+    cref = ray.put(cent)
+    bref = ray.put(books)
+    dsub = dim // m
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        b = ray.get(bref)
+        x = _normalize(_to_matrix(batch[emb_col], dim))
+        cluster = (x @ c.T).argmax(axis=1).astype(np.int32)
+        n = len(x)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            xsub = x[:, j * dsub:(j + 1) * dsub]
+            d = -2.0 * (xsub @ b[j].T) \
+                + (b[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        raw = codes.tobytes()
+        return pa.table({
+            id_col: batch[id_col],
+            "codes": pa.array([raw[i * m:(i + 1) * m]
+                               for i in range(n)], type=pa.binary()),
+            "cluster": pa.array(cluster)})
+
+    (ds.map_batches(assign_encode, batch_format="pyarrow",
+                    zero_copy_batch=True)
+     .write_parquet(os.path.join(index_dir, "codes"),
+                    partition_cols=["cluster"]))
+
+
+def pq_ivf_search(index_dir: str, query: np.ndarray, k: int = 10,
+                  nprobe: int = 4) -> pa.Table:
+    """Search the hybrid index: probe ``nprobe`` coarse clusters, read
+    ONLY their code partitions (m bytes/row leaves storage — both the
+    I/O and the memory prune apply), ADC-score and top-k
+    (``pq_search``). Approximate on two axes (probe recall ×
+    quantization) — both pinned by test."""
+    import glob
+    import os
+    z = np.load(os.path.join(index_dir, "centroids.npz"))
+    cent, books = z["centroids"], z["books"]
+    id_col = str(z["id_col"])
+    q = np.asarray(query, dtype=np.float64)
+    qn = _normalize(q.reshape(1, -1))[0]
+    probe = np.argsort(-(cent @ qn))[:nprobe]
+    files = [f for c in probe
+             for f in glob.glob(os.path.join(
+                 index_dir, "codes", f"cluster={c}", "*.parquet"))]
+    if not files:
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "adc": pa.array([], type=pa.float64())})
+    import ray.data as rd
+    sub = rd.read_parquet(files, columns=[id_col, "codes"])
+    return pq_search(sub, books, qn, topk=k, id_col=id_col)
