@@ -51,9 +51,35 @@ def attach_partitions(ds: Dataset, num_partitions: int,
 
 
 def ingest(ds: Dataset, out_dir: str,
-           num_partitions: Optional[int] = None) -> dict:
+           num_partitions: Optional[int] = None,
+           transform=None, quarantine: bool = False) -> dict:
     """Write the table + produce its ingest manifest. Returns
-    {partition_id: {expected_rows, raw_checksum}}."""
+    {partition_id: {expected_rows, raw_checksum}} (+ ``quarantined``
+    row count when quarantining).
+
+    ``transform`` optionally cleanses/normalizes every batch before
+    the write (the reference's data-cleansing handler slot, §2A M2).
+    With ``quarantine=True`` a FAULTING transform no longer kills the
+    partition: ``stages/quarantine.py::quarantine_map`` bisects the
+    poison rows into ``out_dir/quarantine/`` (row JSON + error text)
+    and only healthy rows are ingested — manifest counts exclude them
+    by construction since counting happens on the written data. The
+    transform must be row-wise pure; it runs once per output consumed
+    (two lazy consumers here — the cost of not materializing)."""
+    n_quarantined = 0
+    if transform is not None:
+        if quarantine:
+            from bigdime_ray.stages.quarantine import quarantine_map
+            ds, bad = quarantine_map(ds, transform)
+            bad.write_parquet(os.path.join(out_dir, "quarantine"))
+            import glob as _glob
+            n_quarantined = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(os.path.join(out_dir, "quarantine",
+                                                 "*.parquet")))
+        else:
+            ds = ds.map_batches(transform, batch_format="pyarrow",
+                                zero_copy_batch=True)
     if num_partitions is not None:
         ds = attach_partitions(ds, num_partitions)
     data_dir = os.path.join(out_dir, "data")
@@ -92,9 +118,13 @@ def ingest(ds: Dataset, out_dir: str,
                                   for p in sorted(manifest)], type=pa.int64()),
     })
     pq.write_table(tbl, os.path.join(out_dir, "ingest_manifest.parquet"))
-    return {p: {"expected_rows": manifest[p].n,
-                "raw_checksum": u64_to_i64(manifest[p].checksum)}
-            for p in sorted(manifest)}
+    out = {p: {"expected_rows": manifest[p].n,
+               "raw_checksum": u64_to_i64(manifest[p].checksum)}
+           for p in sorted(manifest)}
+    if n_quarantined:
+        out["__quarantined__"] = {"expected_rows": n_quarantined,
+                                  "raw_checksum": 0}
+    return out
 
 
 def compact_parquet(in_dir: str, out_dir: str,

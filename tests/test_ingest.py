@@ -131,3 +131,38 @@ def test_compact_parquet_zorder_option(tmp_path):
     # the ~33 expected of a random permutation, on BOTH columns
     assert np.abs(np.diff(a)).mean() < 15
     assert np.abs(np.diff(b)).mean() < 15
+
+
+def test_ingest_with_quarantine_transform(raw_ds, tmp_path):
+    """ingest(transform=..., quarantine=True): poison rows land in
+    out_dir/quarantine with the error text; the manifest counts only
+    healthy rows; quarantined count reported."""
+    import glob
+    import numpy as np
+    import pyarrow.parquet as _pq
+    ds, _ = raw_ds
+    total = ds.count()
+
+    def cleanse(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False)
+        if (n_tok % 97 == 0).any():  # deterministic poison subset
+            raise ValueError("cursed length")
+        return batch
+
+    out = str(tmp_path / "qing")
+    man = ingest(ds, out, num_partitions=4, transform=cleanse,
+                 quarantine=True)
+    qfiles = glob.glob(os.path.join(out, "quarantine", "*.parquet"))
+    assert qfiles
+    q = pa.concat_tables([_pq.read_table(f) for f in qfiles])
+    n_bad = q.num_rows
+    assert n_bad == man["__quarantined__"]["expected_rows"] > 0
+    assert all("cursed length" in e for e in q["error"].to_pylist())
+    healthy = sum(v["expected_rows"] for k, v in man.items()
+                  if k != "__quarantined__")
+    assert healthy + n_bad == total
+    # the poison predicate actually selected the quarantined rows
+    import re
+    bads = {int(re.search(r"'n_tok': (\d+)", s).group(1))
+            for s in q["row_json"].to_pylist()}
+    assert all(b % 97 == 0 for b in bads)
