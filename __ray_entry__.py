@@ -1731,9 +1731,13 @@ def _q_weighted_avg_price(sf_dir: str):
            .to_pandas())
     num = agg["num_s"].to_numpy().astype(np.int64)
     den = agg["den"].to_numpy().astype(np.int64)
+    # num·10⁴ can exceed int64 at large SF while DuckDB promotes to
+    # HUGEINT — split the division (exact, overflow-free)
+    q, r = np.divmod(num, den)
     return pa.table({"l_returnflag": pa.array(agg["l_returnflag"]),
                      "num_s": pa.array(num), "den": pa.array(den),
-                     "wavg_micro": pa.array(num * 10_000 // den)})
+                     "wavg_micro": pa.array(q * 10_000
+                                            + (r * 10_000) // den)})
 
 
 def _q_top_supplier(sf_dir: str):

@@ -728,7 +728,12 @@ def hamming_near_dup(sig_ds: Dataset, id_col: str = "doc_id",
     num_chunks = max_hamming + 1
     if not 1 <= num_chunks <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
-    width = (64 + num_chunks - 1) // num_chunks
+    # proportional band bounds: band c covers bits
+    # [c·64//k, (c+1)·64//k) — every band non-empty for ANY k ≤ 64
+    # (the ceil-width layout ran past bit 64 for most k: negative
+    # shifts crashed and zero-width bands bucketed everything together)
+    bounds = [(c * 64 // num_chunks, (c + 1) * 64 // num_chunks)
+              for c in range(num_chunks)]
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         sig = (batch[sig_col].to_numpy(zero_copy_only=False)
@@ -736,11 +741,10 @@ def hamming_near_dup(sig_ds: Dataset, id_col: str = "doc_id",
         n = batch.num_rows
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         chunks = np.empty((n, num_chunks), dtype=np.int64)
-        for c in range(num_chunks):
-            lo = c * width
-            w = min(width, 64 - lo)
+        for c, (lo, hi) in enumerate(bounds):
             chunks[:, c] = ((sig >> np.uint64(lo)) &
-                            np.uint64((1 << w) - 1)).astype(np.int64)
+                            np.uint64((1 << (hi - lo)) - 1)) \
+                .astype(np.int64)
         return pa.table({
             id_col: pa.array(np.repeat(ids, num_chunks)),
             "chunk": pa.array(np.tile(
@@ -1070,11 +1074,16 @@ def _block_edit_pairs(id_col: str, text_col: str, max_dist: int,
             # sentinel row (dist < 0) carries the cap flag for a
             # pairless capped block — same discipline as the LSH caps
             out_a, out_b, out_d = [ids[0]], [ids[0]], [-1]
+        # flag ONE row per capped block so capped_buckets SUMS to the
+        # number of truncated blocks (a per-row flag max()'d to 0/1
+        # hid the truncation magnitude — review finding)
+        cap_col = np.zeros(len(out_a), dtype=np.int64)
+        if capped and len(out_a):
+            cap_col[0] = 1
         return pd.DataFrame({"id_a": np.asarray(out_a),
                              "id_b": np.asarray(out_b),
                              "dist": np.asarray(out_d, dtype=np.int64),
-                             "capped": np.full(len(out_a), capped,
-                                               dtype=np.int64)})
+                             "capped": cap_col})
     return fn
 
 
@@ -1133,14 +1142,14 @@ def edit_distance_dedup(ds: Dataset, id_col: str = "doc_id",
                              pd.DataFrame({"id": [], "rep": []}), 0, 0)
     if n_rows <= cc_max_driver_pairs:
         raw = pair_ds.to_pandas()
-        capped = int(raw["capped"].max())
+        capped = int(raw["capped"].sum())
         pairs = (raw[raw["dist"] >= 0].drop(columns=["capped"])
                  .reset_index(drop=True))
         dup_ids = set(pairs.id_a) | set(pairs.id_b)
         clusters = _union_find_clusters(list(zip(pairs.id_a, pairs.id_b)),
                                         dup_ids)
         return NearDupResult(pairs, clusters, int(len(pairs)), capped)
-    capped = int(pair_ds.max("capped") or 0)
+    capped = int(pair_ds.sum("capped") or 0)
     pair_ds = pair_ds.filter(expr="dist >= 0").materialize()
     clusters_ds = label_propagation_components(pair_ds).materialize()
     return NearDupResult(

@@ -932,6 +932,12 @@ def grouped_approx_distinct(ds: Dataset, group_col: str, key_col: str,
     out = (cells.groupby("bucket")
            .map_groups(lambda df: merge_group(df.drop(columns=["bucket"])),
                        batch_format="pandas").to_pandas())
+    if len(out) == 0 or "g" not in out.columns:
+        # empty Datasets lose their schema through to_pandas()
+        return pa.table({
+            group_col: pa.array([], type=ds.schema()
+                                .field(group_col).type),
+            "approx_distinct": pa.array([], type=pa.int64())})
     out = out.sort_values("g").reset_index(drop=True)
     return pa.table({group_col: pa.array(out["g"]),
                      "approx_distinct": pa.array(

@@ -69,14 +69,17 @@ def ingest(ds: Dataset, out_dir: str,
     n_quarantined = 0
     if transform is not None:
         if quarantine:
+            import shutil
+            from bigdime_ray.sources.tables import metadata_row_counts
             from bigdime_ray.stages.quarantine import quarantine_map
+            qdir = os.path.join(out_dir, "quarantine")
+            # clean first: write_parquet appends uniquely-named files,
+            # so a retried run would otherwise double-count stale rows
+            shutil.rmtree(qdir, ignore_errors=True)
             ds, bad = quarantine_map(ds, transform)
-            bad.write_parquet(os.path.join(out_dir, "quarantine"))
-            import glob as _glob
-            n_quarantined = sum(
-                pq.ParquetFile(f).metadata.num_rows
-                for f in _glob.glob(os.path.join(out_dir, "quarantine",
-                                                 "*.parquet")))
+            bad.write_parquet(qdir)
+            n_quarantined = int(sum(
+                metadata_row_counts(qdir)["rows"].to_pylist()))
         else:
             ds = ds.map_batches(transform, batch_format="pyarrow",
                                 zero_copy_batch=True)

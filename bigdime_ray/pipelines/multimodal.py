@@ -500,16 +500,47 @@ def media_perceptual_dedup(ds: "Dataset", max_hamming: int = 6,
     (dHash for images/video first frames, envelope fingerprint for
     audio) through the generic Hamming LSH + in-bucket verify
     (pipelines/dedup.py::hamming_near_dup — max_hamming+1 chunk bands,
-    recall guaranteed by pigeonhole). Signatures only hash WITHIN a
-    modality in practice (image vs audio sigs live in different bit
-    distributions), but ids are global so one pass covers the whole
-    media table. Undecodable rows are excluded (decode_ok=false).
-    Returns a NearDupResult (pairs carry similarity = 1 − dist/64)."""
-    from bigdime_ray.pipelines.dedup import hamming_near_dup
+    recall guaranteed by pigeonhole). The LSH runs PER MODALITY
+    (visual: image+video dHash space; audio: envelope space) — a
+    cross-modality Hamming distance is meaningless, and degenerate
+    media (flat image, silence) share sig 0 across modalities, which a
+    single pass would report as similarity-1.0 duplicates (review
+    finding). sig==0 rows are excluded alongside decode failures: a
+    gradient-free payload carries no perceptual information to match
+    on. Undecodable rows are excluded (decode_ok=false). Returns a
+    NearDupResult (pairs carry similarity = 1 − dist/64)."""
+    import pandas as pd
+    from bigdime_ray.pipelines.dedup import (NearDupResult,
+                                             hamming_near_dup)
     sigs = media_perceptual_hashes(ds, concurrency=concurrency,
                                    batch_size=batch_size) \
-        .filter(expr="decode_ok == True")
-    return hamming_near_dup(sigs, id_col="media_id", sig_col="sig",
-                            max_hamming=max_hamming,
-                            bucket_cap=bucket_cap,
-                            cc_max_driver_pairs=cc_max_driver_pairs)
+        .filter(expr="decode_ok == True").filter(expr="sig != 0") \
+        .materialize()
+    parts = []
+    for kinds in (("image", "video", "frame"), ("audio",)):
+        sub = sigs.filter(
+            expr=" or ".join(f"kind == '{k}'" for k in kinds))
+        if sub.count() == 0:
+            continue
+        parts.append(hamming_near_dup(
+            sub, id_col="media_id", sig_col="sig",
+            max_hamming=max_hamming, bucket_cap=bucket_cap,
+            cc_max_driver_pairs=cc_max_driver_pairs))
+    if not parts:
+        return NearDupResult(
+            pd.DataFrame({"id_a": [], "id_b": [], "similarity": []}),
+            pd.DataFrame({"id": [], "rep": []}), 0, 0)
+    if len(parts) == 1:
+        return parts[0]
+    return NearDupResult(
+        pairs=pd.concat([p.pairs for p in parts], ignore_index=True),
+        clusters=pd.concat([p.clusters for p in parts],
+                           ignore_index=True),
+        candidate_pairs=sum(p.candidate_pairs for p in parts),
+        capped_buckets=sum(p.capped_buckets for p in parts),
+        pairs_ds=(parts[0].pairs_ds.union(parts[1].pairs_ds)
+                  if all(p.pairs_ds is not None for p in parts)
+                  else None),
+        clusters_ds=(parts[0].clusters_ds.union(parts[1].clusters_ds)
+                     if all(p.clusters_ds is not None for p in parts)
+                     else None))

@@ -504,6 +504,10 @@ def pq_search(codes_ds: Dataset, books: np.ndarray, query: np.ndarray,
 
     rows = codes_ds.map_batches(block_topk, batch_format="pyarrow",
                                 zero_copy_batch=True).to_pandas()
+    if len(rows) == 0 or "adc" not in rows.columns:
+        # empty Datasets lose their schema through to_pandas()
+        return pa.table({id_col: pa.array([], type=pa.int64()),
+                         "adc": pa.array([], type=pa.float64())})
     rows = rows.sort_values(["adc", id_col]).head(topk)
     return pa.Table.from_pandas(rows, preserve_index=False)
 

@@ -636,7 +636,13 @@ def time_weighted_sum(ds: Dataset, key: str, ts_col: str, id_col: str,
     (SQL parity: HAVING COUNT(*) ≥ 2 AND MAX(t) > MIN(t)).
     Bucketed vectorized kernel: one lexsort by (key, ts, id), one
     shifted diff, per-key segment sums via ``np.add.reduceat`` — no
-    per-key loop; the only shuffle co-partitions key hash buckets."""
+    per-key loop; the only shuffle co-partitions key hash buckets.
+    ``scale`` must divide 10⁶ (the twa_micro multiplier is 10⁶/scale
+    as an exact integer; any other scale would silently truncate —
+    review finding)."""
+    if 1_000_000 % scale:
+        raise ValueError(f"scale={scale} must divide 1_000_000 for an "
+                         "exact twa_micro")
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__bucket"])

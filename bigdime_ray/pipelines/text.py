@@ -528,7 +528,7 @@ def repetition_scores(ds, text_col: str = "text",
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         flat, doc_idx = _split_words(batch[text_col], lowercase)
-        empty = pa.table({"doc_id": pa.array([], type=ids.type),
+        empty = pa.table({id_col: pa.array([], type=ids.type),
                           "n_grams": pa.array([], type=pa.int64()),
                           "n_distinct": pa.array([], type=pa.int64()),
                           "rep_ppm": pa.array([], type=pa.int64())})
@@ -553,7 +553,7 @@ def repetition_scores(ds, text_col: str = "text",
         np.add.at(n_tg, inv, cc)
         n_dist = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         return pa.table({
-            "doc_id": ids.take(pa.array(uniq)),
+            id_col: ids.take(pa.array(uniq)),
             "n_grams": pa.array(n_tg),
             "n_distinct": pa.array(n_dist),
             "rep_ppm": pa.array((n_tg - n_dist) * 1_000_000 // n_tg)})
@@ -594,8 +594,11 @@ def vocabulary_jaccard(ds, group_col: str = "source",
              .groupby(["g", "w"]).count().to_pandas())
     # driver side: EXACT string sets per group (not hashes — the oracle
     # compares exact intersections, and a 64-bit collision, however
-    # unlikely, would silently inflate one cell)
-    sets = {gname: set(sub["w"]) for gname, sub in pairs.groupby("g")}
+    # unlikely, would silently inflate one cell). Empty Datasets lose
+    # their schema through to_pandas(), so guard before the groupby.
+    sets = ({} if len(pairs) == 0 or "g" not in pairs.columns
+            else {gname: set(sub["w"])
+                  for gname, sub in pairs.groupby("g")})
     names = sorted(sets)
     ga, gb, inter, uni = [], [], [], []
     for i in range(len(names)):

@@ -40,6 +40,10 @@ def zorder_key(cols: list[np.ndarray], lows: list[float],
     out = np.zeros(len(cols[0]), dtype=np.uint64)
     for j, (v, lo, hi) in enumerate(zip(cols, lows, highs)):
         span = (hi - lo) or 1.0
+        # nulls/NaN quantize to the low edge — clip keeps NaN and a
+        # NaN→uint64 cast is undefined (review finding); layout-only,
+        # so pinning them to one end is always safe
+        v = np.where(np.isnan(v), lo, v)
         q = np.clip(((v - lo) / span) * scale, 0, scale) \
             .astype(np.uint64)
         for b in range(bits):
@@ -62,6 +66,8 @@ def zorder_sort(ds: Dataset, cols: list[str], bits: int = 16) -> Dataset:
     stats = ds.aggregate(*aggs)
 
     def as_f(x):
+        if x is None:  # all-null column → constant key contribution
+            return 0.0
         if hasattr(x, "timestamp"):
             return x.timestamp() * 1e6
         return float(x)

@@ -60,6 +60,17 @@ def quarantine_map(ds: Dataset, fn: Callable[[pa.Table], pa.Table],
         good: list = []
         bad: list = []
         _bisect_apply(fn, batch, good, bad)
+        # fn's output schema, even for an all-bad batch (a block whose
+        # good side would otherwise carry only the marker columns and
+        # mix schemas downstream — review finding). Kernels here are
+        # vectorized, so fn on the empty slice is cheap; if fn itself
+        # rejects empties, fall back to any good part's schema.
+        out_schema = None
+        try:
+            out_schema = fn(batch.slice(0, 0)).schema
+        except Exception:  # noqa: BLE001
+            if good:
+                out_schema = good[0].schema
         parts = []
         for g in good:
             if g.num_rows:
@@ -72,17 +83,24 @@ def quarantine_map(ds: Dataset, fn: Callable[[pa.Table], pa.Table],
                 parts.append(g.append_column(
                     "error", pa.nulls(g.num_rows, pa.string())))
         for b, err in bad:
-            parts.append(pa.table({
+            cols = {
                 "__quarantined": pa.array([True] * b.num_rows),
                 "row_json": pa.array(
                     [str(r) for r in b.to_pylist()], type=pa.string()),
                 "error": pa.array([err] * b.num_rows,
-                                  type=pa.string())}))
+                                  type=pa.string())}
+            if out_schema is not None:
+                for f in out_schema:
+                    cols[f.name] = pa.nulls(b.num_rows, f.type)
+            parts.append(pa.table(cols))
         if not parts:
-            return pa.table({
-                "__quarantined": pa.array([], pa.bool_()),
-                "row_json": pa.array([], pa.string()),
-                "error": pa.array([], pa.string())})
+            cols = {"__quarantined": pa.array([], pa.bool_()),
+                    "row_json": pa.array([], pa.string()),
+                    "error": pa.array([], pa.string())}
+            if out_schema is not None:
+                for f in out_schema:
+                    cols[f.name] = pa.nulls(0, f.type)
+            return pa.table(cols)
         return pa.concat_tables(parts, promote_options="default")
 
     out = ds.map_batches(guarded, batch_format="pyarrow", **map_kwargs)

@@ -397,7 +397,34 @@ def test_edit_distance_dedup_distributed_equals_driver(fuzzy_ds):
 
 def test_edit_distance_cap_reported(fuzzy_ds):
     """cap_per_block=1 caps candidate verification; the truncation is
-    REPORTED (capped_buckets > 0), never silent."""
+    REPORTED and COUNTED per capped block (review fix: a 0/1 flag hid
+    the magnitude) — all 4 planted blocks exceed a 1-candidate cap."""
     from bigdime_ray.pipelines.dedup import edit_distance_dedup
     res = edit_distance_dedup(fuzzy_ds, max_dist=10, cap_per_block=1)
-    assert res.capped_buckets == 1
+    assert res.capped_buckets == 4
+
+
+def test_hamming_near_dup_any_max_hamming():
+    """Review regression: proportional band bounds must work for ANY
+    max_hamming in [0, 63] (the ceil-width layout crashed on 46 of 64
+    values and degenerated on {8,16,32}); a planted distance-k pair is
+    found at max_hamming=k and buckets stay selective."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.dedup import hamming_near_dup
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 2**63, 200, dtype=np.int64)
+    base = sigs[0]
+    for k in (0, 3, 8, 11, 16, 20, 32, 47, 63):
+        flip = np.int64(base)
+        for b in rng.choice(64, size=min(k, 64), replace=False)[:k]:
+            flip ^= np.int64(1) << np.int64(int(b))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(201, dtype=np.int64)),
+            "sig": pa.array(np.r_[sigs, flip])})).repartition(2)
+        res = hamming_near_dup(ds, id_col="doc_id", sig_col="sig",
+                               max_hamming=k, bucket_cap=300)
+        found = {frozenset((a, b)) for a, b in
+                 zip(res.pairs.id_a, res.pairs.id_b)}
+        assert frozenset((0, 200)) in found, k
