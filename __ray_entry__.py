@@ -2420,6 +2420,17 @@ def _q_label_centroid_dots(sf_dir: str):
                      "dot_s": pa.array(dots, type=pa.int64())})
 
 
+def _q_doc_lm_scores(sf_dir: str):
+    """Corpus-bigram language-model score per document (KenLM-style
+    quality filter): logprob = Σ ln P(w_i | w_{i-1}) from the corpus's
+    own bigram counts — per-TERM fixed-point ln (tf_idf precedent) so
+    the per-doc integer sums hash identically
+    (pipelines/text.py::bigram_lm_scores)."""
+    from bigdime_ray.pipelines.text import bigram_lm_scores
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_scores(ds)
+
+
 def _q_vocabulary_jaccard(sf_dir: str):
     """Set-similarity join between sources' vocabularies: exact
     distinct-word Jaccard per source pair — shuffle carries only the
@@ -3237,6 +3248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_bigrams": _q_word_bigrams,
         "doc_repetition": _q_doc_repetition,
         "vocabulary_jaccard": _q_vocabulary_jaccard,
+        "doc_lm_scores": _q_doc_lm_scores,
         "user_event_entropy": _q_user_event_entropy,
         "approx_distinct_users": _q_approx_distinct_users,
         "user_time_weighted_value": _q_user_time_weighted_value,
@@ -3856,6 +3868,23 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard_ppm FROM ix "
             "JOIN sz na ON na.source = source_a "
             "JOIN sz nb ON nb.source = source_b",
+        "doc_lm_scores":
+            "WITH w AS (SELECT doc_id, ord, w FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS w, "
+            "generate_subscripts(string_split_regex(lower(text), "
+            "'\\s+'), 1) AS ord FROM documents) WHERE w <> ''), "
+            "b AS (SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY "
+            "doc_id ORDER BY ord) AS w2 FROM w), "
+            "bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM b WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+            "c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM bg "
+            "GROUP BY 1) "
+            "SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(CAST(FLOOR(ln(CAST(bg.c AS DOUBLE) / c1.c1) * "
+            "1000000 + 0.5) AS BIGINT)) AS BIGINT) AS logprob_micro "
+            "FROM b JOIN bg ON b.w1 = bg.w1 AND b.w2 = bg.w2 "
+            "JOIN c1 ON bg.w1 = c1.w1 WHERE b.w2 IS NOT NULL "
+            "GROUP BY b.doc_id",
         "user_event_entropy":
             "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS "
             "BIGINT) AS c FROM events GROUP BY 1, 2), "

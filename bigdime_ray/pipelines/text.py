@@ -619,3 +619,94 @@ def vocabulary_jaccard(ds, group_col: str = "source",
         "inter": pa.array(inter),
         "uni": pa.array(uni),
         "jaccard_ppm": pa.array(inter * 1_000_000 // uni)})
+
+
+def bigram_lm_scores(ds, text_col: str = "text",
+                     id_col: str = "doc_id", lowercase: bool = True,
+                     total_docs: int | None = None):
+    """Corpus-bigram LANGUAGE-MODEL score per document — the KenLM-
+    style quality filter: logprob = Σ ln P(w_i | w_{i-1}) with ML
+    probabilities from the corpus's own bigram counts (every in-doc
+    bigram contributes ≥1 to the counts, so no OOV smoothing is
+    needed; boilerplate/repetitive docs score HIGH, line-noise docs
+    LOW). Tokenizer shared with document_frequency / word_bigram_counts.
+
+    Two passes: (1) ``word_bigram_counts`` collected + broadcast once
+    as (sorted bigram-hash, count, sorted left-hash, left-total) —
+    vocabulary-bounded like tf_idf's broadcast, same ≥10⁸-vocab join
+    alternative; (2) pure map over documents: per-block adjacency,
+    binary-search lookups, per-TERM fixed-point ln (both engines ln
+    the identical exact-int ratio → identical double → identical
+    int64), per-doc integer sums — order-independent, the repo-wide
+    oracle discipline. Docs with < 2 words emit no row (their window
+    bigrams are all NULL in the SQL mirror). Output: (id, n_bigrams,
+    logprob_micro)."""
+    import ray
+
+    tabs = [t for t in ray.get(
+        word_bigram_counts(ds, text_col=text_col, min_count=1,
+                           lowercase=lowercase).to_arrow_refs())
+        if t.num_rows > 0]
+    bg = pa.concat_tables(tabs) if tabs else pa.table(
+        {"w1": pa.array([], type=pa.string()),
+         "w2": pa.array([], type=pa.string()),
+         "cnt": pa.array([], type=pa.int64())})
+    key = pc.binary_join_element_wise(bg["w1"], bg["w2"],
+                                      pa.scalar(" "))
+    kh = hash_string_column(key.combine_chunks()
+                            if isinstance(key, pa.ChunkedArray)
+                            else key).view(np.int64)
+    cnt = bg["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(kh, kind="stable")
+    kh_s, cnt_s = np.ascontiguousarray(kh[o]), \
+        np.ascontiguousarray(cnt[o])
+    # left-context totals c1(w1) = Σ over w2 of c(w1, w2)
+    lh = hash_string_column(bg["w1"].combine_chunks()).view(np.int64)
+    lo = np.argsort(lh, kind="stable")
+    lh_sorted = lh[lo]
+    bounds = np.nonzero(np.r_[True, lh_sorted[1:] != lh_sorted[:-1]])[0]
+    lh_u = lh_sorted[bounds]
+    c1_u = np.add.reduceat(cnt[lo], bounds) if len(lo) else \
+        np.empty(0, dtype=np.int64)
+    bc = ray.put((kh_s, cnt_s, lh_u, c1_u))
+
+    sch = ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    empty = pa.table({id_col: pa.array([], type=id_type),
+                      "n_bigrams": pa.array([], type=pa.int64()),
+                      "logprob_micro": pa.array([], type=pa.int64())})
+
+    def score(batch: pa.Table) -> pa.Table:
+        khs, cnts, lhu, c1u = ray.get(bc)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat, doc_idx = _split_words(batch[text_col], lowercase)
+        if len(doc_idx) < 2:
+            return empty
+        adj = np.nonzero(doc_idx[1:] == doc_idx[:-1])[0]
+        if len(adj) == 0:
+            return empty
+        w1 = flat.take(pa.array(adj))
+        w2 = flat.take(pa.array(adj + 1))
+        bkey = pc.binary_join_element_wise(w1, w2, pa.scalar(" "))
+        bh = hash_string_column(bkey).view(np.int64)
+        i = np.searchsorted(khs, bh)
+        c = cnts[i]                      # every in-doc bigram is counted
+        h1 = hash_string_column(w1).view(np.int64)
+        j = np.searchsorted(lhu, h1)
+        c1 = c1u[j]
+        term = np.floor(np.log(c / c1) * 1_000_000 + 0.5) \
+            .astype(np.int64)
+        d = doc_idx[adj]
+        uniq, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, term)
+        return pa.table({
+            id_col: ids.take(pa.array(uniq)),
+            "n_bigrams": pa.array(np.bincount(
+                inv, minlength=len(uniq)).astype(np.int64)),
+            "logprob_micro": pa.array(s)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)

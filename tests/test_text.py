@@ -322,3 +322,42 @@ def test_vocabulary_jaccard_matches_brute_force():
                 want[(names[i], names[j])] = (ix, u, ix * 10**6 // u)
     assert got == want
     assert ("s2", "s3") not in got  # disjoint vocabularies → omitted
+
+
+def test_bigram_lm_scores_matches_brute_force():
+    """LM scores == python brute force (corpus ML bigram probs,
+    per-term fixed-point ln); short docs emit no row; repetitive text
+    scores higher (closer to 0) than unique text."""
+    import math
+    from collections import Counter
+    from bigdime_ray.pipelines.text import bigram_lm_scores
+    texts = {1: "a b a b a b a b", 2: "q w e r t y u i",
+             3: "a b c a b", 4: "solo", 5: ""}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array(list(texts.values()))})).repartition(2)
+    got = {r["doc_id"]: r for r in bigram_lm_scores(ds).take_all()}
+    bg = Counter()
+    for t in texts.values():
+        w = t.split()
+        for i in range(len(w) - 1):
+            bg[(w[i], w[i + 1])] += 1
+    c1 = Counter()
+    for (w1, _), c in bg.items():
+        c1[w1] += c
+    want = {}
+    for did, t in texts.items():
+        w = t.split()
+        if len(w) < 2:
+            continue
+        terms = [math.floor(math.log(bg[(w[i], w[i + 1])]
+                                     / c1[w[i]]) * 1_000_000 + 0.5)
+                 for i in range(len(w) - 1)]
+        want[did] = (len(terms), sum(terms))
+    assert set(got) == set(want)
+    for did, (n, s) in want.items():
+        assert got[did]["n_bigrams"] == n and \
+            got[did]["logprob_micro"] == s, did
+    # all-unique-bigram docs have deterministic continuations → P=1
+    # per term → logprob exactly 0 (a useful sanity anchor)
+    assert got[2]["logprob_micro"] == 0
