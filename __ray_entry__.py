@@ -2420,6 +2420,22 @@ def _q_label_centroid_dots(sf_dir: str):
                      "dot_s": pa.array(dots, type=pa.int64())})
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed byte-level BPE training over the documents corpus
+    (rows-only: iterative, no SQL oracle — pytest pins exact equality
+    with a sequential reference incl. tie-breaks and overlapping-run
+    semantics). Returns the learned merge table in merge order
+    (pipelines/tokenize.py::bpe_train)."""
+    from bigdime_ray.pipelines.tokenize import bpe_train
+    ds = _read(sf_dir, "documents", columns=["text"])
+    merges = bpe_train(ds, num_merges=40)
+    return pa.table({
+        "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+        "left": pa.array([m[0] for m in merges], type=pa.int64()),
+        "right": pa.array([m[1] for m in merges], type=pa.int64()),
+        "new_id": pa.array([m[2] for m in merges], type=pa.int64())})
+
+
 def _q_doc_lm_scores(sf_dir: str):
     """Corpus-bigram language-model score per document (KenLM-style
     quality filter): logprob = Σ ln P(w_i | w_{i-1}) from the corpus's
@@ -3249,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
+        "bpe_merges": _q_bpe_merges,
         "user_event_entropy": _q_user_event_entropy,
         "approx_distinct_users": _q_approx_distinct_users,
         "user_time_weighted_value": _q_user_time_weighted_value,

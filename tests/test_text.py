@@ -361,3 +361,57 @@ def test_bigram_lm_scores_matches_brute_force():
     # all-unique-bigram docs have deterministic continuations → P=1
     # per term → logprob exactly 0 (a useful sanity anchor)
     assert got[2]["logprob_micro"] == 0
+
+
+def _ref_bpe(texts, k, min_count=2):
+    """Independent sequential byte-BPE reference (greedy left-to-right
+    apply, ties to smallest packed key)."""
+    from collections import Counter
+
+    def apply(seq, a, b, nid):
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    seqs = [list(t.encode()) for t in texts]
+    merges, nid = [], 256
+    for _ in range(k):
+        c = Counter()
+        for s in seqs:
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += 1
+        if not c or max(c.values()) < min_count:
+            break
+        best_n = max(c.values())
+        best = min(((a << 32) | b) for (a, b), n in c.items()
+                   if n == best_n)
+        a, b = best >> 32, best & 0xFFFFFFFF
+        merges.append((a, b, nid))
+        seqs = [apply(s, a, b, nid) for s in seqs]
+        nid += 1
+    return merges, seqs
+
+
+def test_bpe_train_matches_sequential_reference():
+    """Distributed BPE == the sequential reference: identical merge
+    sequence (incl. deterministic tie-breaks and the overlapping
+    equal-symbol run case) and identical encodings."""
+    from bigdime_ray.pipelines.tokenize import (bpe_encode_texts,
+                                                bpe_train)
+    texts = ["the cat sat on the mat", "the bat and the rat",
+             "aaaaaa b aaaa", "banana bandana", "", "xy"]
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(3)
+    got = bpe_train(ds, num_merges=12)
+    want_merges, want_seqs = _ref_bpe(texts, 12)
+    assert got == want_merges
+    enc = bpe_encode_texts(texts, got)
+    assert enc == want_seqs
+    # merges actually compress
+    assert sum(len(s) for s in want_seqs) < sum(len(t.encode())
+                                                for t in texts)
