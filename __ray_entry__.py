@@ -2420,6 +2420,38 @@ def _q_label_centroid_dots(sf_dir: str):
                      "dot_s": pa.array(dots, type=pa.int64())})
 
 
+def _q_lineitem_metrics_long(sf_dir: str):
+    """UNPIVOT / melt shape: the three lineitem measures reshaped to
+    one (orderkey, linenumber, metric, value) row each — wide → long,
+    pure map, zero shuffle (pipelines/nested.py::unpivot). Values
+    fixed-point ×100 into ONE int64 column before the melt (unpivot
+    requires a single value type — exactly the oracle discipline)."""
+    from bigdime_ray.pipelines.nested import unpivot
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": pc.cast(batch["l_linenumber"], pa.int64()),
+            "quantity": _scaled_i64(
+                batch["l_quantity"].to_numpy(zero_copy_only=False),
+                100),
+            "extendedprice": _scaled_i64(
+                batch["l_extendedprice"]
+                .to_numpy(zero_copy_only=False), 100),
+            "discount": _scaled_i64(
+                batch["l_discount"].to_numpy(zero_copy_only=False),
+                100)})
+
+    wide = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return unpivot(wide, ["l_orderkey", "l_linenumber"],
+                   ["quantity", "extendedprice", "discount"],
+                   var_col="metric", value_col="value_c")
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed byte-level BPE training over the documents corpus
     (rows-only: iterative, no SQL oracle — pytest pins exact equality
@@ -3266,6 +3298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
         "bpe_merges": _q_bpe_merges,
+        "lineitem_metrics_long": _q_lineitem_metrics_long,
         "user_event_entropy": _q_user_event_entropy,
         "approx_distinct_users": _q_approx_distinct_users,
         "user_time_weighted_value": _q_user_time_weighted_value,
@@ -3902,6 +3935,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM b JOIN bg ON b.w1 = bg.w1 AND b.w2 = bg.w2 "
             "JOIN c1 ON bg.w1 = c1.w1 WHERE b.w2 IS NOT NULL "
             "GROUP BY b.doc_id",
+        "lineitem_metrics_long":
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS "
+            "l_linenumber, 'quantity' AS metric, CAST(FLOOR("
+            "l_quantity * 100 + 0.5) AS BIGINT) AS value_c FROM "
+            "lineitem UNION ALL SELECT l_orderkey, CAST(l_linenumber "
+            "AS BIGINT), 'extendedprice', CAST(FLOOR(l_extendedprice "
+            "* 100 + 0.5) AS BIGINT) FROM lineitem UNION ALL SELECT "
+            "l_orderkey, CAST(l_linenumber AS BIGINT), 'discount', "
+            "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) FROM "
+            "lineitem",
         "user_event_entropy":
             "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS "
             "BIGINT) AS c FROM events GROUP BY 1, 2), "

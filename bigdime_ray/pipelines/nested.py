@@ -55,3 +55,33 @@ def unnest_column(ds: Dataset, list_col: str, value_col: str = "val",
 
     return ds.map_batches(explode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_col: str = "metric", value_col: str = "value"):
+    """UNPIVOT / melt: wide → long reshape, one output row per (input
+    row × value column) — the inverse of pivot_counts/pivot_sums and
+    the standard prep for per-metric grouped analytics over a wide
+    feature table. Pure map (zero shuffle): each block emits one
+    id-projected slice per value column tagged with the column name,
+    concatenated zero-copy. All ``value_cols`` must share one Arrow
+    type (cast upstream — silent promotion would surprise the oracle
+    discipline); output row order is column-major per block, which is
+    irrelevant to every downstream aggregate and to the row-order-
+    insensitive driver compare."""
+    def melt(batch: pa.Table) -> pa.Table:
+        types = {str(batch[c].type) for c in value_cols}
+        if len(types) > 1:
+            raise TypeError(f"value_cols mix types {sorted(types)}; "
+                            "cast them to one type first")
+        parts = []
+        for c in value_cols:
+            cols = {i: batch[i] for i in id_cols}
+            cols[var_col] = pa.array([c] * batch.num_rows,
+                                     type=pa.string())
+            cols[value_col] = batch[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -118,3 +118,26 @@ def test_metadata_row_counts(tmp_path):
     import pytest
     with pytest.raises(FileNotFoundError):
         metadata_row_counts(str(tmp_path / "nope_missing"))
+
+
+def test_unpivot_matches_pandas_melt():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from bigdime_ray.pipelines.nested import unpivot
+    df = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                       "a": np.arange(10, dtype=np.int64) * 2,
+                       "b": np.arange(10, dtype=np.int64) * 3})
+    ds = rd.from_pandas(df).repartition(3)
+    got = (unpivot(ds, ["k"], ["a", "b"]).to_pandas()
+           .sort_values(["k", "metric"]).reset_index(drop=True))
+    want = (df.melt(id_vars=["k"], value_vars=["a", "b"],
+                    var_name="metric", value_name="value")
+            .sort_values(["k", "metric"]).reset_index(drop=True))
+    assert got.equals(want)
+    # mixed value types are rejected, not silently promoted
+    df2 = df.assign(b=df.b.astype(float))
+    with pytest.raises(Exception, match="mix types"):
+        unpivot(rd.from_pandas(df2), ["k"], ["a", "b"]).to_pandas()
