@@ -889,6 +889,52 @@ def _q_asof_join(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_asof_join_next(sf_dir: str):
+    """FORWARD as-of join: each purchase matched to the user's EARLIEST
+    click at-or-after it — the 'next event' direction, obtained from
+    the SAME backward packed kernel by negating timestamps (latest
+    −c ≤ −p ⟺ smallest c ≥ p; the kernel's int64 ts math is
+    sign-agnostic). Tie semantics inherited: MAX(event_id) among
+    equal-ts clicks, mirrored in the oracle's pre-aggregation."""
+    from bigdime_ray.pipelines.stream import asof_join_packed_tagged
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    p = os.path.join(sf_dir, "events.parquet")
+    nb = max(4, os.path.getsize(p) // (32 << 20) + 1)
+    kw = {"override_num_blocks": int(nb)} if nb <= 128 else {}
+    ev = ray.data.read_parquet(
+        p, columns=cols,
+        filter=(pc.field("event_type").isin(["purchase", "click"])), **kw)
+
+    def negate(b: pa.Table) -> pa.Table:
+        ti = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts": pa.array((-ti).view("datetime64[us]"),
+                           type=pa.timestamp("us")),
+            "event_type": b["event_type"]})
+
+    out = asof_join_packed_tagged(
+        ev.map_batches(negate, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key="user_id", ts_col="ts", id_col="event_id",
+        side_col="event_type", left_value="purchase",
+        right_value="click", out_col="next_click_id")
+
+    def rename(b: pa.Table) -> pa.Table:
+        ti = (b["ts"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").view(np.int64))
+        return pa.table({
+            "user_id": pc.cast(b["k"], pa.int64()),
+            "ts": pa.array((-ti).view("datetime64[us]"),
+                           type=pa.timestamp("us")),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "next_click_id": pc.cast(b["next_click_id"],
+                                     pa.float64())})
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_asof_join_windowed(sf_dir: str):
     """As-of join with a match-window tolerance (attribution semantics):
     each purchase matched to the latest prior click of the same user
@@ -3260,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
         "events_asof_join": _q_asof_join,
+        "events_asof_join_next": _q_asof_join_next,
         "events_asof_join_windowed": _q_asof_join_windowed,
         "events_interval_overlap": _q_interval_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -3542,6 +3589,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(c.cid AS DOUBLE) AS click_event_id "
             "FROM p ASOF LEFT JOIN c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "events_asof_join_next":
+            "WITH p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, MAX(event_id) AS cid FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id, ts) "
+            "SELECT p.user_id, p.ts, p.event_id, "
+            "CAST(c.cid AS DOUBLE) AS next_click_id "
+            "FROM p ASOF LEFT JOIN c "
+            "ON p.user_id = c.user_id AND p.ts <= c.ts",
         "events_asof_join_windowed":
             "WITH p AS (SELECT user_id, ts, event_id FROM events "
             "WHERE event_type = 'purchase'), "
