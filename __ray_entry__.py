@@ -2498,6 +2498,52 @@ def _q_lineitem_metrics_long(sf_dir: str):
                    var_col="metric", value_col="value_c")
 
 
+def _q_ops_maintenance_cycle(sf_dir: str):
+    """Operational lifecycle through the driver surface (rows-only,
+    deterministic): synthesize a token table → INGEST with a
+    quarantining cleanse transform (poison rows bisected into the
+    quarantine side output, manifest counts exclude them) → COMPACT
+    the small files with Z-ORDER clustering → FOOTER-ONLY recount.
+    One summary row per stage metric — the accreting-dataset chores
+    (pipelines/ingest.py, stages/{quarantine,layout}.py,
+    sources/tables.py::metadata_row_counts)."""
+    import tempfile
+    import ray.data as rd
+    from bigdime_ray.pipelines.ingest import compact_parquet, ingest
+    from bigdime_ray.sources.tables import metadata_row_counts
+    from bigdime_ray.synth import SynthConfig, gen_partition
+
+    t = gen_partition(SynthConfig(seed=33), 0, 3000)
+    ds = rd.from_arrow(t).repartition(6)
+
+    def cleanse(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False)
+        if (n_tok % 101 == 0).any():
+            raise ValueError("cursed length")
+        return batch
+
+    with tempfile.TemporaryDirectory(prefix="opscycle_") as d:
+        man = ingest(ds, os.path.join(d, "ing"), num_partitions=4,
+                     transform=cleanse, quarantine=True)
+        quarantined = man.get("__quarantined__",
+                              {"expected_rows": 0})["expected_rows"]
+        healthy = sum(v["expected_rows"] for k, v in man.items()
+                      if k != "__quarantined__")
+        rep = compact_parquet(os.path.join(d, "ing", "data"),
+                              os.path.join(d, "compact"),
+                              target_rows_per_file=10_000,
+                              zorder_by=["n_tok"])
+        counted = int(sum(metadata_row_counts(
+            os.path.join(d, "compact"))["rows"].to_pylist()))
+    return pa.table({
+        "stage": pa.array(["ingested_rows", "quarantined_rows",
+                           "files_in", "files_out",
+                           "footer_recount"], type=pa.string()),
+        "value": pa.array([healthy, quarantined, rep["files_in"],
+                           rep["files_out"], counted],
+                          type=pa.int64())})
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed byte-level BPE training over the documents corpus
     (rows-only: iterative, no SQL oracle — pytest pins exact equality
@@ -3345,6 +3391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
         "bpe_merges": _q_bpe_merges,
+        "ops_maintenance_cycle": _q_ops_maintenance_cycle,
         "lineitem_metrics_long": _q_lineitem_metrics_long,
         "user_event_entropy": _q_user_event_entropy,
         "approx_distinct_users": _q_approx_distinct_users,

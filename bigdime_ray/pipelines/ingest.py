@@ -153,7 +153,8 @@ def compact_parquet(in_dir: str, out_dir: str,
     import glob
     import ray
 
-    files_in = len(glob.glob(os.path.join(in_dir, "*.parquet")))
+    files_in = len(glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                             recursive=True))
     ds = ray.data.read_parquet(in_dir, columns=columns)
     if zorder_by:
         from bigdime_ray.stages.layout import zorder_sort
