@@ -893,6 +893,10 @@ def grouped_approx_distinct(ds: Dataset, group_col: str, key_col: str,
     m = 1 << p
 
     def pack(batch: pa.Table) -> pa.Table:
+        # null group values are DROPPED (documented: merge_group sorts
+        # group values, and None/NaN neither sort nor merge sanely;
+        # SQL's NULL group has no useful distinct-count semantics here)
+        batch = batch.filter(pc.is_valid(batch[group_col]))
         g = batch[group_col]
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()

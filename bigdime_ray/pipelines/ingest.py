@@ -76,6 +76,10 @@ def ingest(ds: Dataset, out_dir: str,
             # clean first: write_parquet appends uniquely-named files,
             # so a retried run would otherwise double-count stale rows
             shutil.rmtree(qdir, ignore_errors=True)
+            # an all-healthy run writes ZERO quarantine files and Ray's
+            # empty write creates no directory — pre-create it so the
+            # footer count sees an empty dir, not a missing path
+            os.makedirs(qdir, exist_ok=True)
             ds, bad = quarantine_map(ds, transform)
             bad.write_parquet(qdir)
             n_quarantined = int(sum(

@@ -343,6 +343,10 @@ def embedding_gram(ds: Dataset, vec_col: str = "embedding",
            .aggregate(Sum("s", alias_name="s"),
                       Sum("n", alias_name="n"))
            .to_pandas())
+    if len(out) == 0 or "dim_a" not in out.columns:
+        # empty Datasets lose their schema through to_pandas()
+        e = pa.array([], type=pa.int64())
+        return pa.table({"dim_a": e, "dim_b": e, "s": e, "n": e})
     return pa.table({
         "dim_a": pa.array(out["dim_a"].to_numpy().astype(np.int64)),
         "dim_b": pa.array(out["dim_b"].to_numpy().astype(np.int64)),
@@ -441,6 +445,31 @@ def pq_train(sample: np.ndarray, m: int = 8, bits: int = 4,
     return books
 
 
+def _pq_assign_codes(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) → (n, m) uint8 PQ codes: per-subspace ‖x−c‖² argmin via
+    the −2x·c + ‖c‖² trick — the ONE assignment kernel shared by
+    pq_encode and build_pq_ivf_index (review: two diverging copies)."""
+    m, k, dsub = books.shape
+    n = len(x)
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        d = -2.0 * (xs @ books[j].T) \
+            + (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def _codes_column(codes: np.ndarray) -> pa.Array:
+    """(n, m) uint8 → binary column without a per-row Python loop:
+    one flat buffer + arithmetic offsets."""
+    n, m = codes.shape
+    off = pa.array(np.arange(n + 1, dtype=np.int32) * m)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n, [None, off.buffers()[1],
+                         pa.py_buffer(codes.tobytes())])
+
+
 def pq_encode(ds: Dataset, books: np.ndarray,
               vec_col: str = "embedding", id_col: str = "vec_id"
               ) -> Dataset:
@@ -457,18 +486,9 @@ def pq_encode(ds: Dataset, books: np.ndarray,
     def enc(batch: pa.Table) -> pa.Table:
         b = _ray.get(bref)
         x = _to_matrix(batch[vec_col], dim)
-        n = len(x)
-        codes = np.empty((n, m), dtype=np.uint8)
-        for j in range(m):
-            xs = x[:, j * dsub:(j + 1) * dsub]
-            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² constant per row
-            d = -2.0 * (xs @ b[j].T) + (b[j] ** 2).sum(axis=1)[None, :]
-            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
         return pa.table({
             id_col: batch[id_col],
-            "codes": pa.array(list(codes.tobytes()[i * m:(i + 1) * m]
-                                   for i in range(n)),
-                              type=pa.binary())})
+            "codes": _codes_column(_pq_assign_codes(x, b))})
 
     return ds.map_batches(enc, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -551,18 +571,9 @@ def build_pq_ivf_index(ds: Dataset, index_dir: str, nlist: int = 16,
         b = ray.get(bref)
         x = _normalize(_to_matrix(batch[emb_col], dim))
         cluster = (x @ c.T).argmax(axis=1).astype(np.int32)
-        n = len(x)
-        codes = np.empty((n, m), dtype=np.uint8)
-        for j in range(m):
-            xsub = x[:, j * dsub:(j + 1) * dsub]
-            d = -2.0 * (xsub @ b[j].T) \
-                + (b[j] ** 2).sum(axis=1)[None, :]
-            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
-        raw = codes.tobytes()
         return pa.table({
             id_col: batch[id_col],
-            "codes": pa.array([raw[i * m:(i + 1) * m]
-                               for i in range(n)], type=pa.binary()),
+            "codes": _codes_column(_pq_assign_codes(x, b)),
             "cluster": pa.array(cluster)})
 
     (ds.map_batches(assign_encode, batch_format="pyarrow",

@@ -622,8 +622,7 @@ def vocabulary_jaccard(ds, group_col: str = "source",
 
 
 def bigram_lm_scores(ds, text_col: str = "text",
-                     id_col: str = "doc_id", lowercase: bool = True,
-                     total_docs: int | None = None):
+                     id_col: str = "doc_id", lowercase: bool = True):
     """Corpus-bigram LANGUAGE-MODEL score per document — the KenLM-
     style quality filter: logprob = Σ ln P(w_i | w_{i-1}) with ML
     probabilities from the corpus's own bigram counts (every in-doc

@@ -36,6 +36,8 @@ def encode_bytes(ds: Dataset, text_col: str = "text",
         t = batch[text_col]
         if isinstance(t, pa.ChunkedArray):
             t = t.combine_chunks()
+        if pa.types.is_large_string(t.type):
+            t = pc.cast(t, pa.string())  # int32-offset buffer below
         t = pc.fill_null(t, "")
         bufs = t.buffers()
         off = np.frombuffer(bufs[1], dtype=np.int32)[

@@ -69,7 +69,11 @@ def zorder_sort(ds: Dataset, cols: list[str], bits: int = 16) -> Dataset:
         if x is None:  # all-null column → constant key contribution
             return 0.0
         if hasattr(x, "timestamp"):
-            return x.timestamp() * 1e6
+            # Ray's Min/Max returns a NAIVE datetime; .timestamp()
+            # would read it in LOCAL time while _to_f64 uses the UTC
+            # epoch — pin to UTC so lo/hi match the value axis
+            import datetime as _dt
+            return x.replace(tzinfo=_dt.timezone.utc).timestamp() * 1e6
         return float(x)
 
     lows = [as_f(stats[f"lo_{c}"]) for c in cols]

@@ -43,6 +43,7 @@ def _bisect_apply(fn: Callable[[pa.Table], pa.Table], batch: pa.Table,
 
 
 def quarantine_map(ds: Dataset, fn: Callable[[pa.Table], pa.Table],
+                   out_schema: pa.Schema | None = None,
                    **map_kwargs) -> tuple[Dataset, Dataset]:
     """Apply a batch transform with per-row fault isolation.
 
@@ -54,23 +55,26 @@ def quarantine_map(ds: Dataset, fn: Callable[[pa.Table], pa.Table],
     calls. Both outputs are lazy Datasets; the split happens inside the
     same map tasks (one pass over the data, no second read). ``fn``
     must be row-wise pure (output row i depends only on input row i) —
-    bisection reorders batch boundaries, nothing else."""
+    bisection reorders batch boundaries, nothing else.
+
+    An ALL-BAD block still needs fn's output schema so the good side
+    never emits the zero-column empty blocks this repo's join/union
+    machinery cannot normalize: resolution order is (a) any good
+    part's schema, (b) fn on the empty slice (only attempted when
+    needed — healthy batches pay exactly ONE fn call), (c) the
+    explicit ``out_schema`` parameter — pass it when fn rejects empty
+    input AND whole blocks can be poison."""
 
     def guarded(batch: pa.Table) -> pa.Table:
         good: list = []
         bad: list = []
         _bisect_apply(fn, batch, good, bad)
-        # fn's output schema, even for an all-bad batch (a block whose
-        # good side would otherwise carry only the marker columns and
-        # mix schemas downstream — review finding). Kernels here are
-        # vectorized, so fn on the empty slice is cheap; if fn itself
-        # rejects empties, fall back to any good part's schema.
-        out_schema = None
-        try:
-            out_schema = fn(batch.slice(0, 0)).schema
-        except Exception:  # noqa: BLE001
-            if good:
-                out_schema = good[0].schema
+        schema = good[0].schema if good else None
+        if schema is None and bad:
+            try:
+                schema = fn(batch.slice(0, 0)).schema
+            except Exception:  # noqa: BLE001
+                schema = out_schema  # may be None → marker-only block
         parts = []
         for g in good:
             if g.num_rows:
@@ -89,16 +93,16 @@ def quarantine_map(ds: Dataset, fn: Callable[[pa.Table], pa.Table],
                     [str(r) for r in b.to_pylist()], type=pa.string()),
                 "error": pa.array([err] * b.num_rows,
                                   type=pa.string())}
-            if out_schema is not None:
-                for f in out_schema:
+            if schema is not None:
+                for f in schema:
                     cols[f.name] = pa.nulls(b.num_rows, f.type)
             parts.append(pa.table(cols))
         if not parts:
             cols = {"__quarantined": pa.array([], pa.bool_()),
                     "row_json": pa.array([], pa.string()),
                     "error": pa.array([], pa.string())}
-            if out_schema is not None:
-                for f in out_schema:
+            if schema is not None:
+                for f in schema:
                     cols[f.name] = pa.nulls(0, f.type)
             return pa.table(cols)
         return pa.concat_tables(parts, promote_options="default")

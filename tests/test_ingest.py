@@ -166,3 +166,14 @@ def test_ingest_with_quarantine_transform(raw_ds, tmp_path):
     bads = {int(re.search(r"'n_tok': (\d+)", s).group(1))
             for s in q["row_json"].to_pylist()}
     assert all(b % 97 == 0 for b in bads)
+
+
+def test_ingest_quarantine_all_healthy(raw_ds, tmp_path):
+    """Review regression: an all-healthy quarantining ingest must not
+    crash on the (empty) quarantine directory and reports no
+    __quarantined__ entry."""
+    ds, _ = raw_ds
+    man = ingest(ds, str(tmp_path / "clean"), num_partitions=4,
+                 transform=lambda b: b, quarantine=True)
+    assert "__quarantined__" not in man
+    assert sum(v["expected_rows"] for v in man.values()) == ds.count()
