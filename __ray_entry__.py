@@ -1019,7 +1019,7 @@ def _q_media_near_dup_pairs(sf_dir: str):
     pairs; this entry drives the same path through the driver
     surface."""
     import ray.data as rd
-    from bigdime_ray.functions.codecs import (decode_ppm, decode_wav,
+    from bigdime_ray.functions.codecs import (decode_image, decode_wav,
                                               encode_ppm, encode_wav)
     from bigdime_ray.pipelines.multimodal import (media_perceptual_dedup,
                                                   synth_real_media_table)
@@ -1028,7 +1028,7 @@ def _q_media_near_dup_pairs(sf_dir: str):
     extra = []
     for i, (_, row) in enumerate(
             t[t.kind == "image"].head(5).iterrows()):
-        px = decode_ppm(row.payload)
+        px = decode_image(row.payload)  # PPM / PNG / JPEG source
         noisy = np.clip(px.astype(np.int64)
                         + rng.integers(-4, 5, px.shape), 0, 255) \
             .astype(np.uint8)
@@ -1413,21 +1413,20 @@ def _q_doc_length_moments(sf_dir: str):
 
 
 def _q_grouped_median(sf_dir: str):
-    """Exact per-group median (n_chars per source) via map_groups —
-    exact for bounded group counts; the huge-cardinality path is the
-    grouped t-digest (tdigest_quantiles)."""
+    """Exact per-group median (n_chars per source) via the bucketed
+    grouped-quantile kernel (one lexsort per co-located hash bucket, no
+    per-KEY pandas task — VERDICT r3 #5 retired the per-key map_groups
+    form). Median of ints is integer or half-integer, so ×10 fixed-point
+    rounding is exact in float64; the huge-group path is the grouped
+    t-digest (tdigest_quantiles)."""
+    from bigdime_ray.pipelines.frequency import grouped_quantiles
     ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        m = np.median(g["n_chars"].to_numpy())
-        return pd.DataFrame({"source": [g["source"].iloc[0]],
-                             "med": [int(np.floor(m * 10 + 0.5))]})
-
-    rows = (ds.groupby("source").map_groups(med, batch_format="pandas")
-            .take_all())  # ONE execution; both columns from the same rows
+    rows = grouped_quantiles(ds, "source", "n_chars", [0.5],
+                             method="exact").take_all()
     return pa.table({
         "source": pa.array([r["source"] for r in rows]),
-        "med": pa.array([r["med"] for r in rows], type=pa.int64())})
+        "med": pa.array([int(np.floor(r["q50"] * 10 + 0.5))
+                         for r in rows], type=pa.int64())})
 
 
 def _q_order_price_quantiles(sf_dir: str):
@@ -2592,6 +2591,28 @@ def _q_word_bigrams(sf_dir: str):
     return word_bigram_counts(ds, min_count=3)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/PaLM n-gram overlap rule): a
+    deterministic 2% hash-selected slice of documents plays the EVAL
+    benchmark; every TRAIN doc reports how many of its word trigrams
+    appear anywhere in it. Eval n-gram hashes are broadcast once
+    (``ray.put``); the train side is a zero-shuffle searchsorted
+    membership probe (pipelines/text.py::ngram_decontaminate)."""
+    from bigdime_ray.pipelines.text import ngram_decontaminate
+
+    def side(want_eval: bool):
+        def split(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sel = (ids * _CHK_MUL) % _CHK_MOD % 1000 < 20
+            return b.filter(pa.array(sel if want_eval else ~sel))
+        return _read(sf_dir, "documents",
+                     columns=["doc_id", "text"]).map_batches(
+            split, batch_format="pyarrow", zero_copy_batch=True)
+
+    return ngram_decontaminate(side(False), side(True), n=3)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Per-document trigram repetition score (Gopher-style quality
     rule) — exact string-distinct per doc, zero shuffle, rep_ppm as
@@ -3305,6 +3326,21 @@ def _q_user_event_flags(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry of every implemented pipeline (SURVEY §2C).
+
+    Ordered ORACLE-FIRST (VERDICT r3 #2): every entry with a DuckDB
+    oracle in :func:`oracle_sql` precedes the rows-only-by-design
+    entries, so a capped prefix sample of the registry exercises only
+    oracle-checked queries. The reorder is computed from oracle_sql()
+    itself, so it cannot drift as entries are added."""
+    q = _registry()
+    with_sql = oracle_sql()
+    out = {k: v for k, v in q.items() if k in with_sql}
+    out.update((k, v) for k, v in q.items() if k not in with_sql)
+    return out
+
+
+def _registry() -> dict[str, Callable[[str], Any]]:
     return {
         "record_count_per_source": _q_record_count_per_source,
         "checksum_per_source": _q_checksum_per_source,
@@ -3387,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms_by_label": _q_embedding_norms_by_label,
         "fuzzy_doc_pairs": _q_fuzzy_doc_pairs,
         "word_bigrams": _q_word_bigrams,
+        "decontaminate_trigram": _q_decontaminate,
         "doc_repetition": _q_doc_repetition,
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
@@ -3993,6 +4030,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM b "
             "WHERE w2 IS NOT NULL GROUP BY w1, w2 "
             "HAVING COUNT(*) >= 3",
+        "decontaminate_trigram":
+            f"WITH w AS (SELECT doc_id, ord, w FROM (SELECT doc_id, "
+            f"unnest(string_split_regex(lower(text), '\\s+')) AS w, "
+            f"generate_subscripts(string_split_regex(lower(text), "
+            f"'\\s+'), 1) AS ord FROM documents) WHERE w <> ''), "
+            f"g AS (SELECT doc_id, w || ' ' || LEAD(w, 1) OVER dw || "
+            f"' ' || LEAD(w, 2) OVER dw AS ng FROM w WINDOW dw AS "
+            f"(PARTITION BY doc_id ORDER BY ord)), "
+            f"ev AS (SELECT DISTINCT ng FROM g WHERE ((doc_id * "
+            f"{_CHK_MUL}) % {_CHK_MOD}) % 1000 < 20 AND ng IS NOT "
+            f"NULL), "
+            f"tr AS (SELECT doc_id, ng FROM g WHERE ((doc_id * "
+            f"{_CHK_MUL}) % {_CHK_MOD}) % 1000 >= 20 AND ng IS NOT "
+            f"NULL) "
+            f"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            f"CAST(SUM(CASE WHEN ng IN (SELECT ng FROM ev) THEN 1 "
+            f"ELSE 0 END) AS BIGINT) AS n_hits "
+            f"FROM tr GROUP BY doc_id",
         "doc_repetition":
             "WITH w AS (SELECT doc_id, ord, w FROM (SELECT doc_id, "
             "unnest(string_split_regex(lower(text), '\\s+')) AS w, "

@@ -64,6 +64,65 @@ def _warm_page_cache(paths: list[str]) -> None:
                             pass
 
 
+def _probe_burn(seed: int) -> float:
+    import numpy as np
+    x = np.random.default_rng(seed).random(400_000)
+    s = 0.0
+    for _ in range(25):
+        s += float(np.sin(x).sum())
+    return s
+
+
+def _host_capacity_probe(width: int = 16) -> float:
+    """Effective parallel core count the host delivers RIGHT NOW, via
+    pure-numpy multiprocessing (no Ray): width fixed work units in
+    parallel vs one unit single-threaded. This shared VM nominally
+    delivers ~8 effective cores at full capacity and sags to ~2-4 in
+    its documented post-load throttle windows (BASELINE.md)."""
+    import multiprocessing as mp
+    t1 = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _probe_burn(1)
+        dt = time.perf_counter() - t0
+        t1 = dt if t1 is None else min(t1, dt)
+    with mp.get_context("fork").Pool(width) as pool:
+        pool.map(_probe_burn, range(width))  # warm the pool
+        t0 = time.perf_counter()
+        pool.map(_probe_burn, range(width, 2 * width))
+        wall = time.perf_counter() - t0
+    return min(width, width * t1 / wall)
+
+
+NOMINAL_EFFECTIVE_CORES = 8.0  # this host's full-capacity budget
+
+
+def _throttle_gate() -> dict:
+    """VERDICT r3 #1: never FINALIZE a bench number in a throttled host
+    window. Probe before benching; if the host delivers <80% of its
+    nominal effective-core budget, cool down and re-probe (capped),
+    then record honestly with ``throttled: true`` if it never
+    recovers. Disable with BIGDIME_BENCH_GATE=0 (scaling legs manage
+    their own probes)."""
+    retries = int(os.environ.get("BIGDIME_GATE_RETRIES", 3))
+    cooldown = int(os.environ.get("BIGDIME_GATE_COOLDOWN", 120))
+    bar = 0.8 * NOMINAL_EFFECTIVE_CORES
+    probes = []
+    for attempt in range(retries + 1):
+        eff = _host_capacity_probe()
+        probes.append(round(eff, 2))
+        if eff >= bar:
+            return {"host_effective_cores": round(eff, 2),
+                    "throttled": False, "gate_probes": probes}
+        if attempt < retries:
+            print(f"# throttle gate: host at {eff:.1f}/"
+                  f"{NOMINAL_EFFECTIVE_CORES:g} effective cores, "
+                  f"cooling {cooldown}s", file=sys.stderr)
+            time.sleep(cooldown)
+    return {"host_effective_cores": probes[-1], "throttled": True,
+            "gate_probes": probes}
+
+
 def _calibrate_effective_cpus(num_cpus: int) -> int:
     """~2 s probe: this sandbox's host caps effective compute at ~8 cores
     regardless of the 32 advertised (see BASELINE.md). If running
@@ -198,10 +257,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "rows_per_sec": round(BENCH_ROWS / timings["validation_suite"], 1),
         "responses": n_resp,
         "probe_sec": probe_sec,
+        # per-phase wall-clock of the BEST suite run — the 1-vs-4
+        # scaling diagnosis reads these to see which phase stops
+        # scaling (VERDICT r3 #3)
+        "phase_seconds": {k: round(v, 3)
+                          for k, v in report.phase_seconds.items()},
     }
 
 
-def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
+def run_scaling(sf_dir: str, lo: int = None, hi: int = None,
+                rows: int = None) -> dict:
     """Fresh process per parallelism level, identical input.
 
     Defaults are N=2 vs 4N=8 — NOT 8 vs 32 — because this sandbox's host
@@ -225,6 +290,7 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
     cfg_env = {}
     if config == "compute":
         cfg_env = {"BIGDIME_BENCH_ROWS":
+                   str(rows) if rows else
                    os.environ.get("BIGDIME_SCALE_ROWS", "16000000"),
                    "BIGDIME_BENCH_MU": "2.0"}
     results = {}
@@ -236,6 +302,7 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
         for rep in range(reps):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BIGDIME_BENCH_QUERIES="0",
+                       BIGDIME_BENCH_GATE="0",  # legs carry their own probe
                        BIGDIME_BENCH_PROBE="1", **cfg_env,
                        PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -260,8 +327,12 @@ def run_scaling(sf_dir: str, lo: int = None, hi: int = None) -> dict:
         f"rows_per_sec_{lo}": results[lo]["rows_per_sec"],
         f"rows_per_sec_{hi}": results[hi]["rows_per_sec"],
         "speedup": round(t_lo / t_hi, 2),
+        "rows": int(cfg_env.get("BIGDIME_BENCH_ROWS", BENCH_ROWS))
+        if cfg_env else BENCH_ROWS,
         "queries": {f"cpus_{lo}": results[lo]["queries"],
                     f"cpus_{hi}": results[hi]["queries"]},
+        "phases": {f"cpus_{lo}": results[lo].get("phase_seconds"),
+                   f"cpus_{hi}": results[hi].get("phase_seconds")},
     }
     p_lo = results[lo].get("probe_sec")
     p_hi = results[hi].get("probe_sec")
@@ -333,20 +404,33 @@ if __name__ == "__main__":
         # (VERDICT r2 #9); the shared host's effective-core budget
         # drifts on ~minutes timescales.
         windows = int(os.environ.get("BIGDIME_SCALE_WINDOWS", 1))
-        # BIGDIME_SCALE_PAIRS="2:8,1:4" → run several N-vs-4N pairs in
-        # one window. The 1-vs-4 pair fits inside ~6 effective cores
-        # even when the shared host throttles, decoupling engine
+        # BIGDIME_SCALE_PAIRS="2:8,1:4:64000000" → run several N-vs-4N
+        # pairs in one window; an optional third field pins that
+        # pair's input rows. The 1-vs-4 pair fits inside ~6 effective
+        # cores even when the shared host throttles, decoupling engine
         # scalability from host capacity (SURVEY §7.3 #2); 2-vs-8
-        # remains the headline protocol.
+        # remains the headline protocol. The 1v4 pair defaults to 64M
+        # rows (4× the 2v8 input): the r4 root-cause analysis
+        # (BASELINE.md) isolates a ~1.5 s width-independent Ray session
+        # constant (executor ramp + driver drain) as the entire 1v4
+        # gap — at the 10¹²-row design point it is noise, so the pair
+        # is measured where it is <3% of the lo leg.
         pairs_env = os.environ.get("BIGDIME_SCALE_PAIRS", "")
-        pairs = [tuple(int(x) for x in p.split(":"))
-                 for p in pairs_env.split(",") if p]
+        pairs = []
+        for p in pairs_env.split(","):
+            if not p:
+                continue
+            parts = [int(x) for x in p.split(":")]
+            lo, hi = parts[0], parts[1]
+            rows = parts[2] if len(parts) > 2 else (
+                64_000_000 if (lo, hi) == (1, 4) else None)
+            pairs.append((lo, hi, rows))
         if pairs and windows <= 1:
             out = {"metric": "scaling efficiency at multiple N-vs-4N "
                              "parallelism pairs",
                    "unit": "efficiency", "pairs": {}}
-            for lo, hi in pairs:
-                r = run_scaling(sf_dir, lo, hi)
+            for lo, hi, rows in pairs:
+                r = run_scaling(sf_dir, lo, hi, rows=rows)
                 r["timestamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
                 r.pop("queries", None)
                 out["pairs"][f"{lo}v{hi}"] = r
@@ -379,4 +463,9 @@ if __name__ == "__main__":
                 "windows": runs}))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
-        print(json.dumps(run_bench(sf_dir, ncpu)))
+        gate = {}
+        if os.environ.get("BIGDIME_BENCH_GATE", "1") == "1":
+            gate = _throttle_gate()
+        out = run_bench(sf_dir, ncpu)
+        out.update(gate)
+        print(json.dumps(out))

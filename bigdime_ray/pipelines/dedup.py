@@ -571,18 +571,41 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
 
     sig_rows = ds.map_batches(sigs_for_candidates, batch_format="pyarrow",
                               zero_copy_batch=True).take_all()
-    sig_by_id = {r[id_col]: np.frombuffer(r["sig"], dtype=np.uint64)
-                 for r in sig_rows}
-
-    keep = []
-    for a, b in zip(cand.id_a, cand.id_b):
-        sa, sb = sig_by_id.get(a), sig_by_id.get(b)
-        if sa is None or sb is None:
-            continue
-        est = float((sa == sb).mean())
-        if est >= threshold:
-            keep.append((a, b, est))
-    pairs = pd.DataFrame(keep, columns=["id_a", "id_b", "similarity"])
+    # vectorized verify (VERDICT r3 #4): stack every candidate signature
+    # into ONE (n_sigs, num_perm) uint64 matrix, map pair ids to row
+    # positions with one hash-table pass (pandas reindex), and compare
+    # in 256k-pair chunks — chunking bounds peak memory to ~2×256 MB of
+    # gathered rows instead of 2×5 GB at the 5M-pair
+    # cc_max_driver_pairs worst case. Micro-bench (BASELINE.md r4):
+    # 31.8 s loop → 10.3 s (3.1×); the residual cost is the random
+    # row gather (10 GB of memory traffic), which chunking cannot
+    # remove, only bound.
+    if sig_rows:
+        sig_mat = np.frombuffer(
+            b"".join(r["sig"] for r in sig_rows),
+            dtype=np.uint64).reshape(len(sig_rows), num_perm)
+        pos = pd.Series(np.arange(len(sig_rows)),
+                        index=[r[id_col] for r in sig_rows])
+        pos = pos[~pos.index.duplicated(keep="last")]
+        ia = pos.reindex(cand.id_a).to_numpy(dtype=np.float64)
+        ib = pos.reindex(cand.id_b).to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(ia) | np.isnan(ib))
+        ia_i, ib_i = ia[ok].astype(np.int64), ib[ok].astype(np.int64)
+        est = np.empty(len(ia_i), dtype=np.float64)
+        chunk = 1 << 18
+        for s in range(0, len(ia_i), chunk):
+            e = min(s + chunk, len(ia_i))
+            est[s:e] = (sig_mat[ia_i[s:e]]
+                        == sig_mat[ib_i[s:e]]).mean(axis=1)
+        m = est >= threshold
+        ka = cand.id_a.to_numpy()[ok][m]
+        kb = cand.id_b.to_numpy()[ok][m]
+        keep = list(zip(ka, kb, est[m]))
+        pairs = pd.DataFrame({"id_a": ka, "id_b": kb,
+                              "similarity": est[m]})
+    else:
+        keep = []
+        pairs = pd.DataFrame({"id_a": [], "id_b": [], "similarity": []})
     dup_ids = set(pairs.id_a) | set(pairs.id_b)
     clusters = _union_find_clusters(
         [(a, b) for a, b, _ in keep], dup_ids)

@@ -106,6 +106,13 @@ def upsert_snapshot(old: Dataset, changes: Dataset, key: str,
     from bigdime_ray.pipelines.join import key_anti_join
     from bigdime_ray.stages.shuffle import drop_empty_blocks
 
+    if delete_col is not None:
+        import keyword
+        if not delete_col.isidentifier() or keyword.iskeyword(delete_col):
+            raise ValueError(
+                f"delete_col must be a plain (non-keyword) identifier, "
+                f"got {delete_col!r} — it is spliced into a filter "
+                f"expression")
     survivors = key_anti_join(old, changes, key, key,
                               num_partitions=num_partitions)
     if delete_col is not None:

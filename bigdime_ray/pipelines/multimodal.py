@@ -74,13 +74,16 @@ def encode_fake_media(media_id: str, kind: str, width: int = 0,
 
 
 def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
-    """Deterministic REAL media: binary-PPM images (gradient + seeded
-    noise pixels), PCM16 WAV audio (seeded sine + noise), and
+    """Deterministic REAL media: images rotate through binary PPM,
+    DEFLATE-compressed PNG and baseline JPEG (gradient + seeded noise
+    pixels), PCM16 WAV audio (seeded sine + noise), and
     concatenated-P6 video streams — every payload is a decodable
-    instance of a public format."""
-    from bigdime_ray.functions.codecs import (encode_ppm,
+    instance of a public format, exercising all three built-in image
+    codecs through the same actor-pool stages."""
+    from bigdime_ray.functions.codecs import (encode_png, encode_ppm,
                                               encode_ppm_stream,
                                               encode_wav)
+    from bigdime_ray.functions.jpeg import encode_jpeg
     rng = np.random.default_rng(seed)
     kinds = np.asarray(["image", "audio", "video"])[rng.integers(0, 3, n)]
     rows = []
@@ -104,7 +107,9 @@ def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
                       + rng.integers(0, 32, (h, w, 3)))
                 return np.clip(px, 0, 255).astype(np.uint8)
             if kind == "image":
-                payload = encode_ppm(frame())
+                enc = (encode_ppm, encode_png,
+                       lambda p: encode_jpeg(p, quality=92))[i % 3]
+                payload = enc(frame())
             else:
                 payload = encode_ppm_stream(
                     [frame() for _ in range(int(rng.integers(3, 6)))])
@@ -136,13 +141,17 @@ class MediaFeatureExtractor:
 
     ``decoder="auto"`` (default) sniffs the payload magic and REALLY
     decodes it: ``P6`` → binary PPM pixels (+ PPM streams for video),
-    ``RIFF`` → PCM16 WAV samples — pure numpy/struct codecs
-    (``functions/codecs.py``), real pixel/sample features.
+    ``\\x89PNG`` → DEFLATE-compressed PNG (pure numpy + stdlib zlib —
+    ``codecs.decode_png``), ``\\xff\\xd8`` → baseline JPEG (pure-numpy
+    Huffman + IDCT — ``functions/jpeg.py``), ``RIFF`` → PCM16 WAV
+    samples — no external libs, real pixel/sample features.
     ``decoder="fake"`` parses the legacy deterministic fake header.
-    ``decoder="pil"`` is the opportunistic slot for compressed formats
-    (raises NotImplementedError unless PIL imports — not in this
-    container). Per-payload Python loop is intrinsic to per-row codec
-    calls (accepted in VERDICT r2); the batch stays small by design.
+    ``decoder="pil"`` / ``decoder="av"`` are the opportunistic slots
+    for WebP/progressive-JPEG/… and MP3/MP4/… (wired end-to-end; they
+    raise NotImplementedError at construction unless PIL / av import —
+    not in this container, golden-fixture tests skip cleanly).
+    Per-payload Python loop is intrinsic to per-row codec calls
+    (accepted in VERDICT r2); the batch stays small by design.
     """
 
     def __init__(self, decoder: str = "auto", feature_dim: int = 8):
@@ -150,13 +159,21 @@ class MediaFeatureExtractor:
         self.decoder = decoder
         if decoder == "pil":
             try:
-                from PIL import Image  # noqa: F401
+                from PIL import Image
                 self._pil = Image
             except ImportError as e:
                 raise NotImplementedError(
                     "PIL not available in this environment; use "
-                    "decoder='auto' (real PPM/WAV codecs) or 'fake'"
+                    "decoder='auto' (real PPM/PNG/WAV codecs) or 'fake'"
                 ) from e
+        elif decoder == "av":
+            try:
+                import av
+                self._av = av
+            except ImportError as e:
+                raise NotImplementedError(
+                    "PyAV not available in this environment; use "
+                    "decoder='auto' (real WAV codec) or 'fake'") from e
         elif decoder not in ("auto", "fake"):
             raise NotImplementedError(f"decoder {decoder!r} not available")
 
@@ -171,10 +188,24 @@ class MediaFeatureExtractor:
 
     def _decode_auto(self, payload: bytes) -> tuple[np.ndarray, int, int]:
         from bigdime_ray.functions.codecs import (audio_features,
-                                                  decode_ppm, decode_wav,
+                                                  decode_png, decode_ppm,
+                                                  decode_wav,
                                                   image_features)
         if payload[:2] == b"P6":
             px = decode_ppm(payload)  # image OR first frame of a stream
+            return (image_features(px, self.feature_dim),
+                    px.shape[1], px.shape[0])
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            px = decode_png(payload)
+            if px.ndim == 2:                       # gray → RGB features
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            return (image_features(px[:, :, :3], self.feature_dim),
+                    px.shape[1], px.shape[0])
+        if payload[:2] == b"\xff\xd8":             # baseline JPEG
+            from bigdime_ray.functions.jpeg import decode_jpeg
+            px = decode_jpeg(payload)
+            if px.ndim == 2:
+                px = np.repeat(px[:, :, None], 3, axis=2)
             return (image_features(px, self.feature_dim),
                     px.shape[1], px.shape[0])
         if payload[:4] == b"RIFF":
@@ -182,9 +213,38 @@ class MediaFeatureExtractor:
             return audio_features(samples, sr, self.feature_dim), 0, 0
         return self._decode_fake(payload)
 
+    def _decode_pil(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """Compressed-image slot (JPEG/WebP/…): PIL decode → the same
+        real-pixel features as the built-in codecs."""
+        import io
+
+        from bigdime_ray.functions.codecs import image_features
+        img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+        px = np.asarray(img, dtype=np.uint8)
+        return (image_features(px, self.feature_dim),
+                px.shape[1], px.shape[0])
+
+    def _decode_av(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """Compressed-audio slot (MP3/FLAC/MP4-audio): PyAV decode →
+        int16 mono samples → the same real-sample features."""
+        import io
+
+        from bigdime_ray.functions.codecs import audio_features
+        with self._av.open(io.BytesIO(payload)) as container:
+            stream = next(s for s in container.streams
+                          if s.type == "audio")
+            chunks = [f.to_ndarray() for f in container.decode(stream)]
+        x = np.concatenate([c.mean(axis=0) if c.ndim > 1 else c
+                            for c in chunks])
+        if x.dtype.kind == "f":
+            x = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+        return (audio_features(x.astype(np.int16), stream.rate,
+                               self.feature_dim), 0, 0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        decode = (self._decode_auto if self.decoder == "auto"
-                  else self._decode_fake)
+        decode = {"auto": self._decode_auto, "fake": self._decode_fake,
+                  "pil": self._decode_pil,
+                  "av": self._decode_av}[self.decoder]
         feats, ws, hs, ok = [], [], [], []
         for payload in batch["payload"].to_pylist():
             try:
@@ -238,7 +298,8 @@ class MediaResizer:
         self.w, self.h = width, height
 
     def _resize_auto(self, batch: pa.Table) -> pa.Table:
-        from bigdime_ray.functions.codecs import (decode_ppm, encode_ppm,
+        from bigdime_ray.functions.codecs import (decode_png, decode_ppm,
+                                                  encode_png, encode_ppm,
                                                   encode_ppm_stream,
                                                   iter_ppm_stream,
                                                   resize_nearest)
@@ -256,6 +317,27 @@ class MediaResizer:
                     out_payloads.append(
                         encode_ppm(resized[0]) if len(resized) == 1
                         else encode_ppm_stream(resized))
+                    ws.append(self.w)
+                    hs.append(self.h)
+                    continue
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = decode_png(payload)
+                    if px.ndim == 2:
+                        px = np.repeat(px[:, :, None], 3, axis=2)
+                    out_payloads.append(encode_png(resize_nearest(
+                        np.ascontiguousarray(px[:, :, :3]),
+                        self.w, self.h)))
+                    ws.append(self.w)
+                    hs.append(self.h)
+                    continue
+                if payload[:2] == b"\xff\xd8":     # baseline JPEG
+                    from bigdime_ray.functions.jpeg import (decode_jpeg,
+                                                            encode_jpeg)
+                    px = decode_jpeg(payload)
+                    if px.ndim == 2:
+                        px = np.repeat(px[:, :, None], 3, axis=2)
+                    out_payloads.append(encode_jpeg(resize_nearest(
+                        np.ascontiguousarray(px), self.w, self.h)))
                     ws.append(self.w)
                     hs.append(self.h)
                     continue
@@ -455,20 +537,24 @@ def _dhash_audio(samples: np.ndarray) -> np.uint64:
 
 class MediaPerceptualHasher:
     """Actor-pool stage: payload → 64-bit perceptual signature.
-    Images (P6, incl. the first frame of a P6 video stream) hash by
-    dHash; WAV audio by envelope fingerprint; undecodable payloads
+    Images (PPM/PNG/baseline JPEG, incl. the first frame of a P6 video
+    stream) hash by dHash; WAV audio by envelope fingerprint; undecodable payloads
     emit decode_ok=false with sig 0. Per-payload loop is intrinsic to
     per-row codecs (same contract as MediaFeatureExtractor)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from bigdime_ray.functions.codecs import decode_ppm, decode_wav
+        from bigdime_ray.functions.codecs import (decode_image,
+                                                  decode_wav,
+                                                  is_image_payload)
         from bigdime_ray.functions.hashing import u64_to_i64
         sigs = np.zeros(batch.num_rows, dtype=np.uint64)
         ok = np.zeros(batch.num_rows, dtype=bool)
         for i, payload in enumerate(batch["payload"].to_pylist()):
             try:
-                if payload[:2] == b"P6":
-                    sigs[i] = _dhash_image(decode_ppm(payload))
+                if is_image_payload(payload):
+                    # PPM / PNG / baseline-JPEG (first P6 frame for
+                    # streams) — dHash is robust to codec loss
+                    sigs[i] = _dhash_image(decode_image(payload))
                 elif payload[:4] == b"RIFF":
                     sigs[i] = _dhash_audio(decode_wav(payload)[0])
                 else:

@@ -690,10 +690,21 @@ def bigram_lm_scores(ds, text_col: str = "text",
         w2 = flat.take(pa.array(adj + 1))
         bkey = pc.binary_join_element_wise(w1, w2, pa.scalar(" "))
         bh = hash_string_column(bkey).view(np.int64)
-        i = np.searchsorted(khs, bh)
+        i = np.minimum(np.searchsorted(khs, bh), max(len(khs) - 1, 0))
+        # membership guard: a miss (hash drift, future min_count>1) or a
+        # 64-bit collision would otherwise silently read a NEIGHBOR's
+        # count and corrupt every score downstream
+        if len(khs) == 0 or not bool(np.all(khs[i] == bh)):
+            raise RuntimeError(
+                "bigram_lm_scores: bigram absent from the broadcast "
+                "count table (hash miss) — counts would be corrupted")
         c = cnts[i]                      # every in-doc bigram is counted
         h1 = hash_string_column(w1).view(np.int64)
-        j = np.searchsorted(lhu, h1)
+        j = np.minimum(np.searchsorted(lhu, h1), max(len(lhu) - 1, 0))
+        if len(lhu) == 0 or not bool(np.all(lhu[j] == h1)):
+            raise RuntimeError(
+                "bigram_lm_scores: left-context word absent from the "
+                "broadcast table (hash miss)")
         c1 = c1u[j]
         term = np.floor(np.log(c / c1) * 1_000_000 + 0.5) \
             .astype(np.int64)
@@ -709,3 +720,94 @@ def bigram_lm_scores(ds, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _doc_ngrams(batch: pa.Table, text_col: str, n: int,
+                lowercase: bool) -> tuple[pa.Array, np.ndarray]:
+    """Flat word n-gram strings ("w1 w2 ... wn") + their doc indices,
+    never crossing a document boundary. Fully vectorized: n shifted
+    takes of the flat word array + one binary_join_element_wise."""
+    flat, doc_idx = _split_words(batch[text_col], lowercase)
+    if len(doc_idx) < n:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    starts = np.nonzero(doc_idx[: len(doc_idx) - n + 1]
+                        == doc_idx[n - 1:])[0]
+    if len(starts) == 0:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    parts = [flat.take(pa.array(starts + j)) for j in range(n)]
+    ng = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+    return ng, doc_idx[starts]
+
+
+def ngram_decontaminate(train_ds, eval_ds, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8,
+                        lowercase: bool = True):
+    """Benchmark decontamination: per TRAIN document, how many of its
+    word ``n``-grams appear anywhere in the EVAL set (the
+    GPT-3/PaLM-style n-gram-overlap rule — a train doc sharing a long
+    n-gram with an eval benchmark leaks the benchmark).
+
+    Scale shape: the eval side is a BENCHMARK (small by definition —
+    thousands of docs, not billions): each eval block contributes its
+    DISTINCT n-gram hashes only, the driver unions them into one sorted
+    uint64 array broadcast via ``ray.put``, and the train pass is a
+    zero-shuffle map_batches doing a searchsorted membership probe per
+    batch — the 100 TB side streams, nothing all-to-all. Membership is
+    equality-checked after searchsorted (no neighbor reads); the only
+    residual error is a true 64-bit hash collision across the two sides
+    (P ≈ |eval|·|train| / 2⁶⁴ — ~1e-8 at 1e5 × 1e7 grams), which can
+    only over-flag. Docs with fewer than ``n`` words carry no n-grams
+    and are absent from the output (SQL parity: their LEAD window is
+    all-NULL).
+
+    Returns a Dataset of ``(id_col, n_grams, n_hits)`` — int64 counts;
+    ``n_hits > 0`` is the contamination flag.
+    """
+    import ray
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        ng, _ = _doc_ngrams(batch, text_col, n, lowercase)
+        h = np.unique(hash_string_column(ng))
+        return pa.table({"h": pa.array(h.view(np.int64),
+                                       type=pa.int64())})
+
+    # bounded driver materialization: distinct eval n-gram hashes only
+    blocks = (eval_ds.map_batches(eval_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+              .take_all())
+    ev = (np.unique(np.asarray([r["h"] for r in blocks],
+                               dtype=np.int64).view(np.uint64))
+          if blocks else np.empty(0, dtype=np.uint64))
+    ev_ref = ray.put(ev)
+
+    sch = train_ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    empty = pa.table({id_col: pa.array([], type=id_type),
+                      "n_grams": pa.array([], type=pa.int64()),
+                      "n_hits": pa.array([], type=pa.int64())})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        evh = ray.get(ev_ref)
+        ng, d = _doc_ngrams(batch, text_col, n, lowercase)
+        if len(d) == 0:
+            return empty
+        h = hash_string_column(ng)
+        if len(evh):
+            i = np.minimum(np.searchsorted(evh, h), len(evh) - 1)
+            hit = (evh[i] == h).astype(np.int64)
+        else:
+            hit = np.zeros(len(h), dtype=np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        hits = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(hits, inv, hit)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(uniq)),
+            "n_grams": pa.array(np.bincount(
+                inv, minlength=len(uniq)).astype(np.int64)),
+            "n_hits": pa.array(hits)})
+
+    return train_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)

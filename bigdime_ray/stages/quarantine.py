@@ -74,7 +74,16 @@ def quarantine_map(ds: Dataset, fn: Callable[[pa.Table], pa.Table],
             try:
                 schema = fn(batch.slice(0, 0)).schema
             except Exception:  # noqa: BLE001
-                schema = out_schema  # may be None → marker-only block
+                schema = out_schema
+            if schema is None:
+                # a marker-only block would become a zero-column empty
+                # block after the good-side filter+drop — the class this
+                # repo documents as crashing Dataset.join far downstream;
+                # fail loudly at the source instead
+                raise RuntimeError(
+                    "quarantine_map: an all-poison block was seen and the "
+                    "output schema could not be resolved (fn raised on the "
+                    "empty probe slice). Pass out_schema= explicitly.")
         parts = []
         for g in good:
             if g.num_rows:

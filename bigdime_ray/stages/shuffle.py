@@ -291,6 +291,12 @@ def grouped_int_sums_exchange(ds: Dataset, extract, num_values: int,
         ops = ["sum"] * num_values
     if len(ops) != num_values or any(o not in _REDUCE_UFUNC for o in ops):
         raise ValueError(f"ops must be {sorted(_REDUCE_UFUNC)} x {num_values}")
+    if topk is not None and any(o != "sum" for o in ops):
+        # the block prune keeps keys with the largest PARTIAL value; for
+        # min/max a key's global extremum can live in a pruned cell, and
+        # negating the max identity (int64 min) wraps silently
+        raise ValueError("topk pruning is only valid when every op is "
+                         f"'sum' (got ops={ops})")
 
     def _topk_prune(keys: np.ndarray, sums: list[np.ndarray]
                     ) -> tuple[np.ndarray, list[np.ndarray]]:

@@ -195,9 +195,18 @@ def test_quarantine_map_all_good_and_all_bad():
 
     def always_fail(b):
         raise RuntimeError("nope")
-    good2, quar2 = quarantine_map(ds, always_fail)
+    # all-poison block + fn that also rejects the empty probe slice:
+    # with out_schema the good side keeps a real schema
+    good2, quar2 = quarantine_map(
+        ds, always_fail, out_schema=pa.schema([("v", pa.int64())]))
     assert good2.count() == 0
     assert quar2.count() == 3
+    # without out_schema the failure is LOUD at the source (ADVICE r3:
+    # a marker-only block would otherwise become a zero-column empty
+    # block that crashes join/union far downstream)
+    good3, _quar3 = quarantine_map(ds, always_fail)
+    with pytest.raises(Exception, match="out_schema"):
+        good3.count()
 
 
 def test_zorder_sort_improves_two_column_pruning(tmp_path):

@@ -144,13 +144,13 @@ def test_media_perceptual_dedup_finds_planted_pairs():
     import ray.data as rd
     from bigdime_ray.pipelines.multimodal import (media_perceptual_dedup,
                                                   synth_real_media_table)
-    from bigdime_ray.functions.codecs import (decode_ppm, decode_wav,
+    from bigdime_ray.functions.codecs import (decode_image, decode_wav,
                                               encode_ppm, encode_wav)
     t = synth_real_media_table(24, seed=11).to_pandas()
     rng = np.random.default_rng(3)
     extra = []
     img_src = t[t.kind == "image"].iloc[0]
-    px = decode_ppm(img_src.payload)
+    px = decode_image(img_src.payload)  # PPM / PNG / JPEG source
     noisy = np.clip(px.astype(np.int64) + rng.integers(-4, 5, px.shape),
                     0, 255).astype(np.uint8)
     extra.append({"media_id": "dup-img", "kind": "image",

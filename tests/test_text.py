@@ -415,3 +415,51 @@ def test_bpe_train_matches_sequential_reference():
     # merges actually compress
     assert sum(len(s) for s in want_seqs) < sum(len(t.encode())
                                                 for t in texts)
+
+
+def test_ngram_decontaminate_matches_brute_force():
+    """Distributed searchsorted membership == per-doc Python-set brute
+    force, including boundary cases: docs shorter than n (absent from
+    output), empty eval set, multi-space whitespace, case folding."""
+    from bigdime_ray.pipelines.text import ngram_decontaminate
+    train = ["the cat sat on the mat today",
+             "an unrelated document entirely here",
+             "THE CAT SAT somewhere else",   # case-folds into overlap
+             "tiny doc",                      # < n words → no n-grams
+             "the  cat   sat on nothing"]     # multi-space splitting
+    evals = ["we saw the cat sat on a wall", "other eval text here"]
+    n = 3
+
+    def grams(t):
+        ws = [w for w in t.lower().split() if w]
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    ev = set()
+    for t in evals:
+        ev.update(grams(t))
+    expect = {}
+    for i, t in enumerate(train):
+        g = grams(t)
+        if g:
+            expect[f"d{i}"] = (len(g), sum(x in ev for x in g))
+
+    tr_ds = ray.data.from_arrow(pa.table({
+        "doc_id": [f"d{i}" for i in range(len(train))],
+        "text": train})).repartition(2)
+    ev_ds = ray.data.from_arrow(pa.table({
+        "doc_id": ["e0", "e1"], "text": evals}))
+    out = ngram_decontaminate(tr_ds, ev_ds, n=n).to_pandas()
+    got = {r.doc_id: (r.n_grams, r.n_hits) for r in out.itertuples()}
+    assert got == expect
+    assert got["d0"][1] > 0          # real overlap planted
+    assert got["d2"][1] > 0          # via lowercasing
+    assert "d3" not in got           # shorter than n
+
+    # empty eval side → zero hits everywhere, same n_grams
+    empty_ev = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string())}))
+    out0 = ngram_decontaminate(tr_ds, empty_ev, n=n).to_pandas()
+    assert (out0.n_hits == 0).all()
+    assert dict(zip(out0.doc_id, out0.n_grams)) == \
+        {k: v[0] for k, v in expect.items()}
