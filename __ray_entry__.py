@@ -1077,6 +1077,47 @@ def _q_media_features(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_media_triage(sf_dir: str):
+    """Multimodal ingest triage (rows-only): header-only metadata probe
+    (`probe_media_metadata` — PPM/PNG/JPEG-SOF/WAV/MP3 frame headers,
+    no full decode) routes rows; probe-ok rows then flow through the
+    real decode/feature actor-pool stage; undecodable rows surface as
+    probe_ok=false instead of failing the batch. The cheap-first-pass
+    pattern a 100 TB media ingest needs: the probe touches ~100 bytes
+    per row, the expensive decode only runs on rows the probe
+    admitted."""
+    import ray.data as rd
+    from bigdime_ray.pipelines.multimodal import (extract_media_features,
+                                                  probe_media_metadata,
+                                                  synth_real_media_table)
+    t = synth_real_media_table(n=200, seed=17).to_pandas()
+    # plant undecodables: junk magic + a truncated PNG
+    t.loc[len(t)] = {"media_id": "junk-0", "kind": "image",
+                     "payload": b"\x00nope", "width": 0, "height": 0,
+                     "sample_rate": 0}
+    t.loc[len(t)] = {"media_id": "junk-1", "kind": "image",
+                     "payload": b"\x89PNG\r\n\x1a\n\x00\x00", "width": 0,
+                     "height": 0, "sample_rate": 0}
+    ds = rd.from_arrow(pa.Table.from_pandas(t, preserve_index=False)) \
+        .repartition(4)
+    probed = probe_media_metadata(ds).to_pandas().set_index("media_id")
+    ok_ids = pa.array(probed[probed.probe_ok].index.to_numpy())
+    admitted = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["media_id"], value_set=ok_ids)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    feats = extract_media_features(admitted, concurrency=2).to_pandas()
+    out = probed.reset_index().merge(
+        feats[["media_id", "decode_ok"]], on="media_id", how="left")
+    out["decode_ok"] = out["decode_ok"].fillna(False).astype(bool)
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return pa.table({
+        "media_id": pa.array(out.media_id, type=pa.string()),
+        "format": pa.array(out.format, type=pa.string()),
+        "kind": pa.array(out.kind, type=pa.string()),
+        "probe_ok": pa.array(out.probe_ok, type=pa.bool_()),
+        "decode_ok": pa.array(out.decode_ok, type=pa.bool_())})
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic hash-based per-stratum sampling (reproducible,
     retry-safe, SQL-expressible — not RNG)."""
@@ -2613,6 +2654,41 @@ def _q_decontaminate(sf_dir: str):
     return ngram_decontaminate(side(False), side(True), n=3)
 
 
+def _q_token_decontaminate(sf_dir: str):
+    """Token-LEVEL decontamination over the north-star input shape
+    (rows-only; text-level sibling `decontaminate_trigram` carries the
+    SQL oracle): deterministic synthetic tokenized sequences, an eval
+    partition, and PLANTED 8-token overlaps — eval window hashes
+    broadcast once, train side a zero-shuffle vectorized rolling-window
+    membership probe (pipelines/curate.py::token_ngram_decontaminate).
+    Returns only the contaminated rows plus totals, deterministic."""
+    import ray.data as rd
+    from bigdime_ray.pipelines.curate import token_ngram_decontaminate
+    from bigdime_ray.synth import SynthConfig, gen_partition
+    cfg = SynthConfig(seed=19)
+    train = gen_partition(cfg, 0, 3000)
+    evals = gen_partition(cfg, 1, 300)
+    # plant: splice an 8-token eval window into two train rows
+    ev_tokens = evals["tokens"][0].as_py()
+    window = ev_tokens[:8]
+    t = train.to_pydict()
+    for row in (10, 500):
+        seq = t["tokens"][row]
+        t["tokens"][row] = seq[:2] + window + seq[10:]
+    train = pa.table({"doc_id": pa.array(t["doc_id"], type=pa.string()),
+                      "tokens": pa.array(t["tokens"],
+                                         type=pa.list_(pa.int32()))})
+    out = token_ngram_decontaminate(
+        rd.from_arrow(train).repartition(4),
+        rd.from_arrow(evals.select(["doc_id", "tokens"])), n=8)
+    df = out.to_pandas()
+    hit = df[df.n_hits > 0].sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(hit.doc_id, type=pa.string()),
+        "n_windows": pa.array(hit.n_windows, type=pa.int64()),
+        "n_hits": pa.array(hit.n_hits, type=pa.int64())})
+
+
 def _q_doc_repetition(sf_dir: str):
     """Per-document trigram repetition score (Gopher-style quality
     rule) — exact string-distinct per doc, zero shuffle, rep_ppm as
@@ -3424,6 +3500,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "fuzzy_doc_pairs": _q_fuzzy_doc_pairs,
         "word_bigrams": _q_word_bigrams,
         "decontaminate_trigram": _q_decontaminate,
+        "token_decontaminate": _q_token_decontaminate,
         "doc_repetition": _q_doc_repetition,
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
@@ -3468,6 +3545,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": _q_revenue_by_region,
         "media_features": _q_media_features,
         "media_near_dup_pairs": _q_media_near_dup_pairs,
+        "media_triage": _q_media_triage,
         "stratified_sample": _q_stratified_sample,
         "events_hopping_window": _q_hopping_window,
     }

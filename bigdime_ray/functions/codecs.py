@@ -320,3 +320,82 @@ def decode_image(payload: bytes) -> np.ndarray:
     if px.ndim == 2:
         px = np.repeat(px[:, :, None], 3, axis=2)
     return np.ascontiguousarray(px[:, :, :3])
+
+
+# ----------------------------------------------------- metadata probe
+
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, 0]          # kbit/s, MPEG-1 Layer III
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                     144, 160, 0]               # MPEG-2/2.5 Layer III
+_MP3_RATES = {3: [44100, 48000, 32000],         # MPEG-1
+              2: [22050, 24000, 16000],         # MPEG-2
+              0: [11025, 12000, 8000]}          # MPEG-2.5
+
+
+def probe_media(payload: bytes) -> dict:
+    """Typed metadata from the payload HEADER only — no full decode.
+    Every branch parses a public container format directly: PPM/PNG
+    dims, JPEG SOF dims (walks markers, no entropy decode), WAV fmt
+    chunk, MP3 first frame header (sync/version/bitrate/samplerate;
+    skips a leading ID3v2 tag). Unknown magic → {"format": "unknown"}.
+    """
+    p = payload
+    if p[:2] == b"P6":
+        w, h, _ = _parse_ppm_header(p)
+        frames = len(iter_ppm_stream(p))
+        return {"format": "ppm", "width": w, "height": h,
+                "frames": frames,
+                "kind": "video" if frames > 1 else "image"}
+    if p[:8] == _PNG_SIG:
+        w, h = struct.unpack(">II", p[16:24])
+        depth, ct = p[24], p[25]
+        return {"format": "png", "width": int(w), "height": int(h),
+                "bit_depth": int(depth),
+                "channels": _PNG_CHANNELS.get(int(ct)), "kind": "image"}
+    if p[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 < len(p):
+            if p[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = p[pos + 1]
+            if marker in range(0xC0, 0xD0) and marker not in (
+                    0xC4, 0xC8, 0xCC):         # any SOFn
+                h = (p[pos + 5] << 8) | p[pos + 6]
+                w = (p[pos + 7] << 8) | p[pos + 8]
+                return {"format": "jpeg", "width": int(w),
+                        "height": int(h),
+                        "channels": int(p[pos + 9]),
+                        "progressive": marker == 0xC2, "kind": "image"}
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            pos += 2 + ((p[pos + 2] << 8) | p[pos + 3])
+        raise ValueError("JPEG without SOF header")
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        samples, sr = decode_wav(p)            # header walk + data len
+        return {"format": "wav", "sample_rate": sr,
+                "n_samples": int(len(samples)),
+                "duration_s": round(len(samples) / sr, 6),
+                "kind": "audio"}
+    pos = 0
+    if p[:3] == b"ID3":                        # skip ID3v2 tag
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) | \
+            ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+    if len(p) >= pos + 4 and p[pos] == 0xFF and (p[pos + 1] & 0xE0) == 0xE0:
+        version = (p[pos + 1] >> 3) & 3        # 3=MPEG1, 2=MPEG2, 0=2.5
+        layer = (p[pos + 1] >> 1) & 3          # 1 = Layer III
+        if layer == 1 and version in _MP3_RATES:
+            br_idx = p[pos + 2] >> 4
+            sr_idx = (p[pos + 2] >> 2) & 3
+            if sr_idx < 3:
+                table = (_MP3_BITRATE_V1L3 if version == 3
+                         else _MP3_BITRATE_V2L3)
+                return {"format": "mp3",
+                        "sample_rate": _MP3_RATES[version][sr_idx],
+                        "bitrate_kbps": table[br_idx],
+                        "mpeg_version": {3: 1, 2: 2, 0: 2.5}[version],
+                        "kind": "audio"}
+    return {"format": "unknown", "kind": "unknown"}

@@ -125,3 +125,100 @@ def shuffled_export(ds, seed: int, out_dir: str | None = None,
         out.write_parquet(out_dir, **kw)
         return None
     return out
+
+
+def token_ngram_decontaminate(train_ds: Dataset, eval_ds: Dataset,
+                              tokens_col: str = "tokens",
+                              id_col: str = "doc_id",
+                              n: int = 8) -> Dataset:
+    """Token-LEVEL benchmark decontamination — the sibling of
+    ``pipelines/text.py::ngram_decontaminate`` operating directly on
+    pre-tokenized sequences (the engine's north-star input shape:
+    ``tokens: list<int32>``): per TRAIN sequence, how many of its
+    ``n``-token windows appear anywhere in the EVAL set.
+
+    Window hashing is fully vectorized over the flattened token buffer:
+    ``h[i] = Σ_j mix64(tok[i+j] ⊕ mix64(j+1))`` — per-position keys
+    make it order-sensitive; windows never cross a row boundary
+    (valid starts are where ``doc_idx[i] == doc_idx[i+n-1]``). The
+    eval side contributes DISTINCT window hashes per block, unioned
+    and broadcast once via ``ray.put``; the train pass is a
+    zero-shuffle searchsorted membership probe with equality check
+    (residual error = true 64-bit collision, over-flag only).
+
+    Returns ``(id_col, n_windows, n_hits)``; rows with fewer than
+    ``n`` tokens carry no windows and are absent (same contract as the
+    text-level operator).
+    """
+    import numpy as np
+    import ray
+
+    from bigdime_ray.functions.hashing import mix64
+
+    pos_keys = mix64(np.arange(1, n + 1, dtype=np.uint64))
+
+    def window_hashes(batch: pa.Table
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if len(flat) < n:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        starts = np.nonzero(doc_idx[: len(doc_idx) - n + 1]
+                            == doc_idx[n - 1:])[0]
+        if len(starts) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(starts), dtype=np.uint64)
+            for j in range(n):
+                h += mix64(flat[starts + j] ^ pos_keys[j])
+        return h, doc_idx[starts]
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        h, _ = window_hashes(batch)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64),
+                                       type=pa.int64())})
+
+    blocks = (eval_ds.map_batches(eval_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all())
+    ev = (np.unique(np.asarray([r["h"] for r in blocks],
+                               dtype=np.int64).view(np.uint64))
+          if blocks else np.empty(0, dtype=np.uint64))
+    ev_ref = ray.put(ev)
+
+    sch = train_ds.schema()
+    id_type = sch.types[sch.names.index(id_col)]
+    empty = pa.table({id_col: pa.array([], type=id_type),
+                      "n_windows": pa.array([], type=pa.int64()),
+                      "n_hits": pa.array([], type=pa.int64())})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        evh = ray.get(ev_ref)
+        h, d = window_hashes(batch)
+        if len(d) == 0:
+            return empty
+        if len(evh):
+            i = np.minimum(np.searchsorted(evh, h), len(evh) - 1)
+            hit = (evh[i] == h).astype(np.int64)
+        else:
+            hit = np.zeros(len(h), dtype=np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        hits = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(hits, inv, hit)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(uniq)),
+            "n_windows": pa.array(np.bincount(
+                inv, minlength=len(uniq)).astype(np.int64)),
+            "n_hits": pa.array(hits)})
+
+    return train_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)

@@ -630,3 +630,63 @@ def media_perceptual_dedup(ds: "Dataset", max_hamming: int = 6,
         clusters_ds=(parts[0].clusters_ds.union(parts[1].clusters_ds)
                      if all(p.clusters_ds is not None for p in parts)
                      else None))
+
+
+PROBE_SCHEMA = pa.schema([
+    pa.field("media_id", pa.string()),
+    pa.field("format", pa.string()),
+    pa.field("kind", pa.string()),
+    pa.field("width", pa.int32()),
+    pa.field("height", pa.int32()),
+    pa.field("sample_rate", pa.int32()),
+    pa.field("frames", pa.int32()),
+    pa.field("duration_us", pa.int64()),
+    pa.field("probe_ok", pa.bool_()),
+])
+
+
+def probe_media_metadata(ds: "Dataset", batch_size: int = 256,
+                         concurrency: int = 4) -> "Dataset":
+    """Header-only metadata extraction stage: payload → typed columns
+    (format, dims, sample rate, frame count, duration) WITHOUT full
+    decode (``functions/codecs.py::probe_media`` — PPM/PNG/JPEG SOF/
+    WAV/MP3 frame-header parsing). The cheap first pass a multimodal
+    ingest runs before deciding what to decode; larger batches than
+    the decode stages because only headers are touched."""
+
+    def probe(batch: pa.Table) -> pa.Table:
+        from bigdime_ray.functions.codecs import probe_media
+        n = batch.num_rows
+        fmt = [""] * n
+        kind = [""] * n
+        w = np.zeros(n, dtype=np.int32)
+        h = np.zeros(n, dtype=np.int32)
+        sr = np.zeros(n, dtype=np.int32)
+        fr = np.zeros(n, dtype=np.int32)
+        dur = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            try:
+                m = probe_media(payload)
+                fmt[i] = m["format"]
+                kind[i] = m["kind"]
+                w[i] = m.get("width", 0)
+                h[i] = m.get("height", 0)
+                sr[i] = m.get("sample_rate", 0)
+                fr[i] = m.get("frames", 0)
+                dur[i] = int(m.get("duration_s", 0) * 1_000_000)
+                ok[i] = m["format"] != "unknown"
+            except Exception:
+                fmt[i] = "corrupt"
+                kind[i] = "unknown"
+        return pa.table({
+            "media_id": batch["media_id"],
+            "format": pa.array(fmt, type=pa.string()),
+            "kind": pa.array(kind, type=pa.string()),
+            "width": pa.array(w), "height": pa.array(h),
+            "sample_rate": pa.array(sr), "frames": pa.array(fr),
+            "duration_us": pa.array(dur),
+            "probe_ok": pa.array(ok)}, schema=PROBE_SCHEMA)
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)

@@ -177,3 +177,48 @@ def test_media_perceptual_dedup_finds_planted_pairs():
     assert frozenset((aud_src.media_id, "dup-aud")) in pairs
     flat = {i for p in pairs for i in p}
     assert "junk" not in flat
+
+
+def test_probe_media_metadata_stage():
+    """Header-only probe: correct format/dims/rate per payload class
+    (PPM + PNG + JPEG images, P6 video streams, WAV audio) without a
+    full decode; corrupt rows flagged, not fatal."""
+    import ray.data as rd
+    from bigdime_ray.pipelines.multimodal import (probe_media_metadata,
+                                                  synth_real_media_table)
+    t = synth_real_media_table(40, seed=15).to_pandas()
+    t.loc[len(t)] = {"media_id": "junk", "kind": "image",
+                     "payload": b"\x00nope", "width": 0, "height": 0,
+                     "sample_rate": 0}
+    ds = rd.from_arrow(pa.Table.from_pandas(t)).repartition(3)
+    out = probe_media_metadata(ds).to_pandas().set_index("media_id")
+    src = t.set_index("media_id")
+    for mid, row in src.iterrows():
+        got = out.loc[mid]
+        if mid == "junk":
+            assert not got.probe_ok and got.format == "unknown"
+        elif row.kind == "audio":
+            assert got.format == "wav" and got.sample_rate == row.sample_rate
+            assert got.duration_us > 0
+        elif row.kind == "video":
+            assert got.format == "ppm" and got.frames >= 3
+            assert (got.width, got.height) == (row.width, row.height)
+        else:
+            assert got.format in ("ppm", "png", "jpeg")
+            assert (got.width, got.height) == (row.width, row.height)
+    # images rotate through all three codecs
+    assert {"ppm", "png", "jpeg"} <= set(
+        out[out.kind == "image"].format.unique())
+
+
+def test_media_triage_query():
+    """Driver-surface triage pipeline: probe admits only decodable
+    formats, planted junk/truncated rows come back probe_ok=False and
+    never reach the decode stage, admitted rows all decode."""
+    import __ray_entry__ as e
+    out = e.queries()["media_triage"]("/root/testdata/sf0.001").to_pandas()
+    bad = out[out.media_id.str.startswith("junk")]
+    assert len(bad) == 2 and (~bad.probe_ok).all() and (~bad.decode_ok).all()
+    good = out[~out.media_id.str.startswith("junk")]
+    assert good.probe_ok.all() and good.decode_ok.all()
+    assert {"ppm", "png", "jpeg", "wav"} <= set(good.format.unique())

@@ -51,3 +51,45 @@ def test_pack_sequences_deterministic_and_complete():
     stats = packing_stats(pack_sequences(ds, max_len=2048), 2048)
     assert stats["n_docs"] == n
     assert stats["fill_rate"] > 0.8                # FFD packs tightly
+
+
+def test_token_ngram_decontaminate_matches_brute_force():
+    """Token-level windows == per-row Python brute force: planted exact
+    8-token overlap found, short rows absent, no cross-row windows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.curate import token_ngram_decontaminate
+
+    rng = np.random.default_rng(5)
+    evals = [rng.integers(0, 1000, 30).tolist() for _ in range(3)]
+    train = [rng.integers(0, 1000, 40).tolist() for _ in range(6)]
+    train[1] = train[1][:10] + evals[0][5:13] + train[1][18:]  # planted
+    train[4] = evals[2][:25]                                   # big overlap
+    train.append(list(range(5)))                               # < n tokens? no, 5 < 8 yes
+    n = 8
+
+    def wins(seq):
+        return [tuple(seq[i:i + n]) for i in range(len(seq) - n + 1)]
+
+    ev = set()
+    for s in evals:
+        ev.update(wins(s))
+    expect = {}
+    for i, s in enumerate(train):
+        w = wins(s)
+        if w:
+            expect[f"t{i}"] = (len(w), sum(x in ev for x in w))
+
+    def tbl(seqs, prefix):
+        return pa.table({
+            "doc_id": [f"{prefix}{i}" for i in range(len(seqs))],
+            "tokens": pa.array(seqs, type=pa.list_(pa.int32()))})
+
+    tr = rd.from_arrow(tbl(train, "t")).repartition(2)
+    ev_ds = rd.from_arrow(tbl(evals, "e"))
+    out = token_ngram_decontaminate(tr, ev_ds, n=n).to_pandas()
+    got = {r.doc_id: (r.n_windows, r.n_hits) for r in out.itertuples()}
+    assert got == expect
+    assert got["t1"][1] >= 1 and got["t4"][1] >= 18
+    assert "t6" not in got  # 5 tokens < n
