@@ -214,10 +214,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for _ in range(2):
         shutil.rmtree(run_dir, ignore_errors=True)
         t0 = time.perf_counter()
+        th = {}
+        if os.environ.get("BIGDIME_SCAN_MAP_ROWS"):
+            th["scan_map_batch_rows"] = int(
+                os.environ["BIGDIME_SCAN_MAP_ROWS"])
         report = run_validation(ValidationRunConfig(
             input_dir=bench_dir, run_dir=run_dir,
             profile_path=os.path.join(bench_dir, "reference_profile.json"),
-            suite=list(DEFAULT_SUITE), resume=False))
+            suite=list(DEFAULT_SUITE), resume=False, thresholds=th))
         dt = time.perf_counter() - t0
         headline = dt if headline is None else min(headline, dt)
     timings["validation_suite"] = round(headline, 3)

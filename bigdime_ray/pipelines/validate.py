@@ -433,8 +433,15 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
         dup_future = None
         if scan_vids:
             ctx_ref = ray.put(ctx)
+            # whole-block batches by default: one state per (block,
+            # validator), not one per 1024-row slice. When read tasks
+            # are coarsened (multiple files per block — the scheduler-
+            # bubble lever, BASELINE.md r4), scan_map_batch_rows caps
+            # the map batch so the kernel stays cache-resident while
+            # the TASK count stays low.
             scan_kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
-                               batch_size=None)  # whole-block batches: one state per (block, validator), not one per 1024-row slice
+                               batch_size=ctx.thresholds.get(
+                                   "scan_map_batch_rows"))
             concurrency = resolve_concurrency(cfg.scan_concurrency)
             if concurrency:
                 union = ds.map_batches(

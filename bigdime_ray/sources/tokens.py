@@ -69,6 +69,14 @@ def read_tokens(data_dir: str, columns: Optional[list[str]] = None,
     # block per file: Ray's default SplitBlocks sub-splitting both blocks
     # downstream fusion with the scan stage and adds an object-store hop
     # (measured 2.8× slower scan at 8 cpus on 17 MB files).
+    # BIGDIME_READ_BLOCKS: pin the read-task count (experiment knob for
+    # the scheduler-bubble analysis, BASELINE.md r4 — Ray's scheduling
+    # loop waits `ray.wait(num_returns=ALL, timeout=0.1)`, so each task
+    # turnover at width>1 can idle a core up to 100 ms; fewer, larger
+    # fused tasks shrink the total bubble)
+    env_blocks = os.environ.get("BIGDIME_READ_BLOCKS")
+    if env_blocks and "override_num_blocks" not in read_kwargs:
+        read_kwargs["override_num_blocks"] = int(env_blocks)
     if "override_num_blocks" not in read_kwargs:
         try:
             from ray.data import DataContext
