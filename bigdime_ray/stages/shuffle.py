@@ -475,11 +475,10 @@ def detect_hot_keys(ds: Dataset, key: str, sample_frac: float = 0.01,
         return {}
     est_total_rows = total / sample_frac
     hot = counts[counts["cnt"] / total > hot_share]
-    out = {}
-    for _, row in hot.iterrows():
-        est_rows = row["cnt"] / total * est_total_rows
-        out[row[key]] = max(2, int(np.ceil(est_rows / target_rows_per_group)))
-    return out
+    est_rows = hot["cnt"].to_numpy() / total * est_total_rows
+    salt = np.maximum(2, np.ceil(est_rows / target_rows_per_group)
+                      .astype(np.int64))
+    return dict(zip(hot[key].tolist(), (int(k) for k in salt)))
 
 
 def add_salt(batch: pa.Table, key: str, hot_keys: dict[str, int],
