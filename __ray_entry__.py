@@ -804,6 +804,22 @@ def _q_rolling_rows(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_rolling_rows_max(sf_dir: str):
+    """ROWS-frame trailing MAX (last 3 rows + current per user, ordered
+    by (ts, event_id)) — the extremum sibling of events_rolling_rows_sum
+    (pipelines/stream.py::rolling_rows_extremum): segment-guarded
+    shift-fold, per-row fixed-point ×10⁴ so both engines compare
+    identical integers."""
+    from bigdime_ray.pipelines.stream import rolling_rows_extremum
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+    out = rolling_rows_extremum(ds, "user_id", "ts", "value", "event_id",
+                                preceding=3, op="max", scale=10_000)
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "rows_ext"]),
+        batch_format="pyarrow")
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Per-group exact COUNT(DISTINCT): distinct users per event type
     via the key-hash-bucketed packed-pair exchange."""
@@ -1342,6 +1358,113 @@ def _q_quantity_discount_comoments(sf_dir: str):
         ds.map_batches(prep, batch_format="pyarrow",
                        zero_copy_batch=True),
         "l_returnflag", "x", "y")
+
+
+def _q_quantity_discount_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of (quantity, discount%),
+    finished from the exact int64 comoment sums
+    (pipelines/frequency.py::grouped_comoments). The sums are
+    order-independent integers; the final corr is ONE float64 expression
+    evaluated in the identical order on both engines
+    ((n·sxy − sx·sy)/√((n·sxx − sx²)(n·syy − sy²)), every operand cast
+    to double first), then fixed-point ×10⁶ — so the hash compare sees
+    the same bits."""
+    from bigdime_ray.pipelines.frequency import grouped_comoments
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": batch["l_returnflag"],
+                         "x": _scaled_i64(q, 1),
+                         "y": _scaled_i64(d, 100)})
+
+    agg = grouped_comoments(
+        ds.map_batches(prep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "l_returnflag", "x", "y")
+    schema = pa.schema([("l_returnflag", pa.string())]
+                       + [(c, pa.int64())
+                          for c in ("n", "sx", "sy", "sxx", "syy",
+                                    "sxy")])
+    small = _collect(agg, schema)
+    n = small["n"].to_numpy().astype(np.float64)
+    sx = small["sx"].to_numpy().astype(np.float64)
+    sy = small["sy"].to_numpy().astype(np.float64)
+    sxx = small["sxx"].to_numpy().astype(np.float64)
+    syy = small["syy"].to_numpy().astype(np.float64)
+    sxy = small["sxy"].to_numpy().astype(np.float64)
+    numer = n * sxy - sx * sy
+    denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    corr = np.where(denom > 0.0, numer / np.where(denom > 0.0, denom,
+                                                  1.0), 0.0)
+    return pa.table({
+        "l_returnflag": small["l_returnflag"],
+        "n": small["n"],
+        "corr_micro": pa.array(
+            np.floor(corr * 1_000_000 + 0.5).astype(np.int64))})
+
+
+def _q_customer_order_full_outer(sf_dir: str):
+    """FULL OUTER join of wealthy customers vs big-order counts per
+    customer on STRING keys
+    (pipelines/join.py::string_key_full_outer_join: verified inner ⊎
+    two broadcast anti branches) — exercises matched, left-only and
+    right-only regions at every SF. Aggregated right side passes
+    through drop_empty_blocks (groupby → join hazard, CLAUDE.md)."""
+    from ray.data.aggregate import Sum
+    from bigdime_ray.pipelines.join import string_key_full_outer_join
+    from bigdime_ray.stages.shuffle import drop_empty_blocks
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["c_acctbal"], 9000.0)
+        out = batch.filter(keep)
+        bal = out["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cust_l": pc.cast(out["c_custkey"], pa.string()),
+            "acctbal_cents": _scaled_i64(bal, 100)})
+
+    # the filter can empty whole blocks; empty blocks BYPASS later map
+    # operators (CLAUDE.md), so they'd reach the join without the hash
+    # column — drop them here, same discipline as groupby-derived sides
+    left = drop_empty_blocks(
+        cust.map_batches(prep_left, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["o_totalprice"], 470_000.0)
+        out = batch.filter(keep)
+        k = out["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uniq),
+                         "n_orders": pa.array(cnt.astype(np.int64))})
+
+    right = (orders.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("o_custkey")
+             .aggregate(Sum("n_orders", alias_name="n_orders")))
+    right = drop_empty_blocks(right).map_batches(
+        lambda b: pa.table({
+            "cust_r": pc.cast(b["o_custkey"], pa.string()),
+            "n_orders": b["n_orders"]}),
+        batch_format="pyarrow")
+
+    joined = string_key_full_outer_join(left, right, "cust_l", "cust_r",
+                                        num_partitions=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust_key": pc.coalesce(batch["cust_l"], batch["cust_r"]),
+            "acctbal_cents": batch["acctbal_cents"],
+            "n_orders": batch["n_orders"]})
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def _q_doc_tfidf(sf_dir: str):
@@ -3458,6 +3581,9 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": _q_event_pivot,
         "events_rolling_sum": _q_rolling_sum,
         "events_rolling_rows_sum": _q_rolling_rows,
+        "events_rolling_rows_max": _q_rolling_rows_max,
+        "quantity_discount_corr": _q_quantity_discount_corr,
+        "customer_order_full_outer": _q_customer_order_full_outer,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "documents_redacted": _q_redact,
         "events_sessions": _q_sessions,
@@ -3716,6 +3842,40 @@ def oracle_sql() -> dict[str, str]:
             " + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts,"
             " event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
             "AS BIGINT) AS rows_total FROM events",
+        "events_rolling_rows_max":
+            "SELECT user_id, event_id, CAST(MAX(CAST(FLOOR(value * 10000"
+            " + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts,"
+            " event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS rows_ext FROM events",
+        "quantity_discount_corr":
+            "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) "
+            "AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, "
+            "SUM(y*y) AS syy, SUM(x*y) AS sxy FROM (SELECT l_returnflag,"
+            " CAST(FLOOR(l_quantity * 1 + 0.5) AS BIGINT) AS x, "
+            "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y "
+            "FROM lineitem) GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, CASE WHEN "
+            "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+            "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) > 0.0 THEN "
+            "CAST(FLOOR((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / "
+            "sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * "
+            "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) "
+            "* 1000000 + 0.5) AS BIGINT) ELSE 0 END AS corr_micro "
+            "FROM m",
+        "customer_order_full_outer":
+            "WITH l AS (SELECT CAST(c_custkey AS VARCHAR) AS cust_l, "
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS "
+            "acctbal_cents FROM customer WHERE c_acctbal >= 9000), "
+            "r AS (SELECT CAST(o_custkey AS VARCHAR) AS cust_r, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders "
+            "WHERE o_totalprice >= 470000 GROUP BY o_custkey) "
+            "SELECT COALESCE(cust_l, cust_r) AS cust_key, acctbal_cents,"
+            " n_orders FROM l FULL OUTER JOIN r ON cust_l = cust_r",
         "distinct_users_by_type":
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type",

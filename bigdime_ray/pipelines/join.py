@@ -17,12 +17,13 @@ regardless of hot STRING values — the hot key hashes spread only if the
 VALUES differ; a single mega-hot identical key must be salted upstream,
 documented caveat shared with every hash join).
 
-Inner joins only, deliberately: under an outer join a 64-bit hash
-collision would need the falsely-matched left row to be REINSTATED as
-a null-match row after verification (not just dropped), which requires
-a second anti-join pass over the left side. Compose the existing
-broadcast anti-join (`__ray_entry__._q_customers_without_orders`
-pattern) with this inner join when outer semantics are needed.
+The hashed exchange itself is inner-only, deliberately: under an outer
+join a 64-bit hash collision would need the falsely-matched left row to
+be REINSTATED as a null-match row after verification (not just
+dropped), which requires an anti-join pass over that side. The outer
+variants (``string_key_left_join``, ``string_key_full_outer_join``)
+therefore COMPOSE the verified inner join with broadcast anti branches
+instead of widening the exchange.
 """
 
 from __future__ import annotations
@@ -42,7 +43,14 @@ def string_key_join(left: Dataset, right: Dataset, left_key: str,
                     right_key: str, num_partitions: int = 16) -> Dataset:
     """Inner join ``left ⋈ right`` on string columns ``left_key`` ==
     ``right_key`` (names must differ so post-join verification can see
-    both sides). Output carries all columns of both sides."""
+    both sides). Output carries all columns of both sides.
+
+    Caller contract (repo-wide empty-block hazard, CLAUDE.md): a side
+    that can contain EMPTY blocks — it came through a groupby/union
+    hash shuffle, or a filter that can empty whole blocks — must pass
+    through ``stages.shuffle.drop_empty_blocks`` first. Empty blocks
+    bypass map operators, so they'd reach the join without the hash
+    column and crash it ("No match for FieldRef __jk_l")."""
     if left_key == right_key:
         raise ValueError(
             "left_key and right_key must have distinct names "
@@ -180,42 +188,88 @@ def string_key_left_join(left: Dataset, right: Dataset, left_key: str,
     broadcast (~10⁸ keys); beyond that, run the anti branch as a second
     hash-join pass instead. Output schema: left columns + right columns
     (null where unmatched), same as the inner join's."""
-    import ray as _ray
-
     inner = string_key_join(left, right, left_key, right_key,
                             num_partitions)
-    # groupby-derived right sides can carry zero-column empty blocks
-    # (stages/shuffle.py::drop_empty_blocks doc) — drop before concat
-    rtabs = [t for t in _ray.get(
-        right.select_columns([right_key]).to_arrow_refs())
-        if t.num_rows > 0]
-    rkeys = pc.unique(pa.concat_tables(rtabs)[right_key]
-                      .combine_chunks()) if rtabs \
-        else pa.array([], type=pa.string())
-    rsch = right.schema()
-    # ray.data.Schema.types yields numpy dtypes for pandas-backed
-    # datasets; normalize to Arrow (object dtype ≈ string — the pandas
-    # block representation doesn't distinguish)
-    rtypes = []
-    for t in rsch.types:
-        if isinstance(t, pa.DataType):
-            rtypes.append(t)
-        else:
-            try:
-                rtypes.append(pa.from_numpy_dtype(t))
-            except (pa.ArrowNotImplementedError, TypeError):
-                rtypes.append(pa.string())
-    cols = left.schema().names + rsch.names
-
-    def anti(batch: pa.Table) -> pa.Table:
-        out = batch.filter(pc.invert(
-            pc.is_in(batch[left_key], value_set=rkeys)))
-        for nm, tp in zip(rsch.names, rtypes):
-            out = out.append_column(nm, pa.nulls(out.num_rows, type=tp))
-        return out.select(cols)
-
-    unmatched = left.map_batches(anti, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+    cols = left.schema().names + right.schema().names
+    unmatched = _anti_with_nulls(left, left_key,
+                                 _distinct_keys(right, right_key),
+                                 right.schema(), cols)
     return inner.map_batches(lambda b: b.select(cols),
                              batch_format="pyarrow",
                              zero_copy_batch=True).union(unmatched)
+
+
+def _distinct_keys(side: Dataset, key: str) -> pa.Array:
+    """Collect a side's distinct key values for a broadcast anti branch
+    (assumes the key set fits the driver/object store, ~10⁸ keys)."""
+    import ray as _ray
+
+    # groupby-derived sides can carry zero-column empty blocks
+    # (stages/shuffle.py::drop_empty_blocks doc) — drop before concat
+    tabs = [t for t in _ray.get(side.select_columns([key]).to_arrow_refs())
+            if t.num_rows > 0]
+    return pc.unique(pa.concat_tables(tabs)[key].combine_chunks()) \
+        if tabs else pa.array([], type=pa.string())
+
+
+def _arrow_types(sch) -> list[pa.DataType]:
+    """ray.data.Schema.types yields numpy dtypes for pandas-backed
+    datasets; normalize to Arrow (object dtype ≈ string — the pandas
+    block representation doesn't distinguish)."""
+    types = []
+    for t in sch.types:
+        if isinstance(t, pa.DataType):
+            types.append(t)
+        else:
+            try:
+                types.append(pa.from_numpy_dtype(t))
+            except (pa.ArrowNotImplementedError, TypeError):
+                types.append(pa.string())
+    return types
+
+
+def _anti_with_nulls(side: Dataset, side_key: str, other_keys: pa.Array,
+                     other_schema, cols: list[str]) -> Dataset:
+    """Rows of ``side`` whose key is absent from ``other_keys``, padded
+    with nulls for every column of the other side and projected to the
+    unified ``cols`` order — the outer-join unmatched branch."""
+    names = other_schema.names
+    types = _arrow_types(other_schema)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.invert(
+            pc.is_in(batch[side_key], value_set=other_keys)))
+        for nm, tp in zip(names, types):
+            out = out.append_column(nm, pa.nulls(out.num_rows, type=tp))
+        return out.select(cols)
+
+    return side.map_batches(anti, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def string_key_full_outer_join(left: Dataset, right: Dataset,
+                               left_key: str, right_key: str,
+                               num_partitions: int = 16) -> Dataset:
+    """FULL OUTER join on string keys:
+    ``verified inner ⊎ left-anti (null right cols) ⊎ right-anti (null
+    left cols)`` — the symmetric completion of ``string_key_left_join``.
+
+    Collision-safe for the same reason: a hash-collided pair is dropped
+    by the inner join's string verification and each row re-enters
+    through its side's anti branch with nulls, exactly the SQL result.
+    BOTH distinct key sets are broadcast (each ≲10⁸ keys); beyond that
+    run the anti branches as hash-join passes. Output schema: left
+    columns + right columns, nulls where unmatched."""
+    inner = string_key_join(left, right, left_key, right_key,
+                            num_partitions)
+    cols = left.schema().names + right.schema().names
+    left_um = _anti_with_nulls(left, left_key,
+                               _distinct_keys(right, right_key),
+                               right.schema(), cols)
+    right_um = _anti_with_nulls(right, right_key,
+                                _distinct_keys(left, left_key),
+                                left.schema(), cols)
+    return (inner.map_batches(lambda b: b.select(cols),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .union(left_um).union(right_um))

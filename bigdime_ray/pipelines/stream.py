@@ -1008,6 +1008,66 @@ def rolling_rows_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
             .map_groups(kernel, batch_format="pandas"))
 
 
+def rolling_rows_extremum(ds: Dataset, key: str, ts_col: str,
+                          value_col: str, id_col: str, preceding: int,
+                          op: str = "max", scale: int | None = None,
+                          num_buckets: int = 64) -> Dataset:
+    """Row-count-frame trailing MIN/MAX: SQL ``MAX(v) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN <preceding> PRECEDING AND CURRENT
+    ROW)`` — the extremum sibling of ``rolling_rows_sum`` (same
+    deterministic (ts, id) total order, same fixed-point ``scale``).
+
+    Kernel: one lexsort per co-located hash bucket, then the frame
+    reduces as ``preceding+1`` segment-guarded shifted gathers folded
+    with ``np.maximum``/``np.minimum`` — O(n·(w+1)) fully vectorized,
+    sized for SMALL row frames (w ≲ 64, the SQL-window norm; a frame
+    that wide in rows should be a RANGE window or a monotonic-deque
+    kernel instead). The shift-fold cannot leak across keys: a shifted
+    index below the row's segment start contributes the op identity,
+    and shift 0 (the row itself) is always in frame, so no identity
+    survives to the output. Returns (key, ts, id, rows_ext)."""
+    if op not in ("max", "min"):
+        raise ValueError(f"op must be 'max' or 'min', got {op!r}")
+    if preceding < 0:
+        raise ValueError("preceding must be >= 0")
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]")
+        v = g[value_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        ti = ts.view(np.int64)
+        order = np.lexsort((ids, ti, k))
+        k, ti, v, ids = k[order], ti[order], v[order], ids[order]
+        n = len(k)
+        if scale is not None:
+            v = np.floor(np.asarray(v, dtype=np.float64) * scale + 0.5) \
+                .astype(np.int64)
+        else:
+            v = np.asarray(v, dtype=np.int64)
+        key_starts = _segment_starts(k)
+        seg_start = np.repeat(key_starts,
+                              np.diff(np.r_[key_starts, n]))
+        idx = np.arange(n, dtype=np.int64)
+        info = np.iinfo(np.int64)
+        ident = info.min if op == "max" else info.max
+        fold = np.maximum if op == "max" else np.minimum
+        ext = v.copy()                       # shift 0: always in frame
+        for s in range(1, preceding + 1):
+            src = idx - s
+            cand = np.where(src >= seg_start,
+                            v[np.maximum(src, 0)], ident)
+            ext = fold(ext, cand)
+        return pd.DataFrame({
+            key: k, ts_col: pd.Series(ti.view("datetime64[us]")),
+            id_col: ids, "rows_ext": ext})
+
+    from bigdime_ray.stages.shuffle import add_hash_bucket
+    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+            .map_groups(kernel, batch_format="pandas"))
+
+
 def grouped_first_last(ds: Dataset, key: str, ts_col: str, id_col: str,
                        value_col: str, scale: int | None = None,
                        num_buckets: int = 64) -> Dataset:

@@ -290,6 +290,37 @@ def test_string_key_left_join_matches_pandas():
         exp_m.rv.astype(np.int64).tolist()
 
 
+def test_string_key_full_outer_join_matches_pandas():
+    """FULL OUTER composition (verified inner + two broadcast anti
+    branches) == pandas outer merge: matched, left-only and right-only
+    regions all non-empty, many-to-many matches included."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.join import string_key_full_outer_join
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({
+        "lk": [f"k{int(i)}" for i in rng.integers(0, 30, 150)],
+        "lv": np.arange(150, dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": [f"k{int(i)}" for i in rng.integers(15, 45, 90)],
+        "rv": np.arange(90, dtype=np.int64)})
+    got = (string_key_full_outer_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        "lk", "rk", num_partitions=4).to_pandas())
+    exp = left.merge(right, left_on="lk", right_on="rk", how="outer")
+    assert len(got) == len(exp)
+    assert got.lk.isna().sum() == exp.lk.isna().sum() > 0
+    assert got.rk.isna().sum() == exp.rk.isna().sum() > 0
+    key = ["lv", "rv"]
+    g = got[key].fillna(-1).astype(np.int64).sort_values(key) \
+        .reset_index(drop=True)
+    e = exp[key].fillna(-1).astype(np.int64).sort_values(key) \
+        .reset_index(drop=True)
+    assert g.equals(e)
+
+
 def test_key_anti_and_semi_join_match_pandas():
     import pandas as pd
     import ray.data as rd

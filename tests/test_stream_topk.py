@@ -528,6 +528,54 @@ def test_rolling_rows_sum_brute_force():
     assert df.duplicated(["k", "ts"]).any()  # ties exercised
 
 
+def test_rolling_rows_extremum_brute_force():
+    """ROWS-frame trailing MIN and MAX (segment-guarded shift-fold)
+    against a per-row brute force with heavy ts ties; single-row keys
+    and frame-wider-than-segment cases included."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import rolling_rows_extremum
+    rng = np.random.default_rng(47)
+    n, K = 500, 4
+    base = np.datetime64("2024-06-01", "us")
+    t = pa.table({
+        "k": pa.array(np.r_[rng.integers(0, 10, n - 1), [999]],
+                      type=pa.int64()),       # key 999: single-row seg
+        "ts": pa.array(base + (rng.integers(0, 30, n) * 1_000_000)
+                       .astype("timedelta64[us]"), type=pa.timestamp("us")),
+        "v": pa.array(rng.uniform(-5, 5, n)),
+        "eid": pa.array(rng.permutation(n), type=pa.int64())})
+    df = t.to_pandas()
+    df["vi"] = np.floor(df.v.to_numpy() * 10_000 + 0.5).astype(np.int64)
+    df = df.sort_values(["k", "ts", "eid"]).reset_index(drop=True)
+    for op, red in (("max", max), ("min", min)):
+        got = (rolling_rows_extremum(rd.from_arrow(t).repartition(4),
+                                     "k", "ts", "v", "eid", preceding=K,
+                                     op=op, scale=10_000)
+               .to_pandas().sort_values("eid").reset_index(drop=True))
+        exp = {}
+        for _, g in df.groupby("k"):
+            vi = g.vi.to_numpy()
+            for i in range(len(g)):
+                lo = max(0, i - K)
+                exp[int(g.eid.iloc[i])] = red(vi[lo:i + 1])
+        got["expect"] = got["eid"].map(exp)
+        assert got["rows_ext"].tolist() == got["expect"].tolist(), op
+    assert df.duplicated(["k", "ts"]).any()  # ties exercised
+
+
+def test_rolling_rows_extremum_rejects_bad_args():
+    import pytest
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import rolling_rows_extremum
+    ds = rd.range(1)
+    with pytest.raises(ValueError):
+        rolling_rows_extremum(ds, "k", "ts", "v", "id", 3, op="sum")
+    with pytest.raises(ValueError):
+        rolling_rows_extremum(ds, "k", "ts", "v", "id", -1)
+
+
 def test_grouped_rank_matches_sql_semantics():
     """RANK/DENSE_RANK with heavy ties == the SQL definition (brute
     force per group), ascending and descending."""
