@@ -42,7 +42,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
                                   "doc_decile_stats",
                                   "late_shipment_orders",
                                   "order_snapshot_diff",
-                                  "top_words_by_source"])
+                                  "top_words_by_source",
+                                  "events_rolling_rows_max",
+                                  "quantity_discount_corr"])
 def test_query_matches_oracle(name, con, sf001_dir):
     res = E.queries()[name](sf001_dir)
     rdf = res.to_pandas() if hasattr(res, "to_pandas") else res
