@@ -41,6 +41,16 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 
+def _buckets(root: Dataset, num_buckets: int | None) -> int:
+    """Resolve the kernel family's ``num_buckets=None`` default from
+    plan-time row counts (VERDICT r4 #2): rows-proportional buckets with
+    a parallelism floor — see ``stages.shuffle.resolve_group_buckets``.
+    ``root`` must be the read-rooted input (count() is metadata-cheap
+    there); callers with derived inputs pin ``num_buckets``."""
+    from bigdime_ray.stages.shuffle import resolve_group_buckets
+    return resolve_group_buckets(root, num_buckets)
+
+
 def tumbling_window(ds: Dataset, key: str, ts_col: str, value_col: str,
                     unit: str = "hour") -> Dataset:
     """Per (key, window) count + sum. ``unit`` is an Arrow
@@ -64,7 +74,7 @@ def _segment_starts(k: np.ndarray) -> np.ndarray:
 
 def running_aggregate(ds: Dataset, key: str, ts_col: str, value_col: str,
                       order_tiebreak: str | None = None,
-                      num_buckets: int = 64) -> Dataset:
+                      num_buckets: int | None = None) -> Dataset:
     """Per-key cumulative sum in ts order (deterministic tie-break by
     ``order_tiebreak``). One shuffle co-partitions hash BUCKETS of keys;
     inside a bucket the kernel is one lexsort + a vectorized segmented
@@ -87,13 +97,13 @@ def running_aggregate(ds: Dataset, key: str, ts_col: str, value_col: str,
         return g
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def session_windows(ds: Dataset, key: str, ts_col: str,
                     gap_seconds: float, value_col: str | None = None,
-                    num_buckets: int = 64) -> Dataset:
+                    num_buckets: int | None = None) -> Dataset:
     """Gap-based sessions per key: a new session starts when the gap from
     the previous event exceeds ``gap_seconds``. Returns one row per
     session: key, session_id (0-based per key), n_events, session_start,
@@ -132,7 +142,7 @@ def session_windows(ds: Dataset, key: str, ts_col: str,
         return pd.DataFrame(out)
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
@@ -171,7 +181,7 @@ def hopping_window(ds: Dataset, key: str, ts_col: str, value_col: str,
 def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
                       left_id: str, right_id: str,
                       out_col: str = "matched_id",
-                      num_buckets: int = 64) -> Dataset:
+                      num_buckets: int | None = None) -> Dataset:
     """As-of join: for every left row, the right row of the SAME key
     with the greatest ts ≤ left.ts (SQL: ``ASOF LEFT JOIN ... ON
     l.key = r.key AND l.ts >= r.ts``). No match → null. Ties on right
@@ -190,6 +200,7 @@ def asof_join_grouped(left: Dataset, right: Dataset, key: str, ts_col: str,
     cummax) → null. No-match is NaN directly (negative ids are legal;
     float64 caps exact ids at 2^53 — documented)."""
     from bigdime_ray.functions.hashing import column_hashes
+    num_buckets = _buckets(left, num_buckets)
 
     def tag(id_col: str, side: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -259,7 +270,7 @@ def _asof_kernel(k: np.ndarray, ts: np.ndarray, ids: np.ndarray,
 def asof_join_packed(left: Dataset, right: Dataset, key: str, ts_col: str,
                      left_id: str, right_id: str,
                      out_col: str = "matched_id",
-                     num_buckets: int = 16,
+                     num_buckets: int | None = None,
                      tolerance_us: int | None = None) -> Dataset:
     """Packed-cell as-of join — the int64-key fast path.
 
@@ -276,6 +287,7 @@ def asof_join_packed(left: Dataset, right: Dataset, key: str, ts_col: str,
     pinned in tests/test_stream_topk.py.
     """
     from bigdime_ray.functions.hashing import mix64
+    num_buckets = _buckets(left, num_buckets)
 
     empty_cells = pa.table({
         "bucket": pa.array([], type=pa.int32()),
@@ -326,7 +338,7 @@ def asof_join_packed(left: Dataset, right: Dataset, key: str, ts_col: str,
 def asof_join_packed_tagged(ds: Dataset, key: str, ts_col: str,
                             id_col: str, side_col: str, left_value,
                             right_value, out_col: str = "matched_id",
-                            num_buckets: int = 16,
+                            num_buckets: int | None = None,
                             tolerance_us: int | None = None) -> Dataset:
     """``asof_join_packed`` over ONE input whose rows carry their side in
     ``side_col`` (e.g. an event_type column): a single scan + a single
@@ -335,6 +347,7 @@ def asof_join_packed_tagged(ds: Dataset, key: str, ts_col: str,
     neither value are dropped in the pack (no pre-filter pass needed).
     """
     from bigdime_ray.functions.hashing import mix64
+    num_buckets = _buckets(ds, num_buckets)
 
     def pack(b: pa.Table) -> pa.Table:
         sv = b[side_col]
@@ -442,7 +455,7 @@ def _rank_within_key(k_iv: np.ndarray, v_iv: np.ndarray,
 
 def interval_overlap_count(events: Dataset, intervals: Dataset, key: str,
                            ts_col: str, lo_col: str, hi_col: str,
-                           event_id: str, num_buckets: int = 16) -> Dataset:
+                           event_id: str, num_buckets: int | None = None) -> Dataset:
     """Range-join aggregate: for every event, the COUNT of intervals of
     the same key with ``lo <= ts <= hi`` (concurrency / active-session
     counting; SQL: LEFT JOIN ON k AND ts BETWEEN lo AND hi + COUNT).
@@ -456,6 +469,7 @@ def interval_overlap_count(events: Dataset, intervals: Dataset, key: str,
     ids; ts/lo/hi timestamp[us]-compatible.
     """
     from bigdime_ray.functions.hashing import mix64
+    num_buckets = _buckets(events, num_buckets)
 
     empty_cells = pa.table({
         "bucket": pa.array([], type=pa.int32()),
@@ -525,7 +539,7 @@ def interval_overlap_count(events: Dataset, intervals: Dataset, key: str,
 
 
 def lag_delta(ds: Dataset, key: str, ts_col: str, id_col: str,
-              num_buckets: int = 64) -> Dataset:
+              num_buckets: int | None = None) -> Dataset:
     """Per-key previous-event gap — the ``LAG(ts) OVER (PARTITION BY key
     ORDER BY ts, id)`` shape (inter-event time, a core feature for
     sessionization / bot detection / rate features).
@@ -556,14 +570,14 @@ def lag_delta(ds: Dataset, key: str, ts_col: str, id_col: str,
                              "delta_us": delta})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def sessionized_funnel(ds: Dataset, key: str, ts_col: str,
                        type_col: str, steps: list[str],
                        gap_seconds: float,
-                       num_buckets: int = 64) -> Dataset:
+                       num_buckets: int | None = None) -> Dataset:
     """Ordered-event funnel WITHIN gap-based sessions: one row per
     (key, session) whose first occurrence of each step is strictly
     increasing step to step — the product-analytics conversion query
@@ -616,13 +630,13 @@ def sessionized_funnel(ds: Dataset, key: str, ts_col: str,
                for s, m in zip(steps, mins)}})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def time_weighted_sum(ds: Dataset, key: str, ts_col: str, id_col: str,
                       value_col: str, scale: int = 10_000,
-                      num_buckets: int = 64) -> Dataset:
+                      num_buckets: int | None = None) -> Dataset:
     """Per-key TIME-WEIGHTED aggregate — Σ value·Δt over the key's
     (ts, id)-ordered events, each value held until the NEXT event
     (the financial TWAP / telemetry duty-cycle shape).
@@ -687,13 +701,13 @@ def time_weighted_sum(ds: Dataset, key: str, ts_col: str, id_col: str,
                              "twa_micro": twa})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def gap_fill_windows(agg: Dataset, key: str, widx_col: str,
                      value_cols: list[str], fill: int = 0,
-                     num_buckets: int = 64) -> Dataset:
+                     num_buckets: int | None = None) -> Dataset:
     """Densify a windowed aggregate: for each key, emit EVERY window
     index in [key's min, key's max], filling absent windows with
     ``fill`` — training pipelines need gapless per-entity time series
@@ -745,14 +759,18 @@ def gap_fill_windows(agg: Dataset, key: str, widx_col: str,
         return pd.DataFrame(out)
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(agg, key, num_buckets).groupby("__bucket")
+    # input is DERIVED (an aggregate): counting it would re-execute the
+    # upstream plan, so auto resolves to the parallelism floor — pin
+    # num_buckets when the (key × window) aggregate is itself huge
+    return (add_hash_bucket(agg, key, _buckets(None, num_buckets))
+            .groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def grouped_lag_lead(ds: Dataset, key: str, ts_col: str, id_col: str,
                      value_col: str, default: int = -1,
                      scale: int | None = None,
-                     num_buckets: int = 64) -> Dataset:
+                     num_buckets: int | None = None) -> Dataset:
     """``LAG(v)`` and ``LEAD(v) OVER (PARTITION BY key ORDER BY ts,
     id)`` in ONE kernel pass — the previous/next event's value per key
     (rate-of-change and next-action features).
@@ -791,14 +809,14 @@ def grouped_lag_lead(ds: Dataset, key: str, ts_col: str, id_col: str,
                              "lag_v": lag, "lead_v": lead})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def rolling_window_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
                        id_col: str, window_us: int,
                        scale: int | None = None,
-                       num_buckets: int = 64) -> Dataset:
+                       num_buckets: int | None = None) -> Dataset:
     """Trailing-window aggregate: for every event, SUM(value) over the
     key's events with ts in ``[ts - window, ts]`` — SQL ``SUM(v) OVER
     (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
@@ -849,13 +867,13 @@ def rolling_window_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
         return pd.DataFrame(out)
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def ntile(ds: Dataset, key: str, order_col: str, tiebreak: str,
           n_tiles: int, out_col: str = "tile",
-          num_buckets: int = 64) -> Dataset:
+          num_buckets: int | None = None) -> Dataset:
     """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order, tiebreak)``
     — quantile binning per group (curriculum bucketing / difficulty
     tiers over a corpus). 1-based tiles; when the group size n is not
@@ -892,13 +910,13 @@ def ntile(ds: Dataset, key: str, order_col: str, tiebreak: str,
         return g
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def grouped_rank(ds: Dataset, key: str, order_col: str, id_col: str,
                  descending: bool = False,
-                 num_buckets: int = 64) -> Dataset:
+                 num_buckets: int | None = None) -> Dataset:
     """SQL ``RANK()`` and ``DENSE_RANK() OVER (PARTITION BY key ORDER BY
     order_col [DESC])`` in one pass. Ties share a rank (the SQL
     semantics), so the output is deterministic regardless of physical
@@ -956,14 +974,14 @@ def grouped_rank(ds: Dataset, key: str, order_col: str, id_col: str,
             "cd_s": np.floor(cd * 1_000_000 + 0.5).astype(np.int64)})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def rolling_rows_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
                      id_col: str, preceding: int,
                      scale: int | None = None,
-                     num_buckets: int = 64) -> Dataset:
+                     num_buckets: int | None = None) -> Dataset:
     """Row-count-frame trailing sum: SQL ``SUM(v) OVER (PARTITION BY key
     ORDER BY ts, id ROWS BETWEEN <preceding> PRECEDING AND CURRENT
     ROW)`` — the row-frame sibling of ``rolling_window_sum`` (RANGE
@@ -1004,14 +1022,14 @@ def rolling_rows_sum(ds: Dataset, key: str, ts_col: str, value_col: str,
             id_col: ids, "rows_total": cs0[idx + 1] - cs0[lo]})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def rolling_rows_extremum(ds: Dataset, key: str, ts_col: str,
                           value_col: str, id_col: str, preceding: int,
                           op: str = "max", scale: int | None = None,
-                          num_buckets: int = 64) -> Dataset:
+                          num_buckets: int | None = None) -> Dataset:
     """Row-count-frame trailing MIN/MAX: SQL ``MAX(v) OVER (PARTITION BY
     key ORDER BY ts, id ROWS BETWEEN <preceding> PRECEDING AND CURRENT
     ROW)`` — the extremum sibling of ``rolling_rows_sum`` (same
@@ -1064,13 +1082,13 @@ def rolling_rows_extremum(ds: Dataset, key: str, ts_col: str,
             id_col: ids, "rows_ext": ext})
 
     from bigdime_ray.stages.shuffle import add_hash_bucket
-    return (add_hash_bucket(ds, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(ds, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))
 
 
 def grouped_first_last(ds: Dataset, key: str, ts_col: str, id_col: str,
                        value_col: str, scale: int | None = None,
-                       num_buckets: int = 64) -> Dataset:
+                       num_buckets: int | None = None) -> Dataset:
     """FIRST_VALUE / LAST_VALUE per partition: one row per key with the
     value at the key's first and last event under the explicit total
     order (ts, id) — SQL ``FIRST(v ORDER BY ts, id)`` / ``LAST(...)``.
@@ -1122,5 +1140,5 @@ def grouped_first_last(ds: Dataset, key: str, ts_col: str, id_col: str,
     from bigdime_ray.stages.shuffle import add_hash_bucket
     cand = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
-    return (add_hash_bucket(cand, key, num_buckets).groupby("__bucket")
+    return (add_hash_bucket(cand, key, _buckets(ds, num_buckets)).groupby("__bucket")
             .map_groups(kernel, batch_format="pandas"))

@@ -125,6 +125,47 @@ def block_preagg_counts(ds: Dataset, keys: list[str],
 
 AUTO_EXCHANGE_ROWS_PER_BUCKET = 50_000_000  # ~800 MB of (key, cnt) cells
 
+# One hash bucket of a grouped kernel materializes as ONE pandas frame in
+# a single map_groups task (pipelines/stream.py family) — size so a full
+# bucket of narrow event rows stays in the low-hundreds-of-MB range
+# (4M rows × ~40-80 B/row), far below a worker heap.
+GROUP_KERNEL_ROWS_PER_BUCKET = 4_000_000
+
+
+def resolve_group_buckets(root: Dataset, num_buckets,
+                          rows_per_bucket: int = GROUP_KERNEL_ROWS_PER_BUCKET,
+                          floor: int | None = None) -> int:
+    """Resolve ``num_buckets=None`` for the bucketed map_groups kernels
+    from plan-time row counts (VERDICT r4 #2) — the same auto-dispatch
+    discipline as ``_auto_buckets``, with a floor that preserves task
+    parallelism at small scale: ``max(floor, ceil(rows /
+    rows_per_bucket))``. The floor defaults to the cluster CPU count
+    (min 16) so small inputs still fan out, while 10¹²-row inputs get
+    rows-proportional buckets instead of a fixed constant (a fixed 64
+    would put ~1.6×10¹⁰ rows in ONE pandas task).
+
+    Same CAVEAT as ``_auto_buckets``: ``root.count()`` is metadata-cheap
+    only on read-rooted datasets — pass the READ-ROOTED input (not a
+    derived intermediate), or pin ``num_buckets`` explicitly.
+    ``root=None`` skips the count and returns the parallelism floor —
+    the resolution for kernels whose only input is derived (counting it
+    would execute the upstream plan twice)."""
+    if num_buckets is not None:
+        return num_buckets
+    if floor is None:
+        try:
+            import ray as _ray
+            floor = max(16, int(_ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            floor = 16
+    if root is None:
+        return floor
+    try:
+        rows = root.count()
+    except Exception:
+        return floor
+    return max(floor, -(-rows // rows_per_bucket))
+
 
 def _auto_buckets(ds: Dataset, num_buckets, approx_rows: int | None = None
                   ) -> int:

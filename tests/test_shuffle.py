@@ -387,3 +387,54 @@ def test_broadcast_join_rejects_duplicate_dim_keys():
     dim = rd.from_pandas(pd.DataFrame({"dk": [1, 1], "x": [2, 3]}))
     with pytest.raises(ValueError, match="unique right keys"):
         broadcast_join(left, dim, "lk", "dk")
+
+
+def test_resolve_group_buckets_auto_scaling():
+    """VERDICT r4 #2: num_buckets=None resolves from plan-time row
+    counts — parallelism floor at small scale, rows-proportional at
+    large scale, floor-only for derived (root=None) inputs."""
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.stages.shuffle import (GROUP_KERNEL_ROWS_PER_BUCKET,
+                                            resolve_group_buckets)
+    small = rd.from_pandas(pd.DataFrame({"k": range(100)}))
+    # pinned value is passed through untouched
+    assert resolve_group_buckets(small, 7) == 7
+    # small input → the parallelism floor (≥16), never 1
+    nb = resolve_group_buckets(small, None)
+    assert nb >= 16
+    # large input → rows-proportional (fixed floor isolates the math)
+    big_rows = 40 * GROUP_KERNEL_ROWS_PER_BUCKET
+
+    class FakeBig:
+        def count(self):
+            return big_rows
+
+    assert resolve_group_buckets(FakeBig(), None, floor=16) == 40
+    # derived input (root=None) → floor, no count() execution
+    assert resolve_group_buckets(None, None, floor=16) == 16
+
+
+def test_stream_kernel_bucket_count_invariant():
+    """Default (auto) bucket resolution returns the same rows as a
+    pinned odd bucket count — kernels are per-key exact regardless of
+    co-partitioning fan-out."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from bigdime_ray.pipelines.stream import running_aggregate
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, 4000),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, 4000), unit="s"),
+        "eid": np.arange(4000, dtype=np.int64),
+        "v": rng.integers(0, 100, 4000).astype("int64")})
+    ds = rd.from_pandas(df)
+
+    def run(nb):
+        out = running_aggregate(ds, "k", "ts", "v", order_tiebreak="eid",
+                                num_buckets=nb).to_pandas()
+        return out.sort_values("eid").reset_index(drop=True)
+
+    auto, pinned = run(None), run(7)
+    assert auto.running_total.tolist() == pinned.running_total.tolist()
