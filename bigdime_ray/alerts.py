@@ -55,6 +55,14 @@ def emit_alerts(responses: list[ValidationResponse], run_dir: str,
                     metrics=dict(r.metrics or {}), run_dir=run_dir,
                     emitted_at=now)
               for r in responses if r.result in SEVERITY]
+    return append_alerts(alerts, run_dir, on_alert)
+
+
+def append_alerts(alerts: list[Alert], run_dir: str,
+                  on_alert: Optional[Callable[[Alert], None]] = None
+                  ) -> list[Alert]:
+    """Append pre-built alerts to ``alerts.jsonl`` + run the callback —
+    the shared sink for response-derived and config-level alerts."""
     if not alerts:
         return alerts
     os.makedirs(run_dir, exist_ok=True)

@@ -82,6 +82,10 @@ class ValidationRunConfig:
     #: AND no per-source max_n_tok bounds exist (bounds need the exact
     #: mapping) — the same plan-time dispatch style as
     #: uniqueness/roweq (VERDICT r3 #7). True/False pin the choice.
+    #: When auto picks Bloom the run emits a structured WARNING alert
+    #: (ADVICE r4): referential semantics flip from exact to
+    #: approximate, and that must never happen silently just because a
+    #: catalog organically grew past the threshold.
     catalog_as_bloom: object = "auto"
     resume: bool = True
     collect_violations: bool = True      # gather into the report (capped)
@@ -162,6 +166,13 @@ def _load_side_inputs(cfg: ValidationRunConfig, ctx: ValidationContext) -> None:
             as_bloom = (not has_bounds) and n_cat > int(
                 ctx.thresholds.get("auto_catalog_bloom_min_rows",
                                    AUTO_CATALOG_BLOOM_MIN_ROWS))
+            if as_bloom:
+                # ADVICE r4: auto flips referential semantics from exact
+                # to approximate — surface it as a structured WARNING
+                # alert (run_validation emits it), not just a report
+                # field a user must know to look for
+                ctx.thresholds["catalog_repr_auto_bloom"] = {
+                    "catalog_rows": int(n_cat)}
         ctx.thresholds["catalog_repr"] = "bloom" if as_bloom else "value_set"
         cat = pq.read_table(cat_path)
         if as_bloom:
@@ -665,6 +676,27 @@ def run_validation(cfg: ValidationRunConfig) -> RunReport:
     if cfg.emit_alerts:
         from bigdime_ray.alerts import emit_alerts as _emit
         alerts = _emit(responses, cfg.run_dir, cfg.on_alert)
+        auto_bloom = ctx.thresholds.get("catalog_repr_auto_bloom")
+        if auto_bloom:
+            # ADVICE r4: the auto dispatch silently switched referential
+            # validation from exact to approximate — emit a structured
+            # warning so the flip reaches the same channel as failures
+            import time as _time
+
+            from bigdime_ray.alerts import Alert, append_alerts
+            warn = Alert(
+                severity="warning", alert_type="config",
+                partition_id="__global__",
+                cause="catalog_as_bloom='auto' selected the Bloom "
+                      "representation: referential validation is "
+                      "APPROXIMATE this run (false positives ACCEPT "
+                      "values absent from the catalog at the documented "
+                      "fp_rate); pin catalog_as_bloom=False to force "
+                      "exact",
+                metrics={**auto_bloom, "bloom_fp_rate": 1e-4},
+                run_dir=cfg.run_dir, emitted_at=_time.time())
+            append_alerts([warn], cfg.run_dir, cfg.on_alert)
+            alerts = alerts + [warn]
 
     _mark("emit")
     return RunReport(responses=responses, verdicts=verdicts,

@@ -56,9 +56,21 @@ def test_catalog_repr_auto_dispatch(tmp_path):
     auto = run("run_auto", catalog_as_bloom="auto",
                thresholds={"auto_catalog_bloom_min_rows": 1})
     assert auto.scale_plan["catalog_repr"] == "bloom"
+    # ADVICE r4: the exact→approximate flip must surface as a WARNING
+    # alert (both in the report and in alerts.jsonl), not just a report
+    # field — and only on the run where AUTO picked Bloom
+    cfg_alerts = [a for a in auto.alerts if a.alert_type == "config"]
+    assert len(cfg_alerts) == 1 and "APPROXIMATE" in cfg_alerts[0].cause
+    import json
+    with open(str(tmp_path / "run_auto" / "alerts.jsonl")) as f:
+        lines = [json.loads(x) for x in f]
+    assert any(x["alert_type"] == "config" and x["severity"] == "warning"
+               for x in lines)
+    assert not any(a.alert_type == "config" for a in exact.alerts)
     # under-threshold auto stays exact
     small = run("run_small", catalog_as_bloom="auto")
     assert small.scale_plan["catalog_repr"] == "value_set"
+    assert not any(a.alert_type == "config" for a in small.alerts)
 
     for rep in (exact, auto):
         v = rep.violations.to_pandas()
