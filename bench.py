@@ -96,6 +96,39 @@ def _host_capacity_probe(width: int = 16) -> float:
 
 NOMINAL_EFFECTIVE_CORES = 8.0  # this host's full-capacity budget
 
+SUITE_LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_artifacts", "suite_ledger.jsonl")
+
+
+def _ledger_key(rows: int, mu: float, num_cpus: int) -> str:
+    return f"{rows}:{mu:g}:{num_cpus}"
+
+
+def _ledger_best(rows: int, mu: float, num_cpus: int):
+    """Fastest ACCEPTED headline previously recorded for this exact bench
+    config — the sustained-load plausibility bar (VERDICT r4 #1) is
+    1.5× this. Min, not median: on this host a measurement can only be
+    SLOWER than engine capability (throttle/warm-cache residue), never
+    faster, so one genuinely cooled entry pins the bar for good while a
+    polluted slow entry merely leaves it loose."""
+    key = _ledger_key(rows, mu, num_cpus)
+    vals = []
+    try:
+        with open(SUITE_LEDGER) as f:
+            for line in f:
+                e = json.loads(line)
+                if e.get("key") == key and e.get("accepted"):
+                    vals.append(float(e["value"]))
+    except FileNotFoundError:
+        return None
+    return min(vals) if vals else None
+
+
+def _ledger_append(entry: dict) -> None:
+    os.makedirs(os.path.dirname(SUITE_LEDGER), exist_ok=True)
+    with open(SUITE_LEDGER, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+
 
 def _throttle_gate() -> dict:
     """VERDICT r3 #1: never FINALIZE a bench number in a throttled host
@@ -153,7 +186,16 @@ def _calibrate_effective_cpus(num_cpus: int) -> int:
     return num_cpus if r_hi >= 1.5 * r_lo else 8
 
 
-def run_bench(sf_dir: str, num_cpus: int) -> dict:
+QUERY_NAMES = ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
+               "token_count", "events_hourly_window", "knn_cosine_top10",
+               "per_source_stats_salted", "events_asof_join",
+               "heavy_hitters", "revenue_by_region",
+               "events_rolling_sum", "events_interval_overlap",
+               "documents_redacted", "shipping_priority", "doc_tfidf",
+               "customer_order_counts", "user_first_last_value"]
+
+
+def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -229,14 +271,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # --- representative operator queries over the driver testdata
     # (skippable for scaling legs: the headline is the suite)
-    query_names = ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
-                   "token_count", "events_hourly_window", "knn_cosine_top10",
-                   "per_source_stats_salted", "events_asof_join",
-                   "heavy_hitters", "revenue_by_region",
-                   "events_rolling_sum", "events_interval_overlap",
-                   "documents_redacted", "shipping_priority", "doc_tfidf",
-                   "customer_order_counts", "user_first_last_value"]
-    if os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "0":
+    query_names = list(QUERY_NAMES)
+    if (os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "0"
+            or not include_queries):
         query_names = []
     queries = entry_mod.queries()
     for name in query_names:
@@ -267,6 +304,92 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "phase_seconds": {k: round(v, 3)
                           for k, v in report.phase_seconds.items()},
     }
+
+
+def run_queries_only(sf_dir: str, num_cpus: int) -> dict:
+    """Per-query timings in their own (fresh) Ray session, run AFTER the
+    accepted headline so a slow query sweep cannot heat the host under
+    the headline number; a post-sweep probe marks the section
+    ``queries_indicative`` when the host was throttled during it
+    (VERDICT r4 #4)."""
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    effective = _calibrate_effective_cpus(num_cpus)
+    if effective != num_cpus:
+        ctx.execution_options.resource_limits.cpu = effective
+    ctx.default_hash_shuffle_parallelism = max(8, 2 * effective)
+
+    import __ray_entry__ as entry_mod
+    queries = entry_mod.queries()
+    query_names = list(QUERY_NAMES)
+    timings = {}
+    for name in query_names:
+        t0 = time.perf_counter()
+        res = queries[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    post = _host_capacity_probe()
+    return {"timings": timings,
+            "queries_post_probe_cores": round(post, 2),
+            "queries_indicative": post < 0.8 * NOMINAL_EFFECTIVE_CORES}
+
+
+def run_sustained_headline(sf_dir: str, num_cpus: int, gate: dict) -> dict:
+    """VERDICT r4 #1 — the burst gate (``_throttle_gate``) probes 2 s of
+    numpy and misses sustained-load / warm-cache degradation, which put a
+    throttled-window number in the official artifact three rounds
+    running. Sustained protocol: run the suite (queries deferred),
+    re-probe AFTER the run, and check the headline against 1.5× the
+    cooled ledger best (``bench_artifacts/suite_ledger.jsonl``); on
+    either failure cool 180 s and re-run the whole suite (bounded
+    retries). Every attempt is appended to the ledger honestly."""
+    retries = int(os.environ.get("BIGDIME_SUSTAIN_RETRIES", 2))
+    cooldown = int(os.environ.get("BIGDIME_SUSTAIN_COOLDOWN", 180))
+    bar = 0.8 * NOMINAL_EFFECTIVE_CORES
+    best_known = _ledger_best(BENCH_ROWS, BENCH_MU, num_cpus)
+    attempts = []
+    out = None
+    for attempt in range(retries + 1):
+        out = run_bench(sf_dir, num_cpus, include_queries=False)
+        post = _host_capacity_probe()
+        sustained = post >= bar
+        plausible = (best_known is None
+                     or out["value"] <= 1.5 * best_known)
+        accepted = sustained and plausible
+        att = {"value": out["value"],
+               "scan_exec": out["phase_seconds"].get("scan_exec"),
+               "post_probe_cores": round(post, 2),
+               "sustained_ok": sustained, "plausible_vs_ledger": plausible}
+        attempts.append(att)
+        _ledger_append({"key": _ledger_key(BENCH_ROWS, BENCH_MU, num_cpus),
+                        "value": out["value"],
+                        "scan_exec": att["scan_exec"],
+                        "pre_probe": gate.get("host_effective_cores"),
+                        "post_probe": att["post_probe_cores"],
+                        "ledger_best": best_known, "accepted": accepted,
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%S")})
+        if accepted:
+            break
+        if attempt < retries:
+            print(f"# sustained gate: attempt {attempt} rejected "
+                  f"(post-probe {post:.1f} cores, value {out['value']} vs "
+                  f"ledger best {best_known}); cooling {cooldown}s",
+                  file=sys.stderr)
+            time.sleep(cooldown)
+    out["post_probe_effective_cores"] = attempts[-1]["post_probe_cores"]
+    out["sustained_ok"] = attempts[-1]["sustained_ok"]
+    out["ledger_best_sec"] = best_known
+    out["plausible_vs_ledger"] = attempts[-1]["plausible_vs_ledger"]
+    out["accepted"] = (attempts[-1]["sustained_ok"]
+                       and attempts[-1]["plausible_vs_ledger"])
+    out["sustain_attempts"] = attempts
+    return out
 
 
 def run_scaling(sf_dir: str, lo: int = None, hi: int = None,
@@ -424,7 +547,15 @@ if __name__ == "__main__":
         for p in pairs_env.split(","):
             if not p:
                 continue
-            parts = [int(x) for x in p.split(":")]
+            # fail fast on malformed pairs — BEFORE the multi-minute
+            # gate/cooldown work, with the bad token named (ADVICE r4)
+            parts = p.split(":")
+            if not (2 <= len(parts) <= 3 and
+                    all(x.strip().isdigit() for x in parts)):
+                sys.exit(f"BIGDIME_SCALE_PAIRS: bad pair {p!r} — expected "
+                         "'lo:hi' or 'lo:hi:rows' with integer fields, "
+                         "e.g. BIGDIME_SCALE_PAIRS='2:8,1:4:64000000'")
+            parts = [int(x) for x in parts]
             lo, hi = parts[0], parts[1]
             rows = parts[2] if len(parts) > 2 else (
                 64_000_000 if (lo, hi) == (1, 4) else None)
@@ -467,9 +598,24 @@ if __name__ == "__main__":
                 "windows": runs}))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
-        gate = {}
         if os.environ.get("BIGDIME_BENCH_GATE", "1") == "1":
+            # gated path (the driver contract): burst pre-probe, then the
+            # sustained protocol — suite first (post-run re-probe +
+            # ledger plausibility, bounded cooled re-runs), per-query
+            # sweep AFTER the accepted headline in its own session
             gate = _throttle_gate()
-        out = run_bench(sf_dir, ncpu)
-        out.update(gate)
+            out = run_sustained_headline(sf_dir, ncpu, gate)
+            out.update(gate)
+            # the recorded number is trustworthy only when BOTH gates
+            # passed: burst pre-probe AND sustained (post-probe + ledger)
+            out["throttled"] = bool(gate.get("throttled")
+                                    or not out["accepted"])
+            if os.environ.get("BIGDIME_BENCH_QUERIES", "1") == "1":
+                q = run_queries_only(sf_dir, ncpu)
+                out["queries"].update(q["timings"])
+                out["queries_post_probe_cores"] = q[
+                    "queries_post_probe_cores"]
+                out["queries_indicative"] = q["queries_indicative"]
+        else:
+            out = run_bench(sf_dir, ncpu)
         print(json.dumps(out))

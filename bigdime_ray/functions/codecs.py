@@ -196,18 +196,22 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
-    """PNG from uint8 (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA."""
+    """PNG from uint8 (h, w) gray, (h, w, 2) gray+alpha, (h, w, 3) RGB
+    or (h, w, 4) RGBA."""
     import zlib
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         ct, ch = 0, 1
         px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 2:
+        ct, ch = 4, 2
     elif px.ndim == 3 and px.shape[2] == 3:
         ct, ch = 2, 3
     elif px.ndim == 3 and px.shape[2] == 4:
         ct, ch = 6, 4
     else:
-        raise ValueError("pixels must be (h,w), (h,w,3) or (h,w,4) uint8")
+        raise ValueError(
+            "pixels must be (h,w), (h,w,2), (h,w,3) or (h,w,4) uint8")
     h, w = px.shape[:2]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
     # one filter byte (0 = None) per scanline, vectorized insert
@@ -304,10 +308,22 @@ def is_image_payload(payload: bytes) -> bool:
             or payload[:2] == b"\xff\xd8")
 
 
+def to_rgb(px: np.ndarray) -> np.ndarray:
+    """Any decoded pixel layout → (h, w, 3) uint8 RGB: gray (2-D) and
+    gray+alpha (PNG colortype 4, 2 channels) replicate the luma channel;
+    RGBA drops alpha."""
+    if px.ndim == 2:
+        return np.ascontiguousarray(np.repeat(px[:, :, None], 3, axis=2))
+    if px.shape[2] == 2:          # gray+alpha (ADVICE r4): luma is ch 0
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Magic-sniffing image decode → (h, w, 3) uint8 RGB, any of the
-    three built-in codecs (PPM, PNG, baseline JPEG). Gray sources are
-    replicated to 3 channels; RGBA drops alpha."""
+    three built-in codecs (PPM, PNG, baseline+progressive JPEG). Gray
+    and gray+alpha sources are replicated to 3 channels; RGBA drops
+    alpha."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
@@ -317,9 +333,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         px = decode_jpeg(payload)
     else:
         raise ValueError("unknown image payload magic")
-    if px.ndim == 2:
-        px = np.repeat(px[:, :, None], 3, axis=2)
-    return np.ascontiguousarray(px[:, :, :3])
+    return to_rgb(px)
 
 
 # ----------------------------------------------------- metadata probe

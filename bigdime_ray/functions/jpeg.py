@@ -1,18 +1,26 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 / JFIF — public spec).
+"""Pure-numpy JPEG codec (ITU-T T.81 / JFIF — public spec).
 
-Closes the "compressed image" gap without PIL: baseline sequential DCT,
-8-bit, Huffman entropy coding, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
-chroma subsampling, restart markers. The decoder accepts what
-libjpeg-style baseline encoders emit; the encoder writes 4:4:4 with the
-Annex K example tables (every decoder accepts it, and it gives the
-round-trip tests an independent hand-checkable bit layout).
+Closes the "compressed image" gap without PIL: baseline sequential DCT
+(SOF0/1) AND progressive DCT (SOF2 — spectral selection + successive
+approximation, the dominant web-scrape variant), 8-bit, Huffman entropy
+coding, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
+restart markers. The decoder is multi-scan throughout: every SOS decodes
+into per-component coefficient buffers (so non-interleaved per-component
+baseline scans and arbitrary scan component order are handled, not just
+the single interleaved scan), and dequant + IDCT run once at the end
+over whole planes. The encoder writes baseline 4:4:4 with the Annex K
+example tables (every decoder accepts it, and it gives the round-trip
+tests an independent hand-checkable bit layout); a progressive encoder
+(``encode_jpeg_progressive``) exists to generate SOF2 fixtures whose
+quantized coefficients are bit-identical to the baseline encoding —
+the round-trip tests exploit that for exact pixel equality.
 
 Entropy decode is a per-symbol Python loop over a numpy bit array —
 intrinsic to Huffman's serial bit dependency. Fine for fixture-scale
 payloads in the multimodal stages (the actor-pool batches are small by
 design); the opportunistic ``decoder="pil"`` slot remains the bulk
 path. DCT/IDCT, dequant, upsampling and color transforms are all
-vectorized numpy over whole MCU-row planes.
+vectorized numpy over whole planes.
 """
 
 from __future__ import annotations
@@ -164,8 +172,41 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _entropy_segment(buf: np.ndarray, start: int):
+    """(bit reader over the unstuffed entropy data, absolute position of
+    the marker that terminated the segment). 0xFF00 stuffing is removed
+    and RST0-7 markers are stripped entirely — restart boundaries are
+    recovered by byte-aligning every ``restart_interval`` units (the
+    encoder byte-aligns before each RST, so alignment is deterministic
+    after stripping)."""
+    raw = buf[start:]
+    ff = np.nonzero(raw == 0xFF)[0]
+    end = len(raw)
+    for i in ff:
+        if i + 1 < len(raw):
+            nxt = int(raw[i + 1])
+            if nxt != 0 and not (0xD0 <= nxt <= 0xD7):
+                end = i
+                break
+    seg = raw[:end]
+    drop = np.zeros(len(seg), dtype=bool)
+    ffp = np.nonzero(seg == 0xFF)[0]
+    for i in ffp:
+        if i + 1 < len(seg):
+            nxt = int(seg[i + 1])
+            if nxt == 0:
+                drop[i + 1] = True
+            elif 0xD0 <= nxt <= 0xD7:
+                drop[i] = True
+                drop[i + 1] = True
+    return _BitReader(np.ascontiguousarray(seg[~drop])), start + end
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 3) RGB uint8 ((h, w) for grayscale)."""
+    """Baseline (SOF0/1) or progressive (SOF2) JPEG → (h, w, 3) RGB
+    uint8 ((h, w) for grayscale). Every scan accumulates into
+    per-component coefficient buffers; dequant + IDCT run once at the
+    end, vectorized over whole planes."""
     buf = np.frombuffer(payload, dtype=np.uint8)
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
         raise ValueError("not a JPEG payload (no SOI)")
@@ -173,10 +214,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTree] = {}
     huff_ac: dict[int, _HuffTree] = {}
-    frame = None          # (h, w, [(cid, hs, vs, tq)])
+    frame = None          # (h, w, [(cid, hs, vs, tq)], progressive)
     restart_interval = 0
+    coeffs: dict[int, np.ndarray] = {}   # ci -> (nby, nbx, 64) zigzag
+    saw_scan = False
 
-    while pos < len(buf):
+    while pos + 1 < len(buf):
         if buf[pos] != 0xFF:
             pos += 1
             continue
@@ -185,6 +228,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:          # EOI
+            break
+        if pos + 1 >= len(buf):
             break
         length = (int(buf[pos]) << 8) | int(buf[pos + 1])
         seg = buf[pos + 2: pos + length]
@@ -212,7 +257,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = seg[i + 17:i + 17 + n].tolist()
                 (huff_ac if tc else huff_dc)[th] = _HuffTree(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             h = (int(seg[1]) << 8) | int(seg[2])
             w = (int(seg[3]) << 8) | int(seg[4])
             nc = int(seg[5])
@@ -222,114 +267,209 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hv = int(seg[7 + 3 * c])
                 comps.append((cid, hv >> 4, hv & 15,
                               int(seg[8 + 3 * c])))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                coeffs[ci] = np.zeros((mcuy * vs, mcux * hs, 64),
+                                      dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (SOF{marker - 0xC0}) — "
-                "baseline sequential only")
+                "baseline sequential and progressive only")
         elif marker == 0xDD:        # DRI
             restart_interval = (int(seg[0]) << 8) | int(seg[1])
         elif marker == 0xDA:        # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = int(seg[0])
             scan = []
             for c in range(ns):
                 cs = int(seg[1 + 2 * c])
                 td = int(seg[2 + 2 * c])
                 scan.append((cs, td >> 4, td & 15))
-            data_start = pos + length
-            return _decode_scan(buf, data_start, frame, scan, quant,
-                                huff_dc, huff_ac, restart_interval)
+            ss = int(seg[1 + 2 * ns])
+            se = int(seg[2 + 2 * ns])
+            a = int(seg[3 + 2 * ns])
+            ah, al = a >> 4, a & 15
+            if not frame[3]:        # baseline: full band, no approx
+                ss, se, ah, al = 0, 63, 0, 0
+            br, next_pos = _entropy_segment(buf, pos + length)
+            _decode_scan_into(br, frame, scan, ss, se, ah, al,
+                              quant, huff_dc, huff_ac, coeffs,
+                              restart_interval)
+            saw_scan = True
+            pos = next_pos
+            continue
         pos += length
-    raise ValueError("JPEG truncated before SOS")
+    if not saw_scan:
+        raise ValueError("JPEG truncated before SOS")
+    return _reconstruct(frame, coeffs, quant)
 
 
-def _decode_scan(buf, start, frame, scan, quant, huff_dc, huff_ac,
-                 restart_interval):
-    h, w, comps = frame
+def _decode_scan_into(br, frame, scan, ss, se, ah, al, quant,
+                      huff_dc, huff_ac, coeffs, restart_interval):
+    """One SOS's entropy data → the coefficient buffers. Handles all
+    four progressive scan kinds (DC/AC × first/refinement) plus the
+    baseline full-band scan; components are iterated in SCAN order
+    (a legal file may order scan components differently from SOF)."""
+    h, w, comps, _prog = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    by_cid = {c[0]: (ci, c) for ci, c in enumerate(comps)}
+    pred = {cs: 0 for (cs, _, _) in scan}
+    eobrun = 0
+
+    if len(scan) == 1:
+        # non-interleaved: raster over this component's OWN block grid
+        # (ceil of its actual sample dims, NOT the MCU-padded grid)
+        cs, td, ta = scan[0]
+        ci, (cid, hs, vs, tq) = by_cid[cs]
+        cw = -(-(w * hs) // hmax)
+        chh = -(-(h * vs) // vmax)
+        nbx = -(-cw // 8)
+        nby = -(-chh // 8)
+        cf = coeffs[ci]
+        units = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and units and \
+                        units % restart_interval == 0:
+                    br.byte_align()
+                    pred[cs] = 0
+                    eobrun = 0
+                eobrun = _decode_block(cf[by, bx], br, ss, se, ah, al,
+                                       huff_dc.get(td), huff_ac.get(ta),
+                                       pred, cs, eobrun)
+                units += 1
+        return
+
+    # interleaved: MCU raster, components in scan order
     n_mcu = mcux * mcuy
-
-    # entropy segment: up to next non-RST marker; unstuff FF00 / drop RSTs
-    raw = buf[start:]
-    ff = np.nonzero(raw == 0xFF)[0]
-    end = len(raw)
-    for i in ff:
-        if i + 1 < len(raw):
-            nxt = int(raw[i + 1])
-            if nxt != 0 and not (0xD0 <= nxt <= 0xD7):
-                end = i
-                break
-    seg = raw[:end]
-    # remove stuffed zero after FF, and RST markers entirely
-    drop = np.zeros(len(seg), dtype=bool)
-    ffp = np.nonzero(seg == 0xFF)[0]
-    for i in ffp:
-        if i + 1 < len(seg):
-            nxt = int(seg[i + 1])
-            if nxt == 0:
-                drop[i + 1] = True
-            elif 0xD0 <= nxt <= 0xD7:
-                drop[i] = True
-                drop[i + 1] = True
-    br = _BitReader(np.ascontiguousarray(seg[~drop]))
-
-    order = {cs: j for j, (cs, _, _) in enumerate(scan)}
-    planes = []
-    for (cid, hs, vs, tq) in comps:
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
-                               dtype=np.float64))
-    pred = [0] * len(comps)
     mcu_since_rst = 0
     for m in range(n_mcu):
         if restart_interval and mcu_since_rst == restart_interval:
-            br.byte_align()          # RST bytes were stripped already
-            pred = [0] * len(comps)
+            br.byte_align()
+            for k in pred:
+                pred[k] = 0
+            eobrun = 0
             mcu_since_rst = 0
         my, mx = divmod(m, mcux)
-        for ci, (cid, hs, vs, tq) in enumerate(comps):
-            dtree = huff_dc[scan[order[cid]][1]]
-            atree = huff_ac[scan[order[cid]][2]]
-            q = quant[tq]
+        for (cs, td, ta) in scan:
+            ci, (cid, hs, vs, tq) = by_cid[cs]
+            cf = coeffs[ci]
             for by in range(vs):
                 for bx in range(hs):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = dtree.decode(br)
-                    diff = _extend(br.receive(t), t) if t else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = atree.decode(br)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break        # EOB
-                        k += r
-                        zz[k] = _extend(br.receive(s), s)
-                        k += 1
-                    blk = np.zeros(64, dtype=np.int64)
-                    blk[ZIGZAG] = zz
-                    coef = (blk.reshape(8, 8) * q).astype(np.float64)
-                    px = _idct2(coef[None])[0] + 128.0
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+                    eobrun = _decode_block(
+                        cf[my * vs + by, mx * hs + bx], br, ss, se,
+                        ah, al, huff_dc.get(td), huff_ac.get(ta),
+                        pred, cs, eobrun)
         mcu_since_rst += 1
 
-    # upsample to full res (nearest) and crop
+
+def _decode_block(zz, br, ss, se, ah, al, dtree, atree, pred, cs, eobrun):
+    """Decode one data unit's contribution for the current scan into
+    ``zz`` (int32[64], zigzag order). Returns the updated EOB run."""
+    if ss == 0:
+        if ah == 0:                       # DC first (baseline DC too)
+            t = dtree.decode(br)
+            diff = _extend(br.receive(t), t) if t else 0
+            pred[cs] += diff
+            zz[0] = pred[cs] << al
+        else:                             # DC refinement: one bit
+            if br.bit():
+                zz[0] = int(zz[0]) | (1 << al)
+        if se == 0:
+            return eobrun
+        # baseline full-band scan: fall through to AC at k=1
+        ss = 1
+
+    if ah == 0:                           # AC first (T.81 G.1.2.2)
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = atree.decode(br)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16               # ZRL
+                    continue
+                eobrun = (1 << r) - 1     # EOBn: this block + eobrun more
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += r
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    # AC refinement (T.81 G.1.2.3): correction bits for history-nonzero
+    # coefficients; newly-significant coefficients are ±1<<al
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = atree.decode(br)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:                         # s must be 1 in a refinement
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            zz[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and br.bit() and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, coeffs, quant):
+    """Coefficient buffers → pixels: dequant + IDCT vectorized over each
+    whole component plane, then upsample (nearest) + color transform."""
+    h, w, comps, _prog = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci]
+        cf = coeffs[ci]                    # (nby, nbx, 64) zigzag
+        nby, nbx = cf.shape[:2]
+        nat = np.zeros((nby * nbx, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = cf.reshape(-1, 64)
+        nat = nat.reshape(-1, 8, 8) * quant[tq].astype(np.float64)
+        px = _idct2(nat) + 128.0
+        plane = (px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(nby * 8, nbx * 8))
         if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0),
-                          hmax // hs, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -421,8 +561,14 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(out, 1, 255)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Baseline JFIF from (h, w, 3) RGB or (h, w) gray uint8 (4:4:4)."""
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                scan_per_component: bool = False) -> bytes:
+    """Baseline JFIF from (h, w, 3) RGB or (h, w) gray uint8 (4:4:4).
+
+    ``scan_per_component=True`` emits one full-band scan PER component,
+    in reversed component order — a legal baseline layout (T.81 allows
+    up to 4 scans per baseline frame) that exercises the decoder's
+    non-interleaved and scan-order-≠-frame-order paths."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -459,18 +605,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
     for tc, th, (bits, vals) in tables:
         out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for c in range(nc):
-        th = 0 if c == 0 else 1
-        out += bytes([c + 1, (th << 4) | th])
-    out += bytes([0, 63, 0])
-
-    bw = _BitWriter()
     dc_codes = [_huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_DC_CHROMA)]
     ac_codes = [_huff_codes(*HUFF_AC_LUMA), _huff_codes(*HUFF_AC_CHROMA)]
     hb = -(-h // 8) * 8
     wb = -(-w // 8) * 8
-    preds = [0] * nc
     # pad planes by edge replication, block-split, fdct+quant ONCE per
     # plane (vectorized); only the Huffman emission is a Python loop
     plane_zz = []
@@ -484,12 +622,265 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         qz = np.round(coef / q).astype(np.int64)
         plane_zz.append(qz.reshape(-1, 64)[:, ZIGZAG])
     nby, nbx = hb // 8, wb // 8
-    for m in range(nby * nbx):
+
+    if scan_per_component and nc > 1:
+        for ci in reversed(range(nc)):
+            th = 0 if ci == 0 else 1
+            out += b"\xFF\xDA" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, (th << 4) | th, 0, 63, 0])
+            bw = _BitWriter()
+            pred = 0
+            for m in range(nby * nbx):
+                pred = _encode_block(bw, plane_zz[ci][m], pred,
+                                     dc_codes[th], ac_codes[th])
+            bw.flush()
+            out += bw.out
+    else:
+        out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+        for c in range(nc):
+            th = 0 if c == 0 else 1
+            out += bytes([c + 1, (th << 4) | th])
+        out += bytes([0, 63, 0])
+        bw = _BitWriter()
+        preds = [0] * nc
+        for m in range(nby * nbx):
+            for ci in range(nc):
+                t = 0 if ci == 0 else 1
+                preds[ci] = _encode_block(bw, plane_zz[ci][m], preds[ci],
+                                          dc_codes[t], ac_codes[t])
+        bw.flush()
+        out += bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+
+# AC table for progressive scans: all 256 symbols, canonical (255 at
+# 9 bits + 1 at 10 bits — the all-ones code stays unused per T.81 C.2).
+# The EOBn symbols ((r<<4)|0 for r=1..14) are absent from the Annex K
+# example tables, and fixture-scale payloads don't need entropy-optimal
+# tables, so a flat table keeps the encoder trivially correct.
+HUFF_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+                list(range(256)))
+
+
+def _put_dc(bw, diff, dc_codes):
+    t = int(diff).bit_length() if diff else 0
+    mag = diff if diff >= 0 else diff + (1 << t) - 1
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(mag, t)
+
+
+class _EobRun:
+    """Progressive-AC EOB-run accumulator: runs of all-zero (in the
+    current band/precision) blocks collapse into one EOBn symbol; the
+    refinement pass additionally carries the buffered correction bits
+    of run members (T.81 G.1.2.2/G.1.2.3)."""
+
+    def __init__(self, bw, ac_codes):
+        self.bw, self.ac_codes = bw, ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self):
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            code, ln = self.ac_codes[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.bits:
+            self.bw.write(b, 1)
+        self.bits = []
+
+    def add(self, correction_bits):
+        self.run += 1
+        self.bits.extend(correction_bits)
+        if self.run == 0x7FFF or len(self.bits) > 900:
+            self.flush()
+
+
+def _ac_first_block(bw, zz, al, ac_codes, eob):
+    """One block of an AC first scan (band 1..63 at precision ``al``)."""
+    v = np.asarray(zz[1:], dtype=np.int64)
+    vals = np.sign(v) * (np.abs(v) >> al)
+    nz = np.nonzero(vals)[0]
+    if len(nz) == 0:
+        eob.add(())
+        return
+    eob.flush()
+    last = nz[-1]
+    r = 0
+    for k in range(last + 1):
+        x = int(vals[k])
+        if x == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = abs(x).bit_length()
+        mag = x if x >= 0 else x + (1 << s) - 1
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(mag, s)
+        r = 0
+    if last < 62:
+        eob.add(())
+
+
+def _ac_refine_block(bw, zz, al, ac_codes, eob):
+    """One block of an AC refinement scan (T.81 G.1.2.3 / the libjpeg
+    encoder structure): history-nonzero coefficients get one correction
+    bit; newly-significant ones a (run,1) symbol + sign bit; buffered
+    correction bits ride after each emitted symbol or with the EOB run."""
+    v = np.asarray(zz[1:], dtype=np.int64)
+    absval = np.abs(v) >> al
+    newly = np.nonzero(absval == 1)[0]
+    last_new = newly[-1] if len(newly) else -1
+    r = 0
+    br: list[int] = []
+    for k in range(63):
+        t = int(absval[k])
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= last_new:
+            eob.flush()
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        eob.flush()
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if v[k] < 0 else 1, 1)
+        for b in br:
+            bw.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        eob.add(br)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) JFIF from (h, w, 3) RGB or (h, w) gray uint8,
+    4:4:4. Scan script exercises all four scan kinds: interleaved DC
+    first (Al=1), per-component AC first (Al=1, EOB runs), interleaved
+    DC refinement, per-component AC refinement. The quantized
+    coefficients are computed by the SAME vectorized path as
+    ``encode_jpeg`` — decoding both encodings of one image yields
+    bit-identical pixels, which the round-trip tests assert."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        ys = [px.astype(np.float64)]
+        qts = [_quality_scale(QUANT_LUMA, quality)]
+        comp_q = [0]
+    else:
+        x = px.astype(np.float64)
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ys = [y, cb, cr]
+        qts = [_quality_scale(QUANT_LUMA, quality),
+               _quality_scale(QUANT_CHROMA, quality)]
+        comp_q = [0, 1, 1]
+    nc = 1 if gray else 3
+
+    out = bytearray(b"\xFF\xD8")
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])
+    for tq, q in enumerate(qts):
+        zz = np.zeros(64, dtype=np.int64)
+        zz[:] = q.reshape(-1)[ZIGZAG]
+        out += b"\xFF\xDB" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(v) for v in zz)
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, comp_q[c]])
+    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_FLAT)]
+    if not gray:
+        tables += [(0, 1, HUFF_DC_CHROMA)]
+    for tc, th, (bits, vals) in tables:
+        out += b"\xFF\xC4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    # quantized zigzag coefficients, identical to encode_jpeg's path
+    hb, wb = -(-h // 8) * 8, -(-w // 8) * 8
+    plane_zz = []
+    for ci in range(nc):
+        p = np.pad(ys[ci], ((0, hb - h), (0, wb - w)), mode="edge") - 128.0
+        blocks = (p.reshape(hb // 8, 8, wb // 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        coef = _fdct2(blocks)
+        qz = np.round(coef / qts[comp_q[ci]].astype(np.float64)) \
+            .astype(np.int64)
+        plane_zz.append(qz.reshape(-1, 64)[:, ZIGZAG])
+    n_blocks = plane_zz[0].shape[0]
+    dc_codes = [_huff_codes(*HUFF_DC_LUMA), _huff_codes(*HUFF_DC_CHROMA)]
+    ac_codes = _huff_codes(*HUFF_AC_FLAT)
+
+    def sos(comps, ss, se, ah, al):
+        hdr = bytearray(b"\xFF\xDA")
+        hdr += struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for c in comps:
+            dt = 0 if c == 0 else 1
+            hdr += bytes([c + 1, (dt << 4) | 0])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr
+
+    al = 1
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift per G.1.2.1)
+    out += sos(list(range(nc)), 0, 0, 0, al)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for m in range(n_blocks):
         for ci in range(nc):
-            t = 0 if ci == 0 else 1
-            preds[ci] = _encode_block(bw, plane_zz[ci][m], preds[ci],
-                                      dc_codes[t], ac_codes[t])
+            v = int(plane_zz[ci][m][0]) >> al
+            _put_dc(bw, v - preds[ci], dc_codes[0 if ci == 0 else 1])
+            preds[ci] = v
     bw.flush()
     out += bw.out
+    # scans 2..: AC first per component, Al=1
+    for ci in range(nc):
+        out += sos([ci], 1, 63, 0, al)
+        bw = _BitWriter()
+        eob = _EobRun(bw, ac_codes)
+        for m in range(n_blocks):
+            _ac_first_block(bw, plane_zz[ci][m], al, ac_codes, eob)
+        eob.flush()
+        bw.flush()
+        out += bw.out
+    # DC refinement, interleaved, Ah=1 Al=0: one bit per block
+    out += sos(list(range(nc)), 0, 0, al, 0)
+    bw = _BitWriter()
+    for m in range(n_blocks):
+        for ci in range(nc):
+            bw.write(int(plane_zz[ci][m][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # AC refinement per component, Ah=1 Al=0
+    for ci in range(nc):
+        out += sos([ci], 1, 63, al, 0)
+        bw = _BitWriter()
+        eob = _EobRun(bw, ac_codes)
+        for m in range(n_blocks):
+            _ac_refine_block(bw, plane_zz[ci][m], 0, ac_codes, eob)
+        eob.flush()
+        bw.flush()
+        out += bw.out
     out += b"\xFF\xD9"
     return bytes(out)

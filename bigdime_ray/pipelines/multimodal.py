@@ -190,22 +190,18 @@ class MediaFeatureExtractor:
         from bigdime_ray.functions.codecs import (audio_features,
                                                   decode_png, decode_ppm,
                                                   decode_wav,
-                                                  image_features)
+                                                  image_features, to_rgb)
         if payload[:2] == b"P6":
             px = decode_ppm(payload)  # image OR first frame of a stream
             return (image_features(px, self.feature_dim),
                     px.shape[1], px.shape[0])
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            px = decode_png(payload)
-            if px.ndim == 2:                       # gray → RGB features
-                px = np.repeat(px[:, :, None], 3, axis=2)
-            return (image_features(px[:, :, :3], self.feature_dim),
+            px = to_rgb(decode_png(payload))       # gray/gray+alpha/RGBA
+            return (image_features(px, self.feature_dim),
                     px.shape[1], px.shape[0])
-        if payload[:2] == b"\xff\xd8":             # baseline JPEG
+        if payload[:2] == b"\xff\xd8":             # baseline/progressive
             from bigdime_ray.functions.jpeg import decode_jpeg
-            px = decode_jpeg(payload)
-            if px.ndim == 2:
-                px = np.repeat(px[:, :, None], 3, axis=2)
+            px = to_rgb(decode_jpeg(payload))
             return (image_features(px, self.feature_dim),
                     px.shape[1], px.shape[0])
         if payload[:4] == b"RIFF":

@@ -50,6 +50,25 @@ def attach_partition_id(batch: pa.Table) -> pa.Table:
         pa.field("partition_id", pa.string()), pid)
 
 
+def decide_read_blocks(n_files: int, avg_size: float, target: int,
+                       cpus: int) -> Optional[int]:
+    """Plan-time read-task granularity. Small files pin one block per
+    file (Ray's SplitBlocks otherwise breaks read→scan fusion —
+    measured 2.8× slower). Width-conditional coarsening (BASELINE.md r4
+    addendum): Ray's scheduling loop waits ``ray.wait(num_returns=ALL,
+    timeout=0.1)``, so at width>1 every task turnover can idle a core
+    up to 100 ms — fewer, larger fused tasks (4 per CPU) shrink the
+    total bubble (measured 5.99→4.79 s at width 4 with 4 files/task).
+    Width 1 keeps one block per file: the single-waitable wait wakes
+    instantly there and 4×-larger batches fall out of cache in the scan
+    kernel (measured 16.3→19.5 s). None = leave Ray's default."""
+    if avg_size >= target or n_files < 2 * cpus:
+        return None
+    if cpus >= 4 and 8 * cpus <= n_files:
+        return 4 * cpus
+    return n_files
+
+
 def read_tokens(data_dir: str, columns: Optional[list[str]] = None,
                 partitions: Optional[list[str]] = None,
                 **read_kwargs) -> Dataset:
@@ -84,8 +103,10 @@ def read_tokens(data_dir: str, columns: Optional[list[str]] = None,
             total = sum(os.path.getsize(f) for f in files)
             cpus = int(ray.cluster_resources().get("CPU", 8)) \
                 if ray.is_initialized() else 8
-            if total / len(files) < target and len(files) >= 2 * cpus:
-                read_kwargs["override_num_blocks"] = len(files)
+            blocks = decide_read_blocks(len(files), total / len(files),
+                                        target, cpus)
+            if blocks is not None:
+                read_kwargs["override_num_blocks"] = blocks
         except Exception:
             pass
     # Ray's read_parquet infers the hive partition column even for explicit

@@ -51,3 +51,69 @@ def test_real_probe_shape():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     eff = float(out.stdout.strip().splitlines()[-1])
     assert 0.5 <= eff <= 16.0
+
+
+def _stub_runs(monkeypatch, values, probes):
+    vals = iter(values)
+    monkeypatch.setattr(
+        bench, "run_bench",
+        lambda sf, n, include_queries=True: {
+            "value": next(vals), "queries": {},
+            "phase_seconds": {"scan_exec": 1.0}})
+    pr = iter(probes)
+    monkeypatch.setattr(bench, "_host_capacity_probe", lambda: next(pr))
+
+
+def test_sustained_gate_ledger_rejects_then_accepts(monkeypatch, tmp_path):
+    """VERDICT r4 #1: a run 1.5× over the cooled ledger best is
+    rejected even when the burst/post probes look healthy (the
+    warm-cache residue signature), and the cooled re-run is the one
+    recorded — with every attempt appended to the ledger."""
+    import json
+    ledger = tmp_path / "ledger.jsonl"
+    monkeypatch.setattr(bench, "SUITE_LEDGER", str(ledger))
+    bench._ledger_append({
+        "key": bench._ledger_key(bench.BENCH_ROWS, bench.BENCH_MU, 32),
+        "value": 4.0, "accepted": True})
+    monkeypatch.setenv("BIGDIME_SUSTAIN_COOLDOWN", "0")
+    _stub_runs(monkeypatch, [9.7, 4.3], [8.2, 8.2])
+    out = bench.run_sustained_headline("sf", 32, {})
+    assert out["accepted"] is True
+    assert out["value"] == 4.3
+    assert [a["plausible_vs_ledger"] for a in out["sustain_attempts"]] \
+        == [False, True]
+    entries = [json.loads(x) for x in open(ledger)]
+    assert [e["accepted"] for e in entries] == [True, False, True]
+
+
+def test_sustained_gate_post_probe_rejects(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "SUITE_LEDGER", str(tmp_path / "l.jsonl"))
+    monkeypatch.setenv("BIGDIME_SUSTAIN_COOLDOWN", "0")
+    monkeypatch.setenv("BIGDIME_SUSTAIN_RETRIES", "2")
+    _stub_runs(monkeypatch, [5.0, 5.1, 5.2], [3.0, 3.1, 2.9])
+    out = bench.run_sustained_headline("sf", 32, {})
+    assert out["accepted"] is False           # recorded honestly
+    assert len(out["sustain_attempts"]) == 3  # bounded retries
+    assert out["sustained_ok"] is False
+
+
+def test_sustained_gate_first_run_clean(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "SUITE_LEDGER", str(tmp_path / "l.jsonl"))
+    _stub_runs(monkeypatch, [4.1], [8.5])
+    out = bench.run_sustained_headline("sf", 32, {})
+    assert out["accepted"] is True and len(out["sustain_attempts"]) == 1
+
+
+def test_scale_pairs_parse_fails_fast(monkeypatch):
+    """ADVICE r4: malformed BIGDIME_SCALE_PAIRS must exit with a usage
+    error naming the bad token BEFORE any gate/cool-down work."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, BIGDIME_SCALE_PAIRS="2")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--scaling"], env=env,
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode != 0
+    assert "bad pair '2'" in out.stderr

@@ -207,3 +207,28 @@ def test_media_pipeline_end_to_end_real():
         assert decode_ppm(p).shape == (10, 10, 3)
     feats = extract_media_features(ds, concurrency=2).to_pandas()
     assert feats.decode_ok.all()
+
+
+def test_gray_alpha_png_decodes_to_rgb():
+    """ADVICE r4: PNG colortype 4 (gray+alpha) must come out of
+    decode_image as (h, w, 3) with the luma replicated, never as a
+    2-channel array leaking into image_features/_dhash_image."""
+    import numpy as np
+
+    from bigdime_ray.functions.codecs import (decode_image, encode_png,
+                                              image_features, to_rgb)
+    rng = np.random.default_rng(9)
+    luma = rng.integers(0, 256, (12, 17)).astype(np.uint8)
+    alpha = rng.integers(0, 256, (12, 17)).astype(np.uint8)
+    payload = encode_png(np.stack([luma, alpha], axis=2))
+    px = decode_image(payload)
+    assert px.shape == (12, 17, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(px[:, :, c], luma)
+    # and the features path accepts it end-to-end
+    f = image_features(px, 8)
+    assert np.isfinite(f).all()
+    # to_rgb: gray and RGBA still behave
+    assert to_rgb(luma).shape == (12, 17, 3)
+    rgba = rng.integers(0, 256, (5, 6, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(to_rgb(rgba), rgba[:, :, :3])

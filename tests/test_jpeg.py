@@ -138,3 +138,90 @@ def test_cross_check_vs_pil():
     our_dec = decode_jpeg(theirs)
     assert our_dec.shape == pil_dec.shape
     assert np.abs(pil_dec.astype(int) - our_dec.astype(int)).mean() < 2.0
+
+
+# ------------------------------------------------ progressive (SOF2)
+
+
+def _grad_noise(shape, seed=7, sigma=20):
+    rng = np.random.default_rng(seed)
+    base = np.linspace(0, 255, shape[1])[None, :]
+    if len(shape) == 3:
+        base = base[:, :, None]
+    return np.clip(base + rng.normal(0, sigma, shape), 0, 255) \
+        .astype(np.uint8)
+
+
+def test_progressive_bit_exact_vs_baseline():
+    """encode_jpeg_progressive writes the SAME quantized coefficients
+    through SOF2 scans (DC first/refine interleaved, AC first/refine
+    per component with EOB runs) — decoding both encodings must yield
+    IDENTICAL pixels, not merely close ones."""
+    from bigdime_ray.functions.jpeg import encode_jpeg_progressive
+    cases = [_grad_noise((37, 29, 3)), _grad_noise((16, 24)),
+             np.full((48, 56), 128, np.uint8),            # long EOB runs
+             _grad_noise((33, 47, 3), seed=3, sigma=90)]  # ZRL-heavy
+    for px in cases:
+        for q in (50, 92):
+            base = decode_jpeg(encode_jpeg(px, quality=q))
+            prog_payload = encode_jpeg_progressive(px, quality=q)
+            assert b"\xFF\xC2"[1] in prog_payload[:200]   # SOF2 present
+            prog = decode_jpeg(prog_payload)
+            np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_probe_reports_sof2():
+    from bigdime_ray.functions.codecs import probe_media
+    from bigdime_ray.functions.jpeg import encode_jpeg_progressive
+    px = _grad_noise((20, 30, 3))
+    meta = probe_media(encode_jpeg_progressive(px))
+    assert meta["format"] == "jpeg" and meta["progressive"] is True
+    assert (meta["width"], meta["height"]) == (30, 20)
+    meta_b = probe_media(encode_jpeg(px))
+    assert meta_b["progressive"] is False
+
+
+def test_feature_extractor_auto_decodes_progressive():
+    import pyarrow as pa
+
+    from bigdime_ray.functions.jpeg import encode_jpeg_progressive
+    from bigdime_ray.pipelines.multimodal import MediaFeatureExtractor
+    img = _grad_noise((24, 24, 3))
+    batch = pa.table({
+        "media_id": pa.array(["pj-0"]),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([encode_jpeg_progressive(img, quality=95)],
+                            type=pa.binary()),
+        "width": pa.array([24], type=pa.int32()),
+        "height": pa.array([24], type=pa.int32())})
+    feat = MediaFeatureExtractor(decoder="auto")(batch)
+    assert feat["decode_ok"].to_pylist() == [True]
+    assert feat["decoded_width"].to_pylist() == [24]
+
+
+def test_baseline_per_component_scans_decode_identically():
+    """ADVICE r4: a legal baseline file may carry one scan per
+    component (non-interleaved), in any component order — the decoder
+    must place planes by scan component id, not frame position."""
+    px = _grad_noise((38, 45, 3), seed=5, sigma=25)
+    a = decode_jpeg(encode_jpeg(px, quality=80))
+    b = decode_jpeg(encode_jpeg(px, quality=80, scan_per_component=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_progressive_cross_check_vs_pil():
+    Image = pytest.importorskip("PIL.Image")
+    from bigdime_ray.functions.jpeg import encode_jpeg_progressive
+    img = _grad_noise((32, 32, 3), seed=11)
+    ours = encode_jpeg_progressive(img, quality=92)
+    via_pil = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    mine = decode_jpeg(ours)
+    assert np.abs(via_pil.astype(int) - mine.astype(int)).mean() < 2.0
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92,
+                              progressive=True)
+    theirs = buf.getvalue()
+    pil_dec = np.asarray(Image.open(io.BytesIO(theirs)).convert("RGB"))
+    our_dec = decode_jpeg(theirs)
+    assert our_dec.shape == pil_dec.shape
+    assert np.abs(pil_dec.astype(int) - our_dec.astype(int)).mean() < 2.0

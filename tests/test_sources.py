@@ -54,3 +54,23 @@ def test_write_tokens_roundtrip(tmp_path):
     assert back.count() == 200
     assert set(back.schema().names) == {"doc_id", "tokens", "n_tok",
                                         "source", "partition_id"}
+
+
+def test_decide_read_blocks_width_conditional():
+    """BASELINE.md r4 addendum / VERDICT r4 #6: small-file reads pin
+    one block per file at width 1 (scheduler wait wakes instantly,
+    per-file batches stay in cache) but coarsen to 4 tasks/CPU at
+    width ≥ 4 (each turnover can idle a core up to 100 ms)."""
+    from bigdime_ray.sources.tokens import decide_read_blocks
+    MB = 1 << 20
+    # 64 small files, 128 MiB target
+    assert decide_read_blocks(64, 17 * MB, 128 * MB, 1) == 64
+    assert decide_read_blocks(64, 17 * MB, 128 * MB, 2) == 64
+    assert decide_read_blocks(64, 17 * MB, 128 * MB, 4) == 16
+    assert decide_read_blocks(64, 17 * MB, 128 * MB, 8) == 32
+    # advertised 32 CPUs: coarsening would not group (256 > 64) — per file
+    assert decide_read_blocks(64, 17 * MB, 128 * MB, 32) == 64
+    # big files: leave Ray's default splitting
+    assert decide_read_blocks(64, 256 * MB, 128 * MB, 4) is None
+    # too few files for the pin to matter
+    assert decide_read_blocks(4, 17 * MB, 128 * MB, 4) is None
