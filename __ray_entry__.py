@@ -15,6 +15,7 @@ here (or in ``bigdime_ray``) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import glob
 import os
 from collections.abc import Callable
 from typing import Any
@@ -3531,10 +3532,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     oracle in :func:`oracle_sql` precedes the rows-only-by-design
     entries, so a capped prefix sample of the registry exercises only
     oracle-checked queries. The reorder is computed from oracle_sql()
-    itself, so it cannot drift as entries are added."""
+    itself, so it cannot drift as entries are added.
+
+    The oracle-backed prefix additionally ROTATES each round
+    (VERDICT r4 #8): the driver samples a fixed-size prefix, so a
+    deterministic rotation — seeded by ``BIGDIME_ORACLE_ROTATE`` when
+    set, else by the number of completed rounds on disk
+    (``CORRECTNESS_r*.json``) — makes successive rounds cover a
+    different subset while every key stays present and addressable."""
     q = _registry()
     with_sql = oracle_sql()
-    out = {k: v for k, v in q.items() if k in with_sql}
+    sql_keys = [k for k in q if k in with_sql]
+    seed_env = os.environ.get("BIGDIME_ORACLE_ROTATE")
+    here = os.path.dirname(os.path.abspath(__file__))
+    seed = int(seed_env) if seed_env else len(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    if sql_keys:
+        off = (seed * 37) % len(sql_keys)
+        sql_keys = sql_keys[off:] + sql_keys[:off]
+    out = {k: q[k] for k in sql_keys}
     out.update((k, v) for k, v in q.items() if k not in with_sql)
     return out
 

@@ -112,14 +112,70 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return hdr + data
 
 
+# G.711 companded audio (format tags 6 = A-law, 7 = μ-law). The decode
+# tables are GENERATED from the spec's exact segment formulas (ITU-T
+# G.711 / the public-domain Sun g711.c arithmetic), not transcribed;
+# encode inverts them by nearest representable value, so round-trips
+# are exact by construction.
+
+def _g711_decode_table(law: str) -> np.ndarray:
+    codes = np.arange(256, dtype=np.int64)
+    if law == "mu":
+        u = ~codes & 0xFF
+        sign = (u & 0x80) != 0
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        t = ((mant << 3) + 0x84) << exp
+        val = np.where(sign, 0x84 - t, t - 0x84)
+    elif law == "a":
+        a = codes ^ 0x55
+        sign = (a & 0x80) != 0          # A-law: sign bit SET = positive
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        t = np.where(exp == 0, (mant << 4) + 8,
+                     ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+        val = np.where(sign, t, -t)
+    else:
+        raise ValueError("law must be 'mu' or 'a'")
+    return val.astype(np.int16)
+
+
+def _g711_encode(samples: np.ndarray, law: str) -> bytes:
+    table = _g711_decode_table(law).astype(np.int64)
+    order = np.argsort(table, kind="stable")
+    sorted_vals = table[order]
+    x = np.ascontiguousarray(samples, dtype=np.int64)
+    idx = np.searchsorted(sorted_vals, x).clip(1, 255)
+    lo, hi = sorted_vals[idx - 1], sorted_vals[idx.clip(0, 255)]
+    pick = np.where(np.abs(x - lo) <= np.abs(hi - x), idx - 1, idx)
+    return order[pick].astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                    law: str = "mu") -> bytes:
+    """RIFF/WAVE with G.711 companded mono audio (format tag 7 μ-law /
+    6 A-law, 8 bits per sample) — the compressed-audio fixture
+    generator for the decode path below."""
+    data = _g711_encode(samples, law)
+    tag = 7 if law == "mu" else 6
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        tag, 1, sample_rate, sample_rate, 1, 8,
+        b"data", len(data))
+    return hdr + data
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """(int16 samples, sample_rate) from a RIFF/PCM WAV payload —
-    walks the chunk list properly (fmt may not be first)."""
+    """(int16 samples, sample_rate) from a RIFF/WAVE payload — walks
+    the chunk list properly (fmt may not be first). Accepts PCM16
+    (format tag 1) and G.711 companded 8-bit audio (tag 7 μ-law /
+    6 A-law — vectorized table expansion)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     sample_rate = None
-    bits = None
+    fmt = None
     channels = None
     data = None
     while pos + 8 <= len(payload):
@@ -128,14 +184,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, body)
-            if fmt != 1 or bits != 16:
-                raise ValueError("only PCM16 supported")
+            if fmt == 1 and bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+            if fmt in (6, 7) and bits != 8:
+                raise ValueError("G.711 WAV must be 8 bits/sample")
+            if fmt not in (1, 6, 7):
+                raise ValueError(f"unsupported WAV format tag {fmt}")
         elif cid == b"data":
             data = payload[body:body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype="<i2")
+    if fmt == 1:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        table = _g711_decode_table("mu" if fmt == 7 else "a")
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
     if channels and channels > 1:
         samples = samples[::channels]  # keep channel 0
     return samples, int(sample_rate)

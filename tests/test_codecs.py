@@ -232,3 +232,56 @@ def test_gray_alpha_png_decodes_to_rgb():
     assert to_rgb(luma).shape == (12, 17, 3)
     rgba = rng.integers(0, 256, (5, 6, 4)).astype(np.uint8)
     np.testing.assert_array_equal(to_rgb(rgba), rgba[:, :, :3])
+
+
+def test_g711_wav_round_trip():
+    """G.711 μ-law/A-law WAV (format tags 7/6): the decode tables come
+    from the spec's exact segment formulas (μ-law peak 32124, A-law
+    peak 32256, μ-law code 0xFF = 0), encode is nearest-representable
+    inversion — so representable values round-trip exactly and a sine
+    survives within companding error."""
+    import numpy as np
+
+    from bigdime_ray.functions.codecs import (_g711_decode_table,
+                                              decode_wav, encode_wav_g711,
+                                              probe_media)
+    mu = _g711_decode_table("mu").astype(np.int64)
+    al = _g711_decode_table("a").astype(np.int64)
+    assert mu.max() == 32124 and mu.min() == -32124
+    assert al.max() == 32256 and al.min() == -32256
+    assert mu[0xFF] == 0
+    t = np.arange(4000)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    for law, table in (("mu", mu), ("a", al)):
+        # representable values: exact round-trip
+        got, sr = decode_wav(encode_wav_g711(table.astype(np.int16),
+                                             16000, law))
+        np.testing.assert_array_equal(got.astype(np.int64), table)
+        assert sr == 16000
+        # arbitrary audio: bounded companding error (segment width)
+        got, _ = decode_wav(encode_wav_g711(sine, 16000, law))
+        err = np.abs(got.astype(np.int64) - sine.astype(np.int64))
+        assert err.max() < 1024 and err.mean() < 200
+        meta = probe_media(encode_wav_g711(sine, 16000, law))
+        assert meta["format"] == "wav" and meta["n_samples"] == 4000
+
+
+def test_g711_wav_features_end_to_end():
+    import numpy as np
+    import pyarrow as pa
+
+    from bigdime_ray.functions.codecs import encode_wav_g711
+    from bigdime_ray.pipelines.multimodal import MediaFeatureExtractor
+    t = np.arange(8000)
+    sine = (9000 * np.sin(2 * np.pi * 220 * t / 22050)).astype(np.int16)
+    batch = pa.table({
+        "media_id": pa.array(["g711-0"]),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array([encode_wav_g711(sine, 22050, "mu")],
+                            type=pa.binary()),
+        "width": pa.array([0], type=pa.int32()),
+        "height": pa.array([0], type=pa.int32())})
+    feat = MediaFeatureExtractor(decoder="auto")(batch)
+    assert feat["decode_ok"].to_pylist() == [True]
+    f = np.asarray(feat["features"].to_pylist()[0])
+    assert np.isfinite(f).all() and np.abs(f).sum() > 0
