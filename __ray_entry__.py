@@ -345,6 +345,21 @@ def _q_knn_top10(sf_dir: str):
                      "rnk": pa.array(top["rank"].to_numpy(), type=pa.int64())})
 
 
+def _q_knn_hnsw(sf_dir: str):
+    """Graph ANN (HNSW-class, shard-parallel) top-10 vs the vec_id=0
+    embedding — the no-training-pass high-recall option (rows-only:
+    approximate by design; recall vs brute force asserted in
+    tests/test_similarity.py)."""
+    from bigdime_ray.pipelines.similarity import hnsw_topk
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vec(ds)
+    top = hnsw_topk(ds, q[None, :], k=10)
+    return pa.table({"vec_id": pa.array(top.vec_id.to_numpy(),
+                                        type=pa.int64()),
+                     "rnk": pa.array(top["rank"].to_numpy(),
+                                     type=pa.int64())})
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate top-10 (scale path; rows-only — approx by
     design, recall asserted in tests/test_similarity.py)."""
@@ -3573,6 +3588,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": _q_embedding_near_dup,
         "knn_cosine_top10": _q_knn_top10,
         "knn_cosine_ivf": _q_knn_ivf,
+        "knn_cosine_hnsw": _q_knn_hnsw,
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "curated_documents": _q_curated_documents,
