@@ -75,15 +75,17 @@ def encode_fake_media(media_id: str, kind: str, width: int = 0,
 
 def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
     """Deterministic REAL media: images rotate through binary PPM,
-    DEFLATE-compressed PNG and baseline JPEG (gradient + seeded noise
-    pixels), PCM16 WAV audio (seeded sine + noise), and
-    concatenated-P6 video streams — every payload is a decodable
-    instance of a public format, exercising all three built-in image
-    codecs through the same actor-pool stages."""
+    DEFLATE-compressed PNG, baseline JPEG and progressive (SOF2) JPEG
+    (gradient + seeded noise pixels); audio rotates through PCM16 /
+    G.711 μ-law / G.711 A-law WAV (seeded sine + noise); video is
+    concatenated-P6 streams — every payload is a decodable instance of
+    a public format, exercising every built-in codec through the same
+    actor-pool stages."""
     from bigdime_ray.functions.codecs import (encode_png, encode_ppm,
                                               encode_ppm_stream,
-                                              encode_wav)
-    from bigdime_ray.functions.jpeg import encode_jpeg
+                                              encode_wav, encode_wav_g711)
+    from bigdime_ray.functions.jpeg import encode_jpeg, \
+        encode_jpeg_progressive
     rng = np.random.default_rng(seed)
     kinds = np.asarray(["image", "audio", "video"])[rng.integers(0, 3, n)]
     rows = []
@@ -95,7 +97,10 @@ def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
             freq = float(rng.uniform(100, 2000))
             wave = (0.5 * np.sin(2 * np.pi * freq * t)
                     + 0.05 * rng.standard_normal(len(t)))
-            payload = encode_wav((wave * 32767).astype(np.int16), sr)
+            pcm = (wave * 32767).astype(np.int16)
+            payload = (lambda s: encode_wav(s, sr),
+                       lambda s: encode_wav_g711(s, sr, "mu"),
+                       lambda s: encode_wav_g711(s, sr, "a"))[i % 3](pcm)
             w = h = 0
         else:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
@@ -108,7 +113,9 @@ def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
                 return np.clip(px, 0, 255).astype(np.uint8)
             if kind == "image":
                 enc = (encode_ppm, encode_png,
-                       lambda p: encode_jpeg(p, quality=92))[i % 3]
+                       lambda p: encode_jpeg(p, quality=92),
+                       lambda p: encode_jpeg_progressive(p, quality=92)
+                       )[i % 4]
                 payload = enc(frame())
             else:
                 payload = encode_ppm_stream(
