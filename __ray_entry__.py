@@ -2828,6 +2828,44 @@ def _q_token_decontaminate(sf_dir: str):
         "n_hits": pa.array(hit.n_hits, type=pa.int64())})
 
 
+def _q_doc_keyword_classifier(sf_dir: str):
+    """Distributed fastText-style linear classifier (rows-only; model
+    training/scoring is not SQL-expressible): hashed char-4-gram bag
+    features + full-batch logistic regression over documents.text,
+    recovering a deterministic weak label (>= 2 'vector' occurrences —
+    a balanced, text-derived stand-in for human labels; the synthetic
+    table's lang/source columns are uncorrelated with text by
+    construction). Training is exactly partition-invariant
+    (per-occurrence fixed-point int64 gradient partials, weights
+    broadcast per iteration via ray.put — pipelines/classify.py), so
+    the output is deterministic across runs and block counts. Scale
+    note: train on a BOUNDED sample, stream inference over the corpus;
+    the 500-row documents table is both here."""
+    import pyarrow.compute as pc
+
+    from bigdime_ray.pipelines.classify import (extract_features,
+                                                score_logreg,
+                                                train_logreg)
+    dim = 1 << 16
+
+    def label(b: pa.Table) -> pa.Table:
+        n = pc.count_substring(b["text"], "vector")
+        return b.append_column(
+            "label", pc.cast(pc.greater_equal(n, 2), pa.int8()))
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text"]).map_batches(
+        label, batch_format="pyarrow", zero_copy_batch=True)
+    feats = extract_features(ds, dim=dim)
+    w = train_logreg(feats, dim=dim, iters=40, lr=5.0)
+    scored = score_logreg(ds, w, dim=dim).to_pandas()
+    scored["pred"] = (scored["prob"] > 0.5).astype(np.int8)
+    scored["prob"] = scored["prob"].round(6)
+    out = scored[["doc_id", "label", "pred", "prob"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_doc_repetition(sf_dir: str):
     """Per-document trigram repetition score (Gopher-style quality
     rule) — exact string-distinct per doc, zero shuffle, rep_ppm as
@@ -3660,6 +3698,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "decontaminate_trigram": _q_decontaminate,
         "token_decontaminate": _q_token_decontaminate,
         "doc_repetition": _q_doc_repetition,
+        "doc_keyword_classifier": _q_doc_keyword_classifier,
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
         "bpe_merges": _q_bpe_merges,
