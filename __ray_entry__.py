@@ -2739,6 +2739,37 @@ def _q_bpe_merges(sf_dir: str):
         "new_id": pa.array([m[2] for m in merges], type=pa.int64())})
 
 
+def _q_bpe_encoded_lengths(sf_dir: str):
+    """Distributed BPE ENCODE with a trained merge table (rows-only:
+    iterative training + greedy merge application, no SQL oracle):
+    train 40 merges on the documents corpus, then tokenize every
+    document in one streaming map with the merge list broadcast once
+    (pipelines/tokenize.py::bpe_encode — the same vectorized kernel
+    the trainer rewrites with, so encode ≡ train by construction).
+    Returns per-doc byte length, token length, and the corpus
+    compression the merges bought — deterministic."""
+    import pyarrow.compute as pc
+
+    from bigdime_ray.pipelines.tokenize import bpe_encode, bpe_train
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(_read(sf_dir, "documents", columns=["text"]),
+                       num_merges=40)
+    out = bpe_encode(ds, merges)
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(b["text"], pa.binary())), pa.int64()),
+            "n_tokens": pc.cast(pc.list_value_length(b["tokens"]),
+                                pa.int64())})
+
+    df = out.map_batches(lengths, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def _q_doc_lm_scores(sf_dir: str):
     """Corpus-bigram language-model score per document (KenLM-style
     quality filter): logprob = Σ ln P(w_i | w_{i-1}) from the corpus's
@@ -3702,6 +3733,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "vocabulary_jaccard": _q_vocabulary_jaccard,
         "doc_lm_scores": _q_doc_lm_scores,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encoded_lengths": _q_bpe_encoded_lengths,
         "ops_maintenance_cycle": _q_ops_maintenance_cycle,
         "lineitem_metrics_long": _q_lineitem_metrics_long,
         "user_event_entropy": _q_user_event_entropy,

@@ -163,7 +163,7 @@ def bpe_encode_texts(texts: list[str],
                      merges: list[tuple[int, int, int]]
                      ) -> list[list[int]]:
     """Apply a trained merge list to new texts (driver-side helper —
-    the distributed form is the same rewrite map over a Dataset)."""
+    the distributed form is :func:`bpe_encode`)."""
     out = []
     for t in texts:
         flat = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int32)
@@ -172,3 +172,40 @@ def bpe_encode_texts(texts: list[str],
             flat, off = apply_merge(flat, off, a, b, nid)
         out.append(flat.tolist())
     return out
+
+
+def bpe_encode(ds: Dataset, merges: list[tuple[int, int, int]],
+               text_col: str = "text",
+               out_col: str = "tokens") -> Dataset:
+    """Distributed tokenization with a TRAINED merge list: one
+    streaming map — the merge table is broadcast once via ``ray.put``
+    and every batch replays the merges in training order over its flat
+    symbol buffer (the same vectorized ``apply_merge`` kernel the
+    trainer uses, so encode ≡ train rewrite by construction). Zero
+    shuffle; output is a list<int32> token column alongside the input
+    columns."""
+    import ray
+    ref = ray.put(list(merges))
+
+    def enc(batch: pa.Table, m_ref=ref) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if pa.types.is_large_string(t.type):
+            t = pc.cast(t, pa.string())
+        t = pc.fill_null(t, "")
+        bufs = t.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32)[
+            t.offset:t.offset + len(t) + 1].astype(np.int64)
+        data = (np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        flat = data[off[0]:off[-1]].astype(np.int32)
+        off = off - off[0]
+        for a, b, nid in ray.get(m_ref):
+            flat, off = apply_merge(flat, off, a, b, nid)
+        arr = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()), pa.array(flat))
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(enc, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -463,3 +463,29 @@ def test_ngram_decontaminate_matches_brute_force():
     assert (out0.n_hits == 0).all()
     assert dict(zip(out0.doc_id, out0.n_grams)) == \
         {k: v[0] for k, v in expect.items()}
+
+
+def test_bpe_encode_distributed_matches_driver_helper():
+    """bpe_encode (distributed streaming map, merges broadcast once)
+    must produce exactly bpe_encode_texts' sequences for every row at
+    any block count, and tokenization must shorten merged sequences."""
+    import ray.data as rd
+    from bigdime_ray.pipelines.tokenize import (bpe_encode,
+                                                bpe_encode_texts,
+                                                bpe_train)
+    texts = ["the cat sat on the mat", "the bat and the rat",
+             "aaaa aaaa aaaa", "", "one-off row with punct!?",
+             "the the the the the"] * 3
+    tbl = pa.table({"doc_id": pa.array([f"d{i:03d}"
+                                        for i in range(len(texts))]),
+                    "text": pa.array(texts)})
+    merges = bpe_train(rd.from_arrow(tbl).repartition(3), num_merges=12)
+    assert len(merges) > 0
+    want = bpe_encode_texts(texts, merges)
+    for nblocks in (1, 4):
+        got = bpe_encode(rd.from_arrow(tbl).repartition(nblocks),
+                         merges).to_pandas().sort_values("doc_id")
+        got_tok = [list(v) for v in got["tokens"]]
+        assert got_tok == want
+    # merges actually compress: total tokens < total bytes
+    assert sum(map(len, want)) < sum(len(t.encode()) for t in texts)
