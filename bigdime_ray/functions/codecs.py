@@ -346,6 +346,35 @@ def image_features(pixels: np.ndarray, dim: int = 8) -> np.ndarray:
         feat, np.zeros(dim - len(feat))]
 
 
+def mel_features(samples: np.ndarray, sample_rate: int, dim: int = 8,
+                 n_fft: int = 256, hop: int = 128) -> np.ndarray:
+    """Log mel-filterbank energies — the standard speech/audio-ML
+    front-end, fully analytic (mel(f) = 2595·log10(1+f/700)): Hann
+    window → framed rfft power (one strided-view batch FFT, no Python
+    loop over frames) → ``dim`` triangular mel filters → time-mean log
+    energy, max-normalized to [0, 1]."""
+    x = samples.astype(np.float64) / 32768.0
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    from numpy.lib.stride_tricks import sliding_window_view
+    frames = sliding_window_view(x, n_fft)[::hop] * np.hanning(n_fft)
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    def mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    edges = imel(np.linspace(mel(0.0), mel(sample_rate / 2.0), dim + 2))
+    bins = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)
+    fb = np.zeros((dim, len(bins)))
+    for i in range(dim):
+        lo, mid, hi = edges[i], edges[i + 1], edges[i + 2]
+        up = (bins - lo) / max(mid - lo, 1e-12)
+        down = (hi - bins) / max(hi - mid, 1e-12)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, 1.0)
+    e = np.log1p(power.mean(axis=0) @ fb.T)
+    return e / max(e.max(), 1e-12)
+
+
 def audio_features(samples: np.ndarray, sample_rate: int,
                    dim: int = 8) -> np.ndarray:
     """Deterministic real-sample features: RMS, zero-crossing rate, and

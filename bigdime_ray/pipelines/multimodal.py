@@ -164,7 +164,13 @@ class MediaFeatureExtractor:
     (accepted in VERDICT r2); the batch stays small by design.
     """
 
-    def __init__(self, decoder: str = "auto", feature_dim: int = 8):
+    def __init__(self, decoder: str = "auto", feature_dim: int = 8,
+                 audio_feature_set: str = "basic"):
+        #: "basic" = RMS/ZCR/FFT bands; "mel" = log mel-filterbank
+        #: energies (codecs.mel_features) — the speech-ML front-end
+        if audio_feature_set not in ("basic", "mel"):
+            raise ValueError("audio_feature_set must be 'basic' or 'mel'")
+        self.audio_feature_set = audio_feature_set
         self.feature_dim = feature_dim
         self.decoder = decoder
         if decoder == "pil":
@@ -216,6 +222,9 @@ class MediaFeatureExtractor:
                     px.shape[1], px.shape[0])
         if payload[:4] == b"RIFF":
             samples, sr = decode_wav(payload)
+            if self.audio_feature_set == "mel":
+                from bigdime_ray.functions.codecs import mel_features
+                return mel_features(samples, sr, self.feature_dim), 0, 0
             return audio_features(samples, sr, self.feature_dim), 0, 0
         return self._decode_fake(payload)
 
@@ -277,12 +286,15 @@ class MediaFeatureExtractor:
 
 def extract_media_features(ds: Dataset, decoder: str = "auto",
                            concurrency: int = 4,
-                           batch_size: int = 64) -> Dataset:
+                           batch_size: int = 64,
+                           audio_feature_set: str = "basic") -> Dataset:
     """Decode/feature-extract stage. Small batch_size on purpose: payload
     rows are large — batch_size × concurrency × payload must fit the
     worker heap (SURVEY.md §4 memory-aware rule)."""
     return ds.map_batches(MediaFeatureExtractor,
-                          fn_constructor_kwargs={"decoder": decoder},
+                          fn_constructor_kwargs={
+                              "decoder": decoder,
+                              "audio_feature_set": audio_feature_set},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency, num_cpus=1)
 

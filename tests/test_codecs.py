@@ -379,3 +379,40 @@ def test_adpcm_wav_features_end_to_end():
     assert feat["decode_ok"].to_pylist() == [True]
     f = np.asarray(feat["features"].to_pylist()[0])
     assert np.isfinite(f).all() and np.abs(f).sum() > 0
+
+
+def test_mel_features_tone_localization():
+    """Log mel-filterbank energies: a pure tone's peak band must move
+    monotonically with frequency, output stays in [0, 1], short inputs
+    pad cleanly, and the mel path runs through the actor-pool stage."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bigdime_ray.functions.codecs import encode_wav, mel_features
+    from bigdime_ray.pipelines.multimodal import MediaFeatureExtractor
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    peaks = []
+    for freq in (200.0, 1000.0, 3000.0, 6000.0):
+        x = (0.6 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        f = mel_features(x, sr, dim=8)
+        assert f.shape == (8,) and np.isfinite(f).all()
+        assert f.min() >= 0.0 and f.max() <= 1.0 + 1e-12
+        peaks.append(int(np.argmax(f)))
+    assert peaks == sorted(peaks) and peaks[0] < peaks[-1]
+    # short input pads; silence stays finite
+    assert np.isfinite(mel_features(np.zeros(10, np.int16), sr)).all()
+
+    batch = pa.table({
+        "media_id": pa.array(["mel-0"]),
+        "kind": pa.array(["audio"]),
+        "payload": pa.array(
+            [encode_wav((0.5 * np.sin(2 * np.pi * 440 * t) * 32767)
+                        .astype(np.int16), sr)], type=pa.binary()),
+        "width": pa.array([0], type=pa.int32()),
+        "height": pa.array([0], type=pa.int32())})
+    feat = MediaFeatureExtractor(decoder="auto",
+                                 audio_feature_set="mel")(batch)
+    assert feat["decode_ok"].to_pylist() == [True]
+    f = np.asarray(feat["features"].to_pylist()[0])
+    assert np.isfinite(f).all() and f.max() > 0
