@@ -857,6 +857,59 @@ def _q_redact(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML → visible-text extraction (functions/html.py::strip_html):
+    synthesize a deterministic page per document (title, style+script
+    blocks, comment, bold emphasis, footer link with entities), then
+    reduce it back to text with the vectorized RE2 kernel chain. The
+    oracle builds and reduces the IDENTICAL page in DuckDB (also RE2),
+    so the two extractions verify each other token-for-token —
+    including the entity-order trap (&amp; decoded last, after
+    tag-stripping, so literal &lt;end&gt; survives as text)."""
+    from bigdime_ray.functions.html import synthesize_html, extract_html
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "html": synthesize_html(batch["doc_id"], batch["text"]),
+        })
+
+    ds = ds.map_batches(synth, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = extract_html(ds, html_col="html", out_col="text")
+    return out.map_batches(lambda b: b.select(["doc_id", "text"]),
+                           batch_format="pyarrow")
+
+
+def _q_html_stats(sf_dir: str):
+    """Markup statistics for boilerplate scoring (functions/html.py::
+    html_stats): tag count, anchor count, extracted-text length and
+    link density (anchors per 1000 extracted chars, fixed-point micro
+    so both engines compare identical integers) over the same
+    synthesized pages as documents_html_extracted."""
+    from bigdime_ray.functions.html import synthesize_html, html_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        st = html_stats(synthesize_html(batch["doc_id"], batch["text"]))
+        dens = pc.cast(pc.floor(pc.add(
+            pc.multiply(st["link_density"], 1_000_000.0), 0.5)),
+            pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tags": st["n_tags"],
+            "n_links": st["n_links"],
+            "text_len": st["text_len"],
+            "link_density_micro": dens,
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-minute gap) per user."""
     from bigdime_ray.pipelines.stream import session_windows
@@ -3687,6 +3740,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "customer_order_full_outer": _q_customer_order_full_outer,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "documents_redacted": _q_redact,
+        "documents_html_extracted": _q_html_extract,
+        "documents_html_stats": _q_html_stats,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -3787,6 +3842,37 @@ _CENTROID_SQL = (
         f"CAST(SUM(CAST(FLOOR(CAST(embedding[{j + 1}] AS DOUBLE) * 10000"
         f" + 0.5) AS BIGINT)) AS BIGINT) AS s_{j}" for j in range(64))
     + " FROM embeddings GROUP BY label")
+
+
+# Shared HTML-synthesis CTE for the documents_html_* oracles — must stay
+# token-for-token the mirror of functions/html.py::synthesize_html.
+_HTML_SYNTH_SQL = (
+    "WITH h AS (SELECT doc_id, "
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>body { color: #222; }</style>' || "
+    "'<script type=\"text/javascript\">if (1 < 2) "
+    "{ alert(\"x&y\"); }</script>' || "
+    "'</head><body><!-- header boilerplate --><h1>Doc ' || "
+    "CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+    "replace(text, 'table', '<b>table</b>') || "
+    "'</p><div class=\"footer\"><a href=\"/d/' || "
+    "CAST(doc_id AS VARCHAR) || "
+    "'\">next &amp; prev</a>&nbsp;&lt;end&gt;</div></body></html>' "
+    "AS html FROM documents) ")
+
+# The extraction chain (mirror of functions/html.py::strip_html: blocks,
+# comments, tags→space, entities with &amp; last, whitespace collapse).
+_HTML_STRIP_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), "
+    "'(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), "
+    "'(?s)<!--.*?-->', ' ', 'g'), "
+    "'<[^>]*>', ' ', 'g'), "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), "
+    "'&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'), "
+    "'\\s+', ' ', 'g'))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3989,6 +4075,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '\\d{3,}')) + "
             "len(regexp_extract_all(text, '\\b(key|hash)\\b')) "
             "AS BIGINT) AS n_redactions FROM documents",
+        "documents_html_extracted":
+            _HTML_SYNTH_SQL +
+            "SELECT doc_id, " + _HTML_STRIP_SQL + " AS text FROM h",
+        "documents_html_stats":
+            _HTML_SYNTH_SQL +
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(html, '(?i)<[a-z/!][^>]*>')) "
+            "AS BIGINT) AS n_tags, "
+            "CAST(len(regexp_extract_all(html, '(?i)<a\\b')) AS BIGINT) "
+            "AS n_links, "
+            "CAST(length(" + _HTML_STRIP_SQL + ") AS BIGINT) AS text_len, "
+            "CAST(FLOOR(CAST(len(regexp_extract_all(html, '(?i)<a\\b')) "
+            "AS DOUBLE) * 1000.0 / CAST(GREATEST(length(" +
+            _HTML_STRIP_SQL + "), 1) AS DOUBLE) * 1000000.0 + 0.5) "
+            "AS BIGINT) AS link_density_micro FROM h",
         "events_sessions":
             "WITH g AS (SELECT user_id, ts, CASE WHEN "
             "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > "

@@ -1,0 +1,141 @@
+"""HTML → text extraction kernels (the web-pipeline front door).
+
+Training-data curation over web scrapes starts by reducing raw HTML to
+visible text. This module implements that reduction with PURE VECTORIZED
+Arrow kernels — ``pc.replace_substring_regex`` / ``pc.count_substring_regex``
+are RE2 compiled once per pattern per batch, so the stage is a stateless
+zero-shuffle map that streams at any scale (same discipline as
+``pipelines/text.py::redact_text``).
+
+The extraction contract (applied in this exact order — order is load-bearing
+and oracle-checked against an independent DuckDB RE2 implementation in
+``__ray_entry__.py::documents_html_extracted``):
+
+1. remove ``<script>…</script>`` and ``<style>…</style>`` blocks wholesale
+   (their character data is code, not text);
+2. remove HTML comments ``<!-- … -->``;
+3. replace every remaining tag ``<…>`` with a single space (block-level
+   separation: ``</h1><p>`` must not weld the neighbouring words);
+4. decode the common character entities, ``&amp;`` LAST (decoding it first
+   would double-decode ``&amp;lt;`` — the classic ordering bug). Entities
+   are decoded AFTER tag-stripping so literal ``&lt;end&gt;`` text can
+   never be re-interpreted as markup;
+5. collapse every whitespace run to one space and trim.
+
+Known (documented) limitation of the regex approach: a literal ``>``
+inside a quoted attribute value terminates the tag early. Real-world
+extractors accept this; the alternative is a per-character state machine,
+which would put a Python row loop on the hot path.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Block-content patterns removed wholesale (RE2: inline (?is) = dotall +
+# case-insensitive; non-greedy body so adjacent blocks don't merge).
+SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style\b[^>]*>.*?</style>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+TAG_RE = r"<[^>]*>"
+WS_RE = r"\s+"
+
+# Decoded in this order; & last (see module docstring).
+ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def _as_array(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def strip_html(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized HTML→text over a string array (contract above)."""
+    t = _as_array(col)
+    t = pc.replace_substring_regex(t, SCRIPT_RE, " ")
+    t = pc.replace_substring_regex(t, STYLE_RE, " ")
+    t = pc.replace_substring_regex(t, COMMENT_RE, " ")
+    t = pc.replace_substring_regex(t, TAG_RE, " ")
+    for ent, ch in ENTITIES:
+        t = pc.replace_substring(t, ent, ch)
+    t = pc.replace_substring_regex(t, WS_RE, " ")
+    return pc.utf8_trim_whitespace(t)
+
+
+def html_stats(col: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Per-document markup statistics for boilerplate/quality scoring:
+    tag count, anchor count, and link density (anchor tags per 1000
+    chars of EXTRACTED text — the standard boilerplate signal: nav/footer
+    pages are link-dense, content pages are not). One RE2 pass per
+    statistic, no row loop."""
+    t = _as_array(col)
+    n_tags = pc.count_substring_regex(t, r"(?i)<[a-z/!][^>]*>")
+    n_links = pc.count_substring_regex(t, r"(?i)<a\b")
+    text_len = pc.utf8_length(strip_html(t))
+    dens = pc.divide(
+        pc.multiply(pc.cast(n_links, pa.float64()), 1000.0),
+        pc.cast(pc.max_element_wise(text_len, 1), pa.float64()))
+    return pa.table({
+        "n_tags": pc.cast(n_tags, pa.int64()),
+        "n_links": pc.cast(n_links, pa.int64()),
+        "text_len": pc.cast(text_len, pa.int64()),
+        "link_density": dens,
+    })
+
+
+def synthesize_html(doc_id: pa.Array | pa.ChunkedArray,
+                    text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Deterministic HTML page per (doc_id, text) — the fixture/oracle
+    generator. Exercises every extraction rule: head title (kept),
+    style + script blocks (dropped, incl. a raw ``<`` and ``&`` inside
+    the script), a comment, bold emphasis inside the body text, a
+    footer link with ``&amp;``/``&nbsp;`` and a literal ``&lt;end&gt;``
+    that must survive as text. Mirrored token-for-token by the DuckDB
+    SQL in ``__ray_entry__.py`` so Ray and the oracle build and reduce
+    the identical page independently."""
+    ids = pc.cast(_as_array(doc_id), pa.string())
+    bold = pc.replace_substring(_as_array(text), "table", "<b>table</b>")
+    return pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>Doc "), ids,
+        pa.scalar("</title><style>body { color: #222; }</style>"
+                  '<script type="text/javascript">'
+                  'if (1 < 2) { alert("x&y"); }</script>'
+                  "</head><body><!-- header boilerplate --><h1>Doc "),
+        ids,
+        pa.scalar("</h1><p>"), bold,
+        pa.scalar('</p><div class="footer"><a href="/d/'), ids,
+        pa.scalar('">next &amp; prev</a>&nbsp;&lt;end&gt;'
+                  "</div></body></html>"),
+        pa.scalar(""))
+
+
+def extract_html(ds, html_col: str = "html", out_col: str = "text",
+                 with_stats: bool = False):
+    """Dataset stage: add the extracted-text column (and optionally the
+    markup statistics) next to the raw HTML column. Stateless
+    ``map_batches`` over zero-copy Arrow — no shuffle, no state."""
+    def fn(batch: pa.Table) -> pa.Table:
+        out = batch
+        txt = strip_html(batch[html_col])
+        if out_col in out.schema.names:
+            idx = out.schema.get_field_index(out_col)
+            out = out.set_column(idx, out_col, txt)
+        else:
+            out = out.append_column(out_col, txt)
+        if with_stats:
+            st = html_stats(batch[html_col])
+            for name in st.schema.names:
+                out = out.append_column(name, st[name])
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
