@@ -910,6 +910,53 @@ def _q_html_stats(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _q_warc_ingest(sf_dir: str):
+    """Crawl-archive round trip (sources/warc.py): synthesize the same
+    deterministic HTML pages as documents_html_extracted, pack them as
+    HTTP responses into multi-member-gzip WARC files (one file per
+    block, distributed writer, atomic replace), then run the full
+    ingest front end — distributed WARC parse → vectorized HTTP split →
+    HTML→text — and recover (doc_id, text) from the WARC-Target-URI.
+    The oracle is the plain SQL HTML extraction: equality proves the
+    WARC container + HTTP framing round-trip payloads bit-exactly."""
+    import shutil
+
+    from bigdime_ray.functions.html import synthesize_html
+    from bigdime_ray.sources.warc import (warc_text_documents,
+                                          write_warc_dataset)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        return pa.table({
+            "target_uri": pc.binary_join_element_wise(
+                pa.scalar("https://example.org/d/"), ids, pa.scalar("")),
+            "html": synthesize_html(batch["doc_id"], batch["text"]),
+        })
+
+    out_dir = os.path.join("/tmp/bigdime_warc",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = write_warc_dataset(
+        ds.map_batches(synth, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        out_dir, html_col="html", uri_col="target_uri",
+        gzip_per_record=True)
+
+    docs = warc_text_documents(paths)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["target_uri"], r"/d/(?P<id>\d+)$")
+        return pa.table({
+            "doc_id": pc.cast(pc.struct_field(m, "id"), pa.int64()),
+            "text": batch["text"],
+        })
+
+    return docs.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-minute gap) per user."""
     from bigdime_ray.pipelines.stream import session_windows
@@ -3742,6 +3789,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_redacted": _q_redact,
         "documents_html_extracted": _q_html_extract,
         "documents_html_stats": _q_html_stats,
+        "warc_ingest": _q_warc_ingest,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -4076,6 +4124,9 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, '\\b(key|hash)\\b')) "
             "AS BIGINT) AS n_redactions FROM documents",
         "documents_html_extracted":
+            _HTML_SYNTH_SQL +
+            "SELECT doc_id, " + _HTML_STRIP_SQL + " AS text FROM h",
+        "warc_ingest":
             _HTML_SYNTH_SQL +
             "SELECT doc_id, " + _HTML_STRIP_SQL + " AS text FROM h",
         "documents_html_stats":
