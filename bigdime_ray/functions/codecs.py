@@ -603,6 +603,21 @@ def probe_media(payload: bytes) -> dict:
                 continue
             pos += 2 + ((p[pos + 2] << 8) | p[pos + 3])
         raise ValueError("JPEG without SOF header")
+    if p[:4] == b"fLaC":                       # STREAMINFO footer fields
+        # 4B magic + 4B block header, then 16+16+24+24 bits of block
+        # sizes/frame sizes = 10 bytes → the packed rate/ch/bps/total
+        f = p[18:26]
+        if len(f) == 8:
+            sr = (f[0] << 12) | (f[1] << 4) | (f[2] >> 4)
+            ch = ((f[2] >> 1) & 0x7) + 1
+            bps = (((f[2] & 1) << 4) | (f[3] >> 4)) + 1
+            total = ((f[3] & 0x0F) << 32) | (f[4] << 24) | \
+                (f[5] << 16) | (f[6] << 8) | f[7]
+            return {"format": "flac", "sample_rate": int(sr),
+                    "channels": int(ch), "bits_per_sample": int(bps),
+                    "n_samples": int(total),
+                    "duration_s": round(total / sr, 6) if sr else 0.0,
+                    "kind": "audio"}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         samples, sr = decode_wav(p)            # header walk + data len
         return {"format": "wav", "sample_rate": sr,

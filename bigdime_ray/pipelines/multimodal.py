@@ -100,10 +100,12 @@ def synth_real_media_table(n: int = 100, seed: int = 5) -> pa.Table:
             wave = (0.5 * np.sin(2 * np.pi * freq * t)
                     + 0.05 * rng.standard_normal(len(t)))
             pcm = (wave * 32767).astype(np.int16)
+            from bigdime_ray.functions.flac import encode_flac
             payload = (lambda s: encode_wav(s, sr),
                        lambda s: encode_wav_g711(s, sr, "mu"),
                        lambda s: encode_wav_g711(s, sr, "a"),
-                       lambda s: encode_wav_adpcm(s, sr))[i % 4](pcm)
+                       lambda s: encode_wav_adpcm(s, sr),
+                       lambda s: encode_flac(s, sr))[i % 5](pcm)
             w = h = 0
         else:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
@@ -220,8 +222,12 @@ class MediaFeatureExtractor:
             px = to_rgb(decode_jpeg(payload))
             return (image_features(px, self.feature_dim),
                     px.shape[1], px.shape[0])
-        if payload[:4] == b"RIFF":
-            samples, sr = decode_wav(payload)
+        if payload[:4] in (b"RIFF", b"fLaC"):
+            if payload[:4] == b"fLaC":     # lossless compressed audio
+                from bigdime_ray.functions.flac import decode_flac_mono16
+                samples, sr = decode_flac_mono16(payload)
+            else:
+                samples, sr = decode_wav(payload)
             if self.audio_feature_set == "mel":
                 from bigdime_ray.functions.codecs import mel_features
                 return mel_features(samples, sr, self.feature_dim), 0, 0

@@ -109,7 +109,12 @@ def test_synth_real_media_all_decodable():
     for row in t.to_pylist():
         p = row["payload"]
         if row["kind"] == "audio":
-            s, sr = decode_wav(p)
+            # audio rotates PCM16 / G.711 mu / G.711 A / ADPCM / FLAC
+            if p[:4] == b"fLaC":
+                from bigdime_ray.functions.flac import decode_flac_mono16
+                s, sr = decode_flac_mono16(p)
+            else:
+                s, sr = decode_wav(p)
             assert sr == row["sample_rate"] and len(s) > 0
         elif row["kind"] == "image":
             # images rotate through PPM / PNG / baseline JPEG

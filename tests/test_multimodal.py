@@ -198,7 +198,8 @@ def test_probe_media_metadata_stage():
         if mid == "junk":
             assert not got.probe_ok and got.format == "unknown"
         elif row.kind == "audio":
-            assert got.format == "wav" and got.sample_rate == row.sample_rate
+            assert got.format in ("wav", "flac")
+            assert got.sample_rate == row.sample_rate
             assert got.duration_us > 0
         elif row.kind == "video":
             assert got.format == "ppm" and got.frames >= 3
