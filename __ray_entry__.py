@@ -910,6 +910,72 @@ def _q_html_stats(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Corpus-level repeated-paragraph removal (pipelines/text.py::
+    dedup_paragraphs — the C4/Dolma boilerplate scrub): give every
+    document three lines (a per-lang shared header, its own text, a
+    per-source footer); the shared/footer lines repeat across documents
+    and must survive only in the minimum-doc_id keeper, while each
+    document's own text always survives. One packed (hash, count,
+    min-doc) exchange + a broadcast rewrite; the oracle recomputes
+    keeper semantics relationally over the line strings themselves,
+    so a fingerprint collision or keeper bug cannot hide."""
+    from bigdime_ray.pipelines.text import dedup_paragraphs
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        shared = pc.binary_join_element_wise(
+            pa.scalar("shared-"), batch["lang"], pa.scalar(""))
+        footer = pc.binary_join_element_wise(
+            pa.scalar("footer-"), batch["source"], pa.scalar(""))
+        text3 = pc.binary_join_element_wise(
+            shared, batch["text"], footer, pa.scalar("\n"))
+        return pa.table({"doc_id": batch["doc_id"], "text": text3})
+
+    ds = ds.map_batches(synth, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return dedup_paragraphs(ds, min_count=2, keep="first")
+
+
+def _q_url_components(sf_dir: str):
+    """URL decomposition (functions/html.py::parse_url_components):
+    synthesize one crawl URL per document (host varies by source),
+    parse with one vectorized RE2 pass, return all components plus the
+    second-level-domain aggregation key; every fourth doc carries a
+    query string so the optional group is exercised. DuckDB evaluates the IDENTICAL
+    regex grammar, so the two parsers verify each other — including the
+    absent-query → empty-string normalization."""
+    from bigdime_ray.functions.html import parse_url_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        q = pc.if_else(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 3), 0),
+            pc.binary_join_element_wise(pa.scalar("?ref="),
+                                        batch["lang"], pa.scalar("")),
+            pa.scalar("", type=pa.string()))
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://"), batch["source"],
+            pa.scalar(".example.org/d/"), ids, q, pa.scalar(""))
+        comps = parse_url_components(url)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": url,
+            "scheme": comps["scheme"],
+            "host": comps["host"],
+            "path": comps["path"],
+            "url_query": comps["query"],
+            "host_sld": comps["host_sld"],
+        })
+
+    return ds.map_batches(build, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _q_warc_ingest(sf_dir: str):
     """Crawl-archive round trip (sources/warc.py): synthesize the same
     deterministic HTML pages as documents_html_extracted, pack them as
@@ -3790,6 +3856,8 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_html_extracted": _q_html_extract,
         "documents_html_stats": _q_html_stats,
         "warc_ingest": _q_warc_ingest,
+        "documents_paragraph_dedup": _q_paragraph_dedup,
+        "documents_url_components": _q_url_components,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -3891,6 +3959,10 @@ _CENTROID_SQL = (
         f" + 0.5) AS BIGINT)) AS BIGINT) AS s_{j}" for j in range(64))
     + " FROM embeddings GROUP BY label")
 
+
+# The same URI grammar as functions/html.py::URL_RE with positional
+# groups (1=scheme 2=host 3=path 4=query) for DuckDB regexp_extract.
+URL_SQL_RE = r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?"
 
 # Shared HTML-synthesis CTE for the documents_html_* oracles — must stay
 # token-for-token the mirror of functions/html.py::synthesize_html.
@@ -4129,6 +4201,36 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest":
             _HTML_SYNTH_SQL +
             "SELECT doc_id, " + _HTML_STRIP_SQL + " AS text FROM h",
+        "documents_paragraph_dedup":
+            "WITH l AS ("
+            "SELECT doc_id, 0 AS ord, 'shared-' || lang AS line "
+            "FROM documents "
+            "UNION ALL SELECT doc_id, 1, text FROM documents "
+            "UNION ALL SELECT doc_id, 2, 'footer-' || source "
+            "FROM documents), "
+            "c AS (SELECT line, COUNT(*) AS cnt, MIN(doc_id) AS keeper "
+            "FROM l GROUP BY line) "
+            "SELECT l.doc_id, COALESCE(string_agg(l.line, chr(10) "
+            "ORDER BY l.ord) FILTER (WHERE c.cnt < 2 OR "
+            "l.doc_id = c.keeper), '') AS text, "
+            "CAST(3 - COUNT(*) FILTER (WHERE c.cnt < 2 OR "
+            "l.doc_id = c.keeper) AS BIGINT) AS n_dropped "
+            "FROM l JOIN c USING (line) GROUP BY l.doc_id",
+        "documents_url_components":
+            "WITH u AS (SELECT doc_id, 'https://' || source || "
+            "'.example.org/d/' || CAST(doc_id AS VARCHAR) || "
+            "CASE WHEN doc_id % 4 = 0 THEN '?ref=' || lang ELSE '' END "
+            "AS url FROM documents), "
+            "p AS (SELECT doc_id, url, "
+            "regexp_extract(url, '" + URL_SQL_RE + "', 1) AS scheme, "
+            "regexp_extract(url, '" + URL_SQL_RE + "', 2) AS host, "
+            "regexp_extract(url, '" + URL_SQL_RE + "', 3) AS path, "
+            "regexp_extract(url, '" + URL_SQL_RE + "', 4) AS url_query "
+            "FROM u) "
+            "SELECT doc_id, url, scheme, host, path, url_query, "
+            "CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = '' "
+            "THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
+            "END AS host_sld FROM p",
         "documents_html_stats":
             _HTML_SYNTH_SQL +
             "SELECT doc_id, "

@@ -139,3 +139,64 @@ def extract_html(ds, html_col: str = "html", out_col: str = "text",
 
     return ds.map_batches(fn, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------------- URL kernels
+
+# RFC 3986 generic-URI split (scheme://authority path ?query) — one RE2
+# pass; DuckDB runs the identical pattern so both engines parse the
+# same grammar (oracle: documents_url_components).
+URL_RE = (r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)"
+          r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?")
+
+
+def parse_url_components(col: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Vectorized URL decomposition: scheme, host (authority), path,
+    query (absent → empty string, so downstream group-bys never mix
+    null semantics), plus the effective second-level domain
+    (``host_sld`` — last two dot-labels of the host, the standard
+    per-site aggregation key for crawl curation). Non-URL rows yield
+    empty strings throughout."""
+    t = _as_array(col)
+    m = pc.extract_regex(t, URL_RE)
+    valid = pc.is_valid(m)
+
+    def part(name: str) -> pa.Array:
+        v = pc.struct_field(m, name)
+        return pc.if_else(valid, pc.fill_null(v, ""),
+                          pa.scalar("", type=pa.string()))
+
+    host = part("host")
+    sld = pc.extract_regex(host, r"(?P<sld>[^.]+\.[^.]+)$")
+    sld = pc.if_else(pc.is_valid(sld),
+                     pc.fill_null(pc.struct_field(sld, "sld"), ""),
+                     host)
+    return pa.table({
+        "scheme": part("scheme"),
+        "host": host,
+        "path": part("path"),
+        "query": part("query"),
+        "host_sld": sld,
+    })
+
+
+def filter_urls_by_host(ds, url_col: str, blocked_slds: set[str],
+                        keep_non_urls: bool = False):
+    """Curation gate: drop rows whose URL's second-level domain is on
+    the blocklist. The blocklist is captured in the stage closure (it
+    is a policy artifact, small by construction — thousands of
+    domains, not millions); matching is one vectorized ``is_in``
+    against the parsed ``host_sld``. Zero shuffle."""
+    blocked = pa.array(sorted(blocked_slds), type=pa.string())
+
+    def gate(batch: pa.Table) -> pa.Table:
+        comps = parse_url_components(batch[url_col])
+        is_url = pc.not_equal(comps["scheme"], "")
+        hit = pc.is_in(comps["host_sld"], value_set=blocked)
+        keep = pc.and_(pc.invert(hit),
+                       is_url if not keep_non_urls
+                       else pa.array([True] * len(batch)))
+        return batch.filter(keep)
+
+    return ds.map_batches(gate, batch_format="pyarrow",
+                          zero_copy_batch=True)

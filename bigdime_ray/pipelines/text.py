@@ -811,3 +811,115 @@ def ngram_decontaminate(train_ds, eval_ds, text_col: str = "text",
 
     return train_ds.map_batches(probe, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+def _split_lines(batch: pa.Table, text_col: str, id_col: str, sep: str
+                 ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """(flat lines, line hashes i64, per-line doc ids, per-doc counts).
+    One vectorized split per block; hashes via the SipHash kernel."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lst = pc.split_pattern(text, pattern=sep)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()
+    offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offs)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = u64_to_i64(hash_string_column(flat))
+    docidx = np.repeat(np.arange(len(ids)), counts)
+    return flat, h, ids[docidx], counts
+
+
+def repeated_line_stats(ds, text_col: str = "text",
+                        id_col: str = "doc_id", sep: str = "\n",
+                        min_count: int = 2,
+                        num_buckets: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Corpus-wide repeated-line inventory: for every line (by 64-bit
+    SipHash fingerprint) occurring ≥ ``min_count`` times, its global
+    occurrence count and KEEPER (the minimum ``id_col`` carrying it).
+    ONE packed-cell exchange computes both (``ops=["sum","min"]`` —
+    stages/shuffle.py); per block only (hash, 1, doc_id) partials move,
+    never line text. Returns (hashes sorted, counts, keepers)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    def extract(batch: pa.Table):
+        _, h, docs, _ = _split_lines(batch, text_col, id_col, sep)
+        return h, [np.ones(len(h), dtype=np.int64), docs]
+
+    keys, (cnts, keepers) = grouped_int_sums_exchange(
+        ds, extract, num_values=2, ops=["sum", "min"],
+        num_buckets=num_buckets)
+    m = cnts >= min_count
+    keys, cnts, keepers = keys[m], cnts[m], keepers[m]
+    order = np.argsort(keys)
+    return keys[order], cnts[order], keepers[order]
+
+
+def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = "\n", min_count: int = 2,
+                     keep: str = "first",
+                     num_buckets: int | None = None):
+    """Corpus-level repeated-paragraph removal — the C4/Dolma-style
+    boilerplate scrub: lines (``sep``-separated spans) occurring
+    ≥ ``min_count`` times across the corpus are dropped from every
+    document except (``keep="first"``) the one with the smallest
+    ``id_col``, or from ALL documents (``keep="none"``). Documents are
+    reassembled with ``sep``; adds ``n_dropped`` per document.
+
+    Two passes, both scale-safe: (1) ``repeated_line_stats`` — one
+    packed exchange of (hash, count, min-doc) partials, line text never
+    shuffles; (2) a stateless rewrite map against the repeated-set
+    broadcast (``ray.put`` once, ``np.searchsorted`` membership, Arrow
+    list rebuild + ``pc.binary_join`` — no Python row loop). The
+    broadcast holds only lines with count ≥ min_count (boilerplate is
+    a small fraction of any real corpus); identity is the 64-bit
+    fingerprint, so two distinct lines collide with probability
+    ~n²/2⁶⁴ (the same ε every fingerprint dedup in pipelines/dedup.py
+    documents). ``id_col`` must be integer-typed; hash string ids
+    first (keeper = smallest hash, still deterministic)."""
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    import ray as _ray
+
+    rep_h, _, rep_keep = repeated_line_stats(
+        ds, text_col, id_col, sep, min_count, num_buckets)
+    handle = _ray.put((rep_h, rep_keep))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        hashes, keepers = _ray.get(handle)
+        flat, h, docs, counts = _split_lines(batch, text_col, id_col,
+                                             sep)
+        if len(hashes):
+            pos = np.searchsorted(hashes, h)
+            pos_c = np.minimum(pos, len(hashes) - 1)
+            found = hashes[pos_c] == h
+            drop = found if keep == "none" else \
+                found & (keepers[pos_c] != docs)
+        else:
+            drop = np.zeros(len(h), dtype=bool)
+        keep_mask = ~drop
+        # per-doc kept counts: every split yields ≥ 1 line, so no empty
+        # reduceat segments (the np.add.reduceat hazard in CLAUDE.md)
+        new_counts = (np.add.reduceat(keep_mask, np.cumsum(
+            np.r_[0, counts[:-1]])) if len(counts)
+            else np.zeros(0, np.int64)).astype(np.int64)
+        new_offs = np.zeros(len(counts) + 1, dtype=np.int32)
+        new_offs[1:] = np.cumsum(new_counts)
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()),
+            flat.filter(pa.array(keep_mask)))
+        joined = pc.binary_join(new_list, sep)
+        out = batch
+        idx = out.schema.get_field_index(text_col)
+        out = out.set_column(idx, text_col, joined)
+        return out.append_column(
+            "n_dropped", pa.array(counts - new_counts,
+                                  type=pa.int64()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow",
+                          zero_copy_batch=True)

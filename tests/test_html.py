@@ -85,3 +85,38 @@ def test_no_markup_survives_property(texts):
         assert "script>" not in v and "style>" not in v
         assert "\n" not in v and "\t" not in v
         assert v == v.strip()
+
+
+# ------------------------------------------------------------ URL kernels
+
+def test_parse_url_components():
+    from bigdime_ray.functions.html import parse_url_components
+    t = parse_url_components(pa.array([
+        "https://sub.site.example.org/a/b?x=1&y=2",
+        "http://example.com",
+        "ftp://files.host.net/pub",
+        "not a url",
+        "",
+    ]))
+    assert t["scheme"].to_pylist() == ["https", "http", "ftp", "", ""]
+    assert t["host"].to_pylist() == ["sub.site.example.org",
+                                     "example.com", "files.host.net",
+                                     "", ""]
+    assert t["path"].to_pylist() == ["/a/b", "", "/pub", "", ""]
+    assert t["query"].to_pylist() == ["x=1&y=2", "", "", "", ""]
+    assert t["host_sld"].to_pylist() == ["example.org", "example.com",
+                                         "host.net", "", ""]
+
+
+def test_filter_urls_by_host():
+    from bigdime_ray.functions.html import filter_urls_by_host
+    ds = ray.data.from_arrow(pa.table({
+        "url": ["https://a.spam.com/x", "https://ok.org/y",
+                "https://b.spam.com/z", "junk"],
+        "v": [1, 2, 3, 4],
+    }))
+    kept = filter_urls_by_host(ds, "url", {"spam.com"}).take_all()
+    assert [r["v"] for r in kept] == [2]  # non-URLs dropped by default
+    kept = filter_urls_by_host(ds, "url", {"spam.com"},
+                               keep_non_urls=True).take_all()
+    assert sorted(r["v"] for r in kept) == [2, 4]

@@ -489,3 +489,69 @@ def test_bpe_encode_distributed_matches_driver_helper():
         assert got_tok == want
     # merges actually compress: total tokens < total bytes
     assert sum(map(len, want)) < sum(len(t.encode()) for t in texts)
+
+
+# ---------------------------------------------- paragraph-level dedup
+
+def _para_docs():
+    import pyarrow as _pa
+    import ray.data as _rd
+    docs = [
+        (0, "boiler\nalpha unique zero\nfooter"),
+        (1, "boiler\nbeta unique one\nfooter"),
+        (2, "boiler\ngamma unique two"),
+        (3, "solo document three"),
+        (4, "boiler"),                    # fully boilerplate doc
+    ]
+    return _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([d for d, _ in docs], type=_pa.int64()),
+        "text": _pa.array([t for _, t in docs]),
+    }))
+
+
+def test_dedup_paragraphs_keep_first():
+    from bigdime_ray.pipelines.text import dedup_paragraphs
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(_para_docs()).take_all()}
+    # doc 0 is the keeper of both "boiler" and "footer"
+    assert out[0]["text"] == "boiler\nalpha unique zero\nfooter"
+    assert out[0]["n_dropped"] == 0
+    assert out[1]["text"] == "beta unique one"
+    assert out[1]["n_dropped"] == 2
+    assert out[2]["text"] == "gamma unique two"
+    assert out[3]["text"] == "solo document three"
+    assert out[4]["text"] == "" and out[4]["n_dropped"] == 1
+
+
+def test_dedup_paragraphs_keep_none_and_min_count():
+    from bigdime_ray.pipelines.text import dedup_paragraphs
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(_para_docs(), keep="none").take_all()}
+    assert out[0]["text"] == "alpha unique zero"  # keeper loses too
+    assert out[0]["n_dropped"] == 2
+    # min_count=4: only "boiler" (4 occurrences) qualifies
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(_para_docs(), min_count=4).take_all()}
+    assert out[1]["text"] == "beta unique one\nfooter"
+    assert out[0]["n_dropped"] == 0  # keeper keeps everything
+
+
+def test_dedup_paragraphs_block_invariant():
+    import pyarrow as _pa
+    import ray.data as _rd
+    from bigdime_ray.pipelines.text import dedup_paragraphs
+    rng = np.random.default_rng(7)
+    words = np.array(["aa", "bb", "cc", "dd", "ee"])
+    texts = ["\n".join(" ".join(rng.choice(words, 3))
+                       for _ in range(rng.integers(1, 6)))
+             for _ in range(60)]
+    t = _pa.table({"doc_id": _pa.array(range(60), type=_pa.int64()),
+                   "text": _pa.array(texts)})
+
+    def run(nblocks):
+        ds = _rd.from_arrow(t).repartition(nblocks)
+        rows = dedup_paragraphs(ds).take_all()
+        return sorted((r["doc_id"], r["text"], r["n_dropped"])
+                      for r in rows)
+
+    assert run(1) == run(4)
