@@ -49,6 +49,7 @@ RECORD_SCHEMA = pa.schema([
     ("content_type", pa.string()),
     ("payload", pa.large_binary()),
     ("payload_len", pa.int64()),
+    ("error", pa.string()),     # "" on healthy rows; errors="mark" rows
 ])
 
 
@@ -110,28 +111,41 @@ def write_warc(path: str, records: Iterable[bytes],
 
 # ---------------------------------------------------------------- parse side
 
-def _gunzip_members(data: bytes) -> bytes:
+def _gunzip_members(data: bytes) -> tuple[bytes, Optional[str]]:
     """Decompress a concatenation of gzip members (record boundaries
     need not align with member boundaries for parsing — we re-scan the
-    plaintext)."""
-    out = []
+    plaintext). Returns (plaintext of the COMPLETE members, error) —
+    a member that is corrupt or cut off mid-stream contributes nothing
+    (zlib happily emits a partial member's prefix and ``flush()`` does
+    not complain, so completeness must be checked via ``d.eof`` or the
+    truncation would be silent)."""
+    members: list[bytes] = []
     while data:
         d = zlib.decompressobj(zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            chunk = d.decompress(data) + d.flush()
+        except zlib.error as e:
+            return b"".join(members), f"gzip: {e}"
+        if not d.eof:
+            return b"".join(members), "gzip: truncated member"
+        members.append(chunk)
         if not d.unused_data or d.unused_data == data:
             break
         data = d.unused_data
-    return b"".join(out)
+    return b"".join(members), None
 
 
-def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+def parse_warc_prefix(data: bytes, path: str = ""
+                      ) -> tuple[list[dict], Optional[str]]:
     """Single-pass record scan over one file's bytes (gzip-transparent).
-    Malformed framing raises ValueError with the byte offset — a crawl
-    file with a bad record should route to quarantine, not silently
-    truncate."""
+    Returns (records parsed up to the first framing or gzip error,
+    error-or-None) so callers can SALVAGE the valid prefix of a damaged
+    crawl file — CommonCrawl shards do arrive truncated."""
+    gz_err: Optional[str] = None
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+        data, gz_err = _gunzip_members(data)
+        if gz_err is not None:
+            gz_err = f"{path}: {gz_err}"
     recs: list[dict] = []
     i, n = 0, len(data)
     while i < n:
@@ -140,10 +154,10 @@ def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
         if i >= n:
             break
         if not data.startswith(b"WARC/", i):
-            raise ValueError(f"{path}: expected WARC version at byte {i}")
+            return recs, f"{path}: expected WARC version at byte {i}"
         hdr_end = data.find(_CRLF2, i)
         if hdr_end < 0:
-            raise ValueError(f"{path}: unterminated header at byte {i}")
+            return recs, f"{path}: unterminated header at byte {i}"
         headers: dict[str, str] = {}
         hdr_text = data[i:hdr_end].decode("utf-8", "replace")
         for ln in hdr_text.split("\r\n")[1:]:
@@ -152,10 +166,10 @@ def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
-            raise ValueError(f"{path}: bad Content-Length at byte {i}")
+            return recs, f"{path}: bad Content-Length at byte {i}"
         body = hdr_end + 4
         if body + clen > n:
-            raise ValueError(f"{path}: truncated payload at byte {body}")
+            return recs, f"{path}: truncated payload at byte {body}"
         recs.append({
             "path": path,
             "record_id": headers.get("warc-record-id", ""),
@@ -167,25 +181,81 @@ def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
             "payload_len": clen,
         })
         i = body + clen
+    return recs, gz_err
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+    """Strict variant: malformed framing raises ValueError with the
+    byte offset."""
+    recs, err = parse_warc_prefix(data, path)
+    if err is not None:
+        raise ValueError(err)
     return recs
 
 
 def read_warc(paths: str | list[str], warc_type: Optional[str] = None,
+              errors: str = "raise",
               concurrency: Optional[int] = None) -> Dataset:
     """Distributed WARC read: one binary-read task per file, parse in
     the same task (fused — record bytes never make an extra object-store
     hop). ``warc_type`` pre-filters inside the parse so non-matching
     records (warcinfo, request, metadata) are dropped before they
-    occupy block memory."""
-    files = ray.data.read_binary_files(paths, include_paths=True)
+    occupy block memory.
+
+    ``errors`` is the damaged-file policy (the quarantine analog of
+    ``stages/quarantine.py`` for a sequential container):
+    - ``"raise"`` — any framing error fails the task (default: a batch
+      job over curated storage should halt loudly);
+    - ``"salvage"`` — keep every record before the first framing error,
+      drop the rest of that file silently;
+    - ``"mark"`` — like salvage, plus one ``warc_type="_error"`` row
+      per damaged file carrying the error text in ``error`` (route it
+      to quarantine downstream; healthy rows have ``error=""``).
+    """
+    if errors not in ("raise", "salvage", "mark"):
+        raise ValueError("errors must be 'raise'|'salvage'|'mark'")
+    # One task per file, raw bytes read INSIDE the parse task via Arrow
+    # with compression=None. Ray's read_binary_files auto-gunzips .gz
+    # by extension with no opt-out (file_based_datasource treats
+    # compression=None as "detect"), which (a) raises an unrecoverable
+    # OSError in the read task on a damaged member — out of reach of
+    # the salvage policy — and (b) would bypass our documented
+    # multi-member decoder.
+    if isinstance(paths, str):
+        path_list = (sorted(
+            os.path.join(paths, f) for f in os.listdir(paths)
+            if f.endswith((".warc", ".warc.gz")))
+            if os.path.isdir(paths) else [paths])
+    else:
+        path_list = list(paths)
+    files = ray.data.from_items(
+        path_list, override_num_blocks=max(1, len(path_list)))
+
+    def _load(path: str) -> bytes:
+        from pyarrow import fs as pafs
+        if "://" in path:
+            filesystem, p = pafs.FileSystem.from_uri(path)
+        else:
+            filesystem, p = pafs.LocalFileSystem(), path
+        with filesystem.open_input_stream(p, compression=None) as f:
+            return f.read()
 
     def parse(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
-        for blob, path in zip(batch["bytes"].to_pylist(),
-                              batch["path"].to_pylist()):
-            for r in parse_warc_bytes(blob, path):
+        for path in batch["item"].to_pylist():
+            recs, err = parse_warc_prefix(_load(path), path)
+            if err is not None and errors == "raise":
+                raise ValueError(err)
+            for r in recs:
                 if warc_type is None or r["warc_type"] == warc_type:
+                    r["error"] = ""
                     rows.append(r)
+            if err is not None and errors == "mark":
+                rows.append({"path": path, "record_id": "",
+                             "warc_type": "_error", "target_uri": "",
+                             "warc_date": "", "content_type": "",
+                             "payload": b"", "payload_len": 0,
+                             "error": err})
         return pa.Table.from_pylist(rows, schema=RECORD_SCHEMA)
 
     return files.map_batches(parse, batch_format="pyarrow",

@@ -117,3 +117,41 @@ def test_write_dataset_and_ingest_round_trip(tmp_path):
         r = got[f"https://x/d/{i}"]
         assert r["status"] == 200
         assert r["text"] == f"t{i} alpha & beta {i}"
+
+
+def test_error_policies(tmp_path):
+    good = str(tmp_path / "good.warc")
+    bad = str(tmp_path / "bad.warc")
+    write_warc(good, _recs(3))
+    blob = b"".join(_recs(2))
+    with open(bad, "wb") as f:
+        f.write(blob[:-25])  # truncate inside the 2nd record's payload
+    import pytest as _pt
+    with _pt.raises(Exception):
+        read_warc([good, bad]).take_all()
+    rows = read_warc([good, bad], errors="salvage").take_all()
+    assert len(rows) == 4  # 3 good + the salvaged 1st record of bad
+    assert all(r["error"] == "" for r in rows)
+    rows = read_warc([good, bad], errors="mark").take_all()
+    marks = [r for r in rows if r["warc_type"] == "_error"]
+    assert len(rows) == 5 and len(marks) == 1
+    assert "truncated payload" in marks[0]["error"]
+    assert marks[0]["path"].endswith("bad.warc")
+    # a file that is neither gzip nor WARC: zero salvage, one mark row
+    junk = str(tmp_path / "junk.warc")
+    with open(junk, "wb") as f:
+        f.write(b"\xff\xffnot a warc at all")
+    rows = read_warc([junk], errors="mark").take_all()
+    assert len(rows) == 1 and rows[0]["warc_type"] == "_error"
+    assert "expected WARC version" in rows[0]["error"]
+    # deflate damage mid-member: the valid prefix records survive
+    gz = str(tmp_path / "g.warc.gz")
+    write_warc(gz, _recs(3))
+    with open(gz, "rb") as f:
+        data = f.read()
+    cut = data.rindex(b"\x1f\x8b\x08")        # drop half the last member
+    with open(gz, "wb") as f:
+        f.write(data[:cut + 10])
+    rows = read_warc([gz], errors="mark").take_all()
+    marks = [r for r in rows if r["warc_type"] == "_error"]
+    assert len(marks) == 1 and len(rows) - len(marks) == 2
