@@ -1277,8 +1277,8 @@ def _q_media_features(sf_dir: str):
 
 def _q_media_triage(sf_dir: str):
     """Multimodal ingest triage (rows-only): header-only metadata probe
-    (`probe_media_metadata` — PPM/PNG/JPEG-SOF/WAV/MP3 frame headers,
-    no full decode) routes rows; probe-ok rows then flow through the
+    (`probe_media_metadata` — PPM/PNG/JPEG-SOF/WAV/FLAC-STREAMINFO/MP3
+    frame headers, no full decode) routes rows; probe-ok rows then flow through the
     real decode/feature actor-pool stage; undecodable rows surface as
     probe_ok=false instead of failing the batch. The cheap-first-pass
     pattern a 100 TB media ingest needs: the probe touches ~100 bytes

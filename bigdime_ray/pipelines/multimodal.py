@@ -154,9 +154,11 @@ class MediaFeatureExtractor:
     ``decoder="auto"`` (default) sniffs the payload magic and REALLY
     decodes it: ``P6`` → binary PPM pixels (+ PPM streams for video),
     ``\\x89PNG`` → DEFLATE-compressed PNG (pure numpy + stdlib zlib —
-    ``codecs.decode_png``), ``\\xff\\xd8`` → baseline JPEG (pure-numpy
-    Huffman + IDCT — ``functions/jpeg.py``), ``RIFF`` → PCM16 WAV
-    samples — no external libs, real pixel/sample features.
+    ``codecs.decode_png``), ``\\xff\\xd8`` → baseline/progressive JPEG
+    (pure-numpy Huffman + IDCT — ``functions/jpeg.py``), ``RIFF`` →
+    WAV (PCM16 / G.711 / IMA ADPCM), ``fLaC`` → FLAC (lossless,
+    CRC+MD5-verified — ``functions/flac.py``) — no external libs,
+    real pixel/sample features.
     ``decoder="fake"`` parses the legacy deterministic fake header.
     ``decoder="pil"`` / ``decoder="av"`` are the opportunistic slots
     for WebP/progressive-JPEG/… and MP3/MP4/… (wired end-to-end; they
