@@ -976,6 +976,72 @@ def _q_url_components(sf_dir: str):
                           zero_copy_batch=True)
 
 
+_PAGERANK_ITERS = 5
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Integer-exact PageRank over a synthesized host link graph
+    (pipelines/graph.py): every document links its source host to a
+    per-lang hub and back, and every tenth document links to a pure
+    sink (the dangling-mass path). Because the whole recurrence is
+    integer arithmetic (fixed-point 1e-12 ranks, floor-division
+    contributions), the DuckDB oracle replays the identical 5
+    iterations as chained CTEs and the comparison is HASH-EXACT — an
+    iterative graph algorithm under the same oracle bar as a GROUP BY."""
+    from bigdime_ray.pipelines.graph import pagerank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        hub = pc.binary_join_element_wise(pa.scalar("hub-"), lang,
+                                          pa.scalar(""))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tenth = src.filter(pa.array(ids % 10 == 0))
+        sink = pa.array(["sink"] * len(tenth), type=pa.string())
+        return pa.table({"src": pa.concat_arrays([src, hub, tenth]),
+                         "dst": pa.concat_arrays([hub, src, sink])})
+
+    e = ds.map_batches(edges, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    out = pagerank(e, iterations=_PAGERANK_ITERS)
+    return out.select(["node", "rank_fp"])
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """The identical integer recurrence, iterations unrolled as CTEs."""
+    s = ("WITH e AS ("
+         "SELECT source AS src, 'hub-' || lang AS dst FROM documents "
+         "UNION ALL SELECT 'hub-' || lang, source FROM documents "
+         "UNION ALL SELECT source, 'sink' FROM documents "
+         "WHERE doc_id % 10 = 0), "
+         "nodes AS (SELECT DISTINCT node FROM "
+         "(SELECT src AS node FROM e UNION SELECT dst FROM e)), "
+         "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+         "FROM e GROUP BY src), "
+         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), "
+         "pr0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn) "
+         "AS BIGINT) AS r FROM nodes)")
+    for t in range(iters):
+        s += (f", pr{t + 1} AS (SELECT nodes.node, "
+              "CAST(3000000000000 // (20 * (SELECT n FROM nn)) + "
+              "(17 * (COALESCE(c.s, 0) + "
+              f"(SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) FROM pr{t} "
+              "p LEFT JOIN deg ON deg.node = p.node "
+              "WHERE deg.node IS NULL) // (SELECT n FROM nn))) // 20 "
+              "AS BIGINT) AS r FROM nodes LEFT JOIN "
+              "(SELECT e.dst AS node, CAST(SUM(p.r // deg.d) AS BIGINT) "
+              f"AS s FROM e JOIN pr{t} p ON e.src = p.node "
+              "JOIN deg ON deg.node = e.src GROUP BY e.dst) c "
+              "ON c.node = nodes.node)")
+    return s + (f" SELECT node, r AS rank_fp FROM pr{iters}")
+
+
 def _q_warc_ingest(sf_dir: str):
     """Crawl-archive round trip (sources/warc.py): synthesize the same
     deterministic HTML pages as documents_html_extracted, pack them as
@@ -3858,6 +3924,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "documents_paragraph_dedup": _q_paragraph_dedup,
         "documents_url_components": _q_url_components,
+        "host_pagerank": _q_host_pagerank,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -4231,6 +4298,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = '' "
             "THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
             "END AS host_sld FROM p",
+        "host_pagerank": _pagerank_oracle_sql(_PAGERANK_ITERS),
         "documents_html_stats":
             _HTML_SYNTH_SQL +
             "SELECT doc_id, "

@@ -1,0 +1,69 @@
+"""Integer-exact PageRank (pipelines/graph.py)."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from bigdime_ray.pipelines.graph import RANK_SCALE, pagerank
+
+
+def _reference(edge_list, iterations):
+    """Straight-from-the-update-rule single-process reference."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    ni = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    for u, _ in edge_list:
+        deg[ni[u]] += 1
+    r = np.full(n, RANK_SCALE // n, dtype=np.int64)
+    base = (3 * RANK_SCALE) // (20 * n)
+    for _ in range(iterations):
+        contrib = np.zeros(n, dtype=np.int64)
+        for u, v in edge_list:
+            contrib[ni[v]] += r[ni[u]] // deg[ni[u]]
+        dang = int(r[deg == 0].sum())
+        r = base + (17 * (contrib + dang // n)) // 20
+    return dict(zip(nodes, r.tolist()))
+
+
+def _edges_ds(edge_list, nblocks=1):
+    t = pa.table({"src": [u for u, _ in edge_list],
+                  "dst": [v for _, v in edge_list]})
+    return ray.data.from_arrow(t).repartition(nblocks)
+
+
+def test_matches_reference_and_block_invariant():
+    rng = np.random.default_rng(11)
+    names = [f"h{i:02d}" for i in range(30)]
+    edge_list = [(names[a], names[b]) for a, b in
+                 rng.integers(0, 30, (400, 2)) if a != b]
+    ref = _reference(edge_list, iterations=8)
+    for nblocks in (1, 5):
+        out = pagerank(_edges_ds(edge_list, nblocks),
+                       iterations=8).to_pydict()
+        got = dict(zip(out["node"], out["rank_fp"]))
+        assert got == ref, f"nblocks={nblocks}"  # BIT-exact
+
+
+def test_star_graph_center_wins_and_dangling():
+    # every spoke links to the center; the center links nowhere
+    # (dangling) — its mass redistributes uniformly
+    edge_list = [(f"s{i}", "center") for i in range(10)]
+    out = pagerank(_edges_ds(edge_list), iterations=15).to_pydict()
+    ranks = dict(zip(out["node"], out["rank_fp"]))
+    assert ranks["center"] == max(ranks.values())
+    spokes = [v for k, v in ranks.items() if k != "center"]
+    assert len(set(spokes)) == 1          # symmetry preserved exactly
+    assert ranks["center"] > 3 * spokes[0]
+    # mass approximately conserved (integer floors only lose ulps)
+    assert abs(sum(ranks.values()) - RANK_SCALE) < RANK_SCALE * 0.01
+
+
+def test_empty_and_self_loop():
+    out = pagerank(_edges_ds([("a", "a"), ("a", "b")]), iterations=5)
+    assert set(out["node"].to_pylist()) == {"a", "b"}
+    empty = pagerank(ray.data.from_arrow(
+        pa.table({"src": pa.array([], type=pa.string()),
+                  "dst": pa.array([], type=pa.string())})))
+    assert len(empty) == 0
