@@ -979,17 +979,11 @@ def _q_url_components(sf_dir: str):
 _PAGERANK_ITERS = 5
 
 
-def _q_host_pagerank(sf_dir: str):
-    """Integer-exact PageRank over a synthesized host link graph
-    (pipelines/graph.py): every document links its source host to a
-    per-lang hub and back, and every tenth document links to a pure
-    sink (the dangling-mass path). Because the whole recurrence is
-    integer arithmetic (fixed-point 1e-12 ranks, floor-division
-    contributions), the DuckDB oracle replays the identical 5
-    iterations as chained CTEs and the comparison is HASH-EXACT — an
-    iterative graph algorithm under the same oracle bar as a GROUP BY."""
-    from bigdime_ray.pipelines.graph import pagerank
-
+def _host_link_edges(sf_dir: str):
+    """Synthesized host link graph shared by host_pagerank/host_hits:
+    every document links its source host to a per-lang hub and back,
+    and every tenth document links to a pure sink (the dangling-mass
+    path for PageRank; a pure authority for HITS)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
 
     def edges(batch: pa.Table) -> pa.Table:
@@ -1007,28 +1001,43 @@ def _q_host_pagerank(sf_dir: str):
         return pa.table({"src": pa.concat_arrays([src, hub, tenth]),
                          "dst": pa.concat_arrays([hub, src, sink])})
 
-    e = ds.map_batches(edges, batch_format="pyarrow",
-                       zero_copy_batch=True)
-    out = pagerank(e, iterations=_PAGERANK_ITERS)
+    return ds.map_batches(edges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_HOST_EDGES_SQL = (
+    "WITH e AS ("
+    "SELECT source AS src, 'hub-' || lang AS dst FROM documents "
+    "UNION ALL SELECT 'hub-' || lang, source FROM documents "
+    "UNION ALL SELECT source, 'sink' FROM documents "
+    "WHERE doc_id % 10 = 0), "
+    "nodes AS (SELECT DISTINCT node FROM "
+    "(SELECT src AS node FROM e UNION SELECT dst FROM e)), "
+    "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)")
+
+
+def _q_host_pagerank(sf_dir: str):
+    """Integer-exact PageRank over the synthesized host link graph
+    (pipelines/graph.py). Because the whole recurrence is integer
+    arithmetic (fixed-point 1e-12 ranks, floor-division
+    contributions), the DuckDB oracle replays the identical 5
+    iterations as chained CTEs and the comparison is HASH-EXACT — an
+    iterative graph algorithm under the same oracle bar as a GROUP BY."""
+    from bigdime_ray.pipelines.graph import pagerank
+
+    out = pagerank(_host_link_edges(sf_dir), iterations=_PAGERANK_ITERS)
     return out.select(["node", "rank_fp"])
 
 
 def _pagerank_oracle_sql(iters: int) -> str:
     """The identical integer recurrence, iterations unrolled as CTEs."""
-    s = ("WITH e AS ("
-         "SELECT source AS src, 'hub-' || lang AS dst FROM documents "
-         "UNION ALL SELECT 'hub-' || lang, source FROM documents "
-         "UNION ALL SELECT source, 'sink' FROM documents "
-         "WHERE doc_id % 10 = 0), "
-         "nodes AS (SELECT DISTINCT node FROM "
-         "(SELECT src AS node FROM e UNION SELECT dst FROM e)), "
-         "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+    s = (_HOST_EDGES_SQL +
+         ", deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
          "FROM e GROUP BY src), "
-         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), "
          "pr0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn) "
          "AS BIGINT) AS r FROM nodes)")
     for t in range(iters):
-        s += (f", pr{t + 1} AS (SELECT nodes.node, "
+        s += (f", pr{t + 1} AS MATERIALIZED (SELECT nodes.node, "
               "CAST(3000000000000 // (20 * (SELECT n FROM nn)) + "
               "(17 * (COALESCE(c.s, 0) + "
               f"(SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) FROM pr{t} "
@@ -1040,6 +1049,51 @@ def _pagerank_oracle_sql(iters: int) -> str:
               "JOIN deg ON deg.node = e.src GROUP BY e.dst) c "
               "ON c.node = nodes.node)")
     return s + (f" SELECT node, r AS rank_fp FROM pr{iters}")
+
+
+_HITS_ITERS = 4
+
+
+def _q_host_hits(sf_dir: str):
+    """Integer-exact HITS hubs/authorities over the same host link
+    graph (pipelines/graph.py::hits): fixed-point 1e-9 vectors with a
+    deterministic integer normalization (// max(1, total // S)), so the
+    DuckDB oracle replays the identical 4 iterations (two propagation
+    half-steps each) as chained CTEs — hash-exact like host_pagerank."""
+    from bigdime_ray.pipelines.graph import hits
+
+    out = hits(_host_link_edges(sf_dir), iterations=_HITS_ITERS)
+    return out.select(["node", "hub_fp", "auth_fp"])
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    """The identical integer recurrence, iterations unrolled as CTEs.
+    S = 1e9 (graph.HITS_SCALE); normalization divisor is
+    GREATEST(1, SUM(raw) // S), matching _half_step exactly."""
+    s = (_HOST_EDGES_SQL +
+         ", h0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM nn) "
+         "AS BIGINT) AS r FROM nodes)")
+    for t in range(iters):
+        s += (f", ar{t} AS MATERIALIZED (SELECT e.dst AS node, "
+              "CAST(SUM(h.r) AS BIGINT) AS s "
+              f"FROM e JOIN h{t} h ON e.src = h.node GROUP BY e.dst)"
+              f", a{t} AS MATERIALIZED (SELECT nodes.node, "
+              "CAST(COALESCE(ar.s, 0) // GREATEST(1, "
+              f"(SELECT COALESCE(CAST(SUM(s) AS BIGINT), 0) FROM ar{t}) "
+              "// 1000000000) AS BIGINT) AS r "
+              f"FROM nodes LEFT JOIN ar{t} ar ON ar.node = nodes.node)"
+              f", hr{t} AS MATERIALIZED (SELECT e.src AS node, "
+              "CAST(SUM(a.r) AS BIGINT) AS s "
+              f"FROM e JOIN a{t} a ON e.dst = a.node GROUP BY e.src)"
+              f", h{t + 1} AS MATERIALIZED (SELECT nodes.node, "
+              "CAST(COALESCE(hr.s, 0) // GREATEST(1, "
+              f"(SELECT COALESCE(CAST(SUM(s) AS BIGINT), 0) FROM hr{t}) "
+              "// 1000000000) AS BIGINT) AS r "
+              f"FROM nodes LEFT JOIN hr{t} hr ON hr.node = nodes.node)")
+    return s + (f" SELECT nodes.node, h{iters}.r AS hub_fp, "
+                f"a{iters - 1}.r AS auth_fp FROM nodes "
+                f"JOIN h{iters} ON h{iters}.node = nodes.node "
+                f"JOIN a{iters - 1} ON a{iters - 1}.node = nodes.node")
 
 
 def _q_warc_ingest(sf_dir: str):
@@ -3925,6 +3979,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_paragraph_dedup": _q_paragraph_dedup,
         "documents_url_components": _q_url_components,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -4299,6 +4354,7 @@ def oracle_sql() -> dict[str, str]:
             "THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
             "END AS host_sld FROM p",
         "host_pagerank": _pagerank_oracle_sql(_PAGERANK_ITERS),
+        "host_hits": _hits_oracle_sql(_HITS_ITERS),
         "documents_html_stats":
             _HTML_SYNTH_SQL +
             "SELECT doc_id, "

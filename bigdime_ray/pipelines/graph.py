@@ -40,6 +40,21 @@ from ray.data import Dataset
 
 RANK_SCALE = 10 ** 12
 
+# HITS uses a smaller fixed-point scale because its contributions are
+# UNDIVIDED ranks (no outdeg division): a block partial for one node is
+# ≤ indegree × HITS_SCALE, and the global Σ of authority partials is
+# ≤ HITS_SCALE × max_outdeg — at 1e9 that stays int64-safe for any
+# out-degree < 9.2e9 (every host graph; documented overflow bound).
+HITS_SCALE = 10 ** 9
+
+
+def _exact_sum(x: np.ndarray) -> int:
+    """Exact Python-int sum of a NON-NEGATIVE int64 array: hi/lo 32-bit
+    split so each numpy partial stays < 2^63 (np.sum would wrap)."""
+    lo = int((x & 0xFFFFFFFF).sum())
+    hi = int((x >> 32).sum())
+    return (hi << 32) + lo
+
 
 def _collect_nodes(edges: Dataset, src_col: str, dst_col: str
                    ) -> tuple[np.ndarray, np.ndarray]:
@@ -122,4 +137,89 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         "node": pa.array(labels.astype(str)),
         "rank_fp": pa.array(r, type=pa.int64()),
         "rank": pa.array(r / RANK_SCALE, type=pa.float64()),
+    })
+
+
+def hits(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
+         iterations: int = 20,
+         num_buckets: int | None = None) -> pa.Table:
+    """Integer-exact HITS hubs/authorities (Kleinberg) — the companion
+    crawl-ranking signal to :func:`pagerank` (hubs = link directories,
+    authorities = link targets; PageRank conflates the two).
+
+    Same exactness discipline: fixed-point ``HITS_SCALE`` vectors and a
+    DETERMINISTIC integer normalization — instead of the float L1/L2
+    norm, each half-step divides by ``max(1, total // HITS_SCALE)`` so
+    the vector's exact sum is rescaled to ≈ HITS_SCALE in pure int64
+    (relative quantization 1e-9/element). Every operation is an
+    order-independent integer sum or a pointwise floor division, so the
+    result is bit-identical at any block count AND replayable by a
+    DuckDB oracle (``host_hits`` unrolls the iterations as CTEs).
+
+    Update rule (S = HITS_SCALE, N = |V|, h_0 = S // N):
+
+        a_raw[v]  = Σ_{u→v} h[u];   a = a_raw // max(1, Σa_raw // S)
+        h_raw[u]  = Σ_{u→v} a[v];   h = h_raw // max(1, Σh_raw // S)
+
+    Scale shape identical to pagerank: node table broadcast-bound,
+    edges indexed once, each iteration = TWO packed
+    ``grouped_int_sums_exchange`` passes over the same narrow (si, di)
+    dataset (keyed by dst for authorities, by src for hubs); only
+    (node-idx, partial-sum) cells move. Driver totals use
+    :func:`_exact_sum` (hi/lo split), never a wrapping np.sum.
+    """
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    labels, _deg = _collect_nodes(edges, src_col, dst_col)
+    n = len(labels)
+    empty = pa.table({"node": pa.array([], type=pa.string()),
+                      "hub_fp": pa.array([], type=pa.int64()),
+                      "auth_fp": pa.array([], type=pa.int64()),
+                      "hub": pa.array([], type=pa.float64()),
+                      "auth": pa.array([], type=pa.float64())})
+    if n == 0:
+        return empty
+
+    def index(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "si": pa.array(np.searchsorted(labels, src), type=pa.int64()),
+            "di": pa.array(np.searchsorted(labels, dst), type=pa.int64()),
+        })
+
+    idx = edges.map_batches(index, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def _half_step(vec: np.ndarray, key_col: str, gather_col: str
+                   ) -> np.ndarray:
+        """One propagate+normalize: out[k] = (Σ_{edges with key k}
+        vec[gather]) // max(1, total // S)."""
+        vec_ref = ray.put(vec)
+
+        def extract(batch: pa.Table, _v=vec_ref):
+            vv = ray.get(_v)
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            src = batch[gather_col].to_numpy(zero_copy_only=False)
+            return keys, [vv[src]]
+
+        keys, (sums,) = grouped_int_sums_exchange(
+            idx, extract, num_values=1, num_buckets=num_buckets)
+        raw = np.zeros(n, dtype=np.int64)
+        raw[keys] = sums
+        d = max(1, _exact_sum(raw) // HITS_SCALE)
+        return raw // d
+
+    h = np.full(n, HITS_SCALE // n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iterations):
+        a = _half_step(h, "di", "si")   # authorities ← hub mass
+        h = _half_step(a, "si", "di")   # hubs ← authority mass
+
+    return pa.table({
+        "node": pa.array(labels.astype(str)),
+        "hub_fp": pa.array(h, type=pa.int64()),
+        "auth_fp": pa.array(a, type=pa.int64()),
+        "hub": pa.array(h / HITS_SCALE, type=pa.float64()),
+        "auth": pa.array(a / HITS_SCALE, type=pa.float64()),
     })

@@ -5,7 +5,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from bigdime_ray.pipelines.graph import RANK_SCALE, pagerank
+from bigdime_ray.pipelines.graph import (HITS_SCALE, RANK_SCALE, hits,
+                                         pagerank)
 
 
 def _reference(edge_list, iterations):
@@ -58,6 +59,64 @@ def test_star_graph_center_wins_and_dangling():
     assert ranks["center"] > 3 * spokes[0]
     # mass approximately conserved (integer floors only lose ulps)
     assert abs(sum(ranks.values()) - RANK_SCALE) < RANK_SCALE * 0.01
+
+
+def _hits_reference(edge_list, iterations):
+    """Straight-from-the-update-rule single-process reference, exact
+    arbitrary-precision Python ints for the normalization totals."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    ni = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = [HITS_SCALE // n] * n
+    a = [0] * n
+    for _ in range(iterations):
+        a = [0] * n
+        for u, v in edge_list:
+            a[ni[v]] += h[ni[u]]
+        d = max(1, sum(a) // HITS_SCALE)
+        a = [x // d for x in a]
+        h = [0] * n
+        for u, v in edge_list:
+            h[ni[u]] += a[ni[v]]
+        d = max(1, sum(h) // HITS_SCALE)
+        h = [x // d for x in h]
+    return {v: (h[ni[v]], a[ni[v]]) for v in nodes}
+
+
+def test_hits_matches_reference_and_block_invariant():
+    rng = np.random.default_rng(13)
+    names = [f"h{i:02d}" for i in range(25)]
+    edge_list = [(names[u], names[v]) for u, v in
+                 rng.integers(0, 25, (300, 2)) if u != v]
+    ref = _hits_reference(edge_list, iterations=6)
+    for nblocks in (1, 5):
+        out = hits(_edges_ds(edge_list, nblocks), iterations=6).to_pydict()
+        got = dict(zip(out["node"],
+                       zip(out["hub_fp"], out["auth_fp"])))
+        assert got == ref, f"nblocks={nblocks}"  # BIT-exact
+
+
+def test_hits_hub_authority_separation():
+    # directory d links to every article; articles link nowhere:
+    # d is the pure hub, articles the pure authorities
+    edge_list = [("directory", f"art{i}") for i in range(8)]
+    out = hits(_edges_ds(edge_list), iterations=10).to_pydict()
+    hub = dict(zip(out["node"], out["hub_fp"]))
+    auth = dict(zip(out["node"], out["auth_fp"]))
+    assert hub["directory"] == max(hub.values())
+    assert auth["directory"] == 0
+    arts = [auth[f"art{i}"] for i in range(8)]
+    assert len(set(arts)) == 1 and arts[0] > 0   # exact symmetry
+    assert hub[f"art{0}"] == 0
+
+
+def test_hits_empty():
+    empty = hits(ray.data.from_arrow(
+        pa.table({"src": pa.array([], type=pa.string()),
+                  "dst": pa.array([], type=pa.string())})))
+    assert len(empty) == 0
+    assert empty.column_names == ["node", "hub_fp", "auth_fp",
+                                  "hub", "auth"]
 
 
 def test_empty_and_self_loop():
