@@ -1448,6 +1448,37 @@ def _q_stratified_sample(sf_dir: str):
                            batch_format="pyarrow")
 
 
+_MIX_BUDGET = 400
+
+
+def _q_temperature_mix(sf_dir: str):
+    """UniMax-style temperature mixing (τ=2) over the skewed lang
+    column (pipelines/curate.py::temperature_mix): sampling mass ∝
+    sqrt(count), upweighting low-resource languages, applied with the
+    hash-derived per-stratum filter. INTEGER-EXACT end to end — the
+    tempered weight floor(sqrt(c)·2^20) is bit-identical in
+    Python/DuckDB (correctly-rounded sqrt, power-of-two scale) and
+    everything after is integer — so the oracle replays rates AND
+    membership hash-exactly. Output: per-lang threshold + kept count."""
+    from bigdime_ray.pipelines.curate import (strata_counts,
+                                              temperature_mix,
+                                              temperature_mix_rates)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    rates = temperature_mix_rates(strata_counts(ds, "lang"),
+                                  budget_docs=_MIX_BUDGET,
+                                  temperature=2.0)
+    kept = strata_counts(
+        temperature_mix(ds, strata_col="lang", budget_docs=_MIX_BUDGET,
+                        temperature=2.0), "lang")
+    langs = sorted(rates)
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "rate_pm": pa.array([rates[g] for g in langs], type=pa.int64()),
+        "kept": pa.array([kept.get(g, 0) for g in langs],
+                         type=pa.int64()),
+    })
+
+
 def _q_hopping_window(sf_dir: str):
     """Overlapping 1h windows hopping every 30 min — each event lands in
     size/hop = 2 windows; the (user, window) aggregate goes through the
@@ -4069,6 +4100,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "media_near_dup_pairs": _q_media_near_dup_pairs,
         "media_triage": _q_media_triage,
         "stratified_sample": _q_stratified_sample,
+        "temperature_mix": _q_temperature_mix,
         "events_hopping_window": _q_hopping_window,
     }
 
@@ -4989,6 +5021,20 @@ def oracle_sql() -> dict[str, str]:
             f"((doc_id * {_CHK_MUL}) % {_CHK_MOD}) % 1000 < "
             "CASE source WHEN 'web' THEN 500 WHEN 'wiki' THEN 250 "
             "ELSE 100 END",
+        "temperature_mix":
+            "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY lang), "
+            "w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) "
+            "* 1048576) AS BIGINT) AS w FROM c), "
+            "t AS (SELECT lang, n, CAST(LEAST(1000, "
+            f"CAST((1000::HUGEINT * {_MIX_BUDGET} * w) // "
+            "((SELECT CAST(SUM(w) AS HUGEINT) FROM w) * n) AS BIGINT)) "
+            "AS BIGINT) AS rate_pm FROM w) "
+            "SELECT t.lang, t.rate_pm, "
+            "CAST(COUNT(d.doc_id) AS BIGINT) AS kept "
+            "FROM t LEFT JOIN documents d ON d.lang = t.lang AND "
+            f"((d.doc_id * {_CHK_MUL}) % {_CHK_MOD}) % 1000 < t.rate_pm "
+            "GROUP BY t.lang, t.rate_pm",
         "events_hopping_window":
             "WITH e AS (SELECT user_id, "
             "time_bucket(INTERVAL '30 minutes', ts) AS b, "

@@ -77,6 +77,85 @@ def stratified_sample(ds: Dataset, strata_col: str, rates: dict,
                           zero_copy_batch=True)
 
 
+def strata_counts(ds: Dataset, strata_col: str) -> dict[str, int]:
+    """Exact per-stratum row counts: each block emits its (stratum,
+    count) partials, the driver merges. Broadcast-bound in the number
+    of DISTINCT strata (languages/domains/sources — ~10²-10⁴ for any
+    real corpus), never in rows; the documented assumption of the
+    mixing operators below."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            batch[strata_col].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"k": pa.array(vals.astype(str)),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    out: dict[str, int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        out[row["k"]] = out.get(row["k"], 0) + int(row["c"])
+    return out
+
+
+def temperature_mix_rates(counts: dict[str, int], budget_docs: int,
+                          temperature: float = 2.0) -> dict[str, int]:
+    """Per-stratum keep-thresholds (per-mille ints) for
+    temperature-based source mixing (the UniMax / multilingual-LM
+    recipe): sampling mass ∝ count^(1/τ), so τ=1 reproduces the natural
+    distribution and larger τ flattens it toward uniform, upweighting
+    low-resource strata.
+
+    INTEGER-EXACT for τ ∈ {1, 2}: the tempered weight is
+    ``floor(count^(1/τ) · 2^20)`` — for τ=2 that is ``sqrt`` (IEEE
+    correctly-rounded, bit-identical in numpy/Python/DuckDB, unlike
+    ``pow``) scaled by a power of two (exponent shift, exact) — and
+    everything after is arbitrary-precision integer arithmetic:
+
+        t_s = min(1000, (1000 · budget · w_s) // (W · c_s)),  W = Σ w_s
+
+    so the oracle replays it verbatim (HUGEINT in SQL, Python ints
+    here). Other τ use ``pow`` and are documented as float-rounded.
+    Expected kept rows per stratum ≈ budget · w_s / W, capped at the
+    stratum's full population (t_s = 1000)."""
+    import math
+
+    ws: dict[str, int] = {}
+    for k, c in counts.items():
+        if c <= 0:
+            ws[k] = 0
+        elif temperature == 1.0:
+            ws[k] = c << 20
+        elif temperature == 2.0:
+            ws[k] = math.floor(math.sqrt(c) * (1 << 20))
+        else:
+            ws[k] = math.floor(c ** (1.0 / temperature) * (1 << 20))
+    total = sum(ws.values())
+    if total == 0:
+        return {k: 0 for k in counts}
+    return {k: (min(1000, (1000 * budget_docs * ws[k]) //
+                    (total * counts[k])) if counts[k] > 0 else 0)
+            for k in counts}
+
+
+def temperature_mix(ds: Dataset, strata_col: str = "source",
+                    id_col: str = "doc_id", budget_docs: int = 0,
+                    temperature: float = 2.0) -> Dataset:
+    """Temperature-mix a multi-source corpus down to ~``budget_docs``
+    rows: count strata (one streaming pass, broadcast-bound merge),
+    derive per-mille thresholds via :func:`temperature_mix_rates`, then
+    the same hash-derived per-stratum filter as
+    :func:`stratified_sample` — deterministic, retry-safe, zero
+    shuffle. The input is traversed twice (count pass + filter pass);
+    at 100 TB that is the right trade against materializing it."""
+    rates = temperature_mix_rates(strata_counts(ds, strata_col),
+                                  budget_docs, temperature)
+    return stratified_sample(ds, strata_col,
+                             {k: t / 1000.0 for k, t in rates.items()},
+                             id_col=id_col)
+
+
 def train_val_split(ds: Dataset, id_col: str = "doc_id",
                     val_per_mille: int = 100,
                     split_col: str = "split") -> Dataset:

@@ -90,6 +90,66 @@ def test_stratified_sample_deterministic():
     assert share_a > 0.7  # a sampled 5x more than b
 
 
+def test_temperature_mix_rates_math():
+    import math
+    from bigdime_ray.pipelines.curate import temperature_mix_rates
+    counts = {"en": 900, "fr": 100, "sw": 25}
+    # τ=1: natural distribution — every stratum sampled at the SAME
+    # rate budget/total (w_s ∝ c_s cancels)
+    r1 = temperature_mix_rates(counts, budget_docs=205, temperature=1.0)
+    assert r1 == {"en": 200, "fr": 200, "sw": 200}
+    # τ=2: sqrt-tempered — hand-replay the integer recurrence
+    w = {k: math.floor(math.sqrt(c) * (1 << 20))
+         for k, c in counts.items()}
+    total = sum(w.values())
+    expect = {k: min(1000, (1000 * 205 * w[k]) // (total * counts[k]))
+              for k in counts}
+    r2 = temperature_mix_rates(counts, budget_docs=205, temperature=2.0)
+    assert r2 == expect
+    # low-resource strata upweighted, high-resource down
+    assert r2["sw"] > r1["sw"] and r2["en"] < r1["en"]
+    # big budget caps the small stratum at keep-everything
+    r3 = temperature_mix_rates(counts, budget_docs=2000, temperature=2.0)
+    assert r3["sw"] == 1000
+    # degenerate inputs
+    assert temperature_mix_rates({"a": 0}, 100) == {"a": 0}
+    assert temperature_mix_rates({}, 100) == {}
+
+
+def test_temperature_mix_end_to_end_block_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.curate import (strata_counts,
+                                              temperature_mix,
+                                              temperature_mix_rates)
+    rng = np.random.default_rng(7)
+    strata = np.repeat(["en", "fr", "sw"], [3000, 400, 80])
+    ids = rng.permutation(len(strata)).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "source": pa.array(strata.tolist())})
+    budget = 700
+    kept = {}
+    for nblocks in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        assert strata_counts(ds, "source") == \
+            {"en": 3000, "fr": 400, "sw": 80}
+        out = temperature_mix(ds, budget_docs=budget) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        kept[nblocks] = out
+    # identical rows kept at any block count (hash-derived, retry-safe)
+    assert kept[1].equals(kept[6])
+    out = kept[1]
+    # total lands near the budget; tempered shares beat natural ones
+    assert abs(len(out) - budget) < 0.15 * budget
+    rates = temperature_mix_rates(
+        {"en": 3000, "fr": 400, "sw": 80}, budget)
+    assert (out.source == "sw").sum() <= 80
+    assert rates["sw"] > rates["en"]
+    sw_share = (out.source == "sw").mean()
+    assert sw_share > 80 / 3480  # upweighted vs natural share
+
+
 def test_rolling_hash_matches_bruteforce():
     import numpy as np
     import pyarrow as pa
