@@ -939,6 +939,32 @@ def _q_paragraph_dedup(sf_dir: str):
     return dedup_paragraphs(ds, min_count=2, keep="first")
 
 
+_SUBSTR_K = 32
+
+
+def _q_substring_dedup(sf_dir: str):
+    """ExactSubstr-style repeated-substring masking (pipelines/text.py
+    ::dedup_substrings, the Lee et al. 2022 recipe windowed): every
+    stride-1 32-byte window repeated anywhere in the corpus is cut
+    from all docs but the min-doc_id keeper; overlapping windows merge
+    into spans. The documents table is word-soup over a tiny
+    vocabulary, so real cross-doc repeats abound (~6k distinct repeated
+    windows at sf0.01). Output is the per-doc (flagged windows, masked
+    bytes) pair; the oracle re-derives BOTH from the substring CONTENT
+    (grid enumeration + interval-union islands), so a fingerprint or
+    interval bug cannot hide. Corpus is ASCII (bytes == chars, checked
+    by the schema gate's charset) — the byte-window/char-substring
+    equivalence the oracle relies on."""
+    from bigdime_ray.pipelines.text import dedup_substrings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_substrings(ds, k=_SUBSTR_K)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "n_dup_windows",
+                            "n_masked_chars"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_url_components(sf_dir: str):
     """URL decomposition (functions/html.py::parse_url_components):
     synthesize one crawl URL per document (host varies by source),
@@ -4008,6 +4034,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_html_stats": _q_html_stats,
         "warc_ingest": _q_warc_ingest,
         "documents_paragraph_dedup": _q_paragraph_dedup,
+        "documents_substring_dedup": _q_substring_dedup,
         "documents_url_components": _q_url_components,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
@@ -4370,6 +4397,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 - COUNT(*) FILTER (WHERE c.cnt < 2 OR "
             "l.doc_id = c.keeper) AS BIGINT) AS n_dropped "
             "FROM l JOIN c USING (line) GROUP BY l.doc_id",
+        "documents_substring_dedup":
+            "WITH docs AS (SELECT doc_id, text, length(text) AS l "
+            "FROM documents), "
+            "p AS (SELECT doc_id, text, "
+            f"unnest(generate_series(0, l - {_SUBSTR_K})) AS pos "
+            f"FROM docs WHERE l >= {_SUBSTR_K}), "
+            "win AS ("
+            "SELECT doc_id, pos, CAST("
+            f"{_SUBSTR_K} AS BIGINT) AS wlen, "
+            f"substring(text, CAST(pos AS INT) + 1, {_SUBSTR_K}) AS s "
+            "FROM p "
+            "UNION ALL SELECT doc_id, 0, CAST(l AS BIGINT), text "
+            f"FROM docs WHERE l < {_SUBSTR_K}), "
+            "rep AS (SELECT s, MIN(doc_id) AS keeper FROM win "
+            "GROUP BY s HAVING COUNT(*) >= 2), "
+            "flag AS (SELECT w.doc_id, w.pos, w.pos + w.wlen AS e "
+            "FROM win w JOIN rep r ON w.s = r.s "
+            "AND w.doc_id <> r.keeper), "
+            "isl AS (SELECT doc_id, pos, e, "
+            "MAX(e) OVER (PARTITION BY doc_id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax "
+            "FROM flag) "
+            "SELECT d.doc_id, "
+            "CAST(COUNT(i.pos) AS BIGINT) AS n_dup_windows, "
+            "CAST(COALESCE(SUM(GREATEST(0, i.e - "
+            "GREATEST(i.pos, COALESCE(i.pmax, 0)))), 0) AS BIGINT) "
+            "AS n_masked_chars "
+            "FROM docs d LEFT JOIN isl i ON i.doc_id = d.doc_id "
+            "GROUP BY d.doc_id",
         "documents_url_components":
             "WITH u AS (SELECT doc_id, 'https://' || source || "
             "'.example.org/d/' || CAST(doc_id AS VARCHAR) || "

@@ -923,3 +923,161 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(rewrite, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _window_geometry(text: pa.Array, k: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray, np.ndarray]:
+    """Stride-1 byte-window geometry matching ``rolling_hashes(text,
+    k)`` exactly: (hashes as int64, per-row window counts, window start
+    byte offset within its row, window byte length, row byte lengths).
+    Rows shorter than ``k`` bytes contribute ONE whole-row window (the
+    same convention rolling_hashes uses)."""
+    h, offs = rolling_hashes(text, k)
+    counts = np.diff(offs)
+    text_f = pc.fill_null(text, "")
+    bufs = text_f.buffers()
+    str_off = np.frombuffer(bufs[1], dtype=np.int32)[
+        text_f.offset:text_f.offset + len(text_f) + 1].astype(np.int64)
+    row_len = str_off[1:] - str_off[:-1]
+    pos_in_row = (np.arange(len(h), dtype=np.int64)
+                  - np.repeat(offs[:-1], counts))
+    wlen = np.minimum(np.repeat(row_len, counts), k)
+    return h.view(np.int64), counts, pos_in_row, wlen, row_len
+
+
+def repeated_window_stats(ds, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 32,
+                          min_count: int = 2,
+                          num_buckets: int | None = None
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Corpus-wide repeated k-byte-window inventory (the discovery pass
+    of :func:`dedup_substrings`): for every stride-1 byte window (by
+    64-bit rolling-hash fingerprint) occurring ≥ ``min_count`` times
+    across the corpus — within-document repeats count — its global
+    occurrence count and KEEPER (minimum ``id_col`` carrying it). ONE
+    packed exchange (``ops=["sum","min"]``); per block only
+    (hash, 1, doc_id) partials move, never text. Returns (hashes
+    sorted as int64, counts, keepers)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    def extract(batch: pa.Table):
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hi, counts, _, _, _ = _window_geometry(text, k)
+        docs = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return hi, [np.ones(len(hi), dtype=np.int64),
+                    np.repeat(docs, counts)]
+
+    keys, (cnts, keepers) = grouped_int_sums_exchange(
+        ds, extract, num_values=2, ops=["sum", "min"],
+        num_buckets=num_buckets)
+    m = cnts >= min_count
+    keys, cnts, keepers = keys[m], cnts[m], keepers[m]
+    order = np.argsort(keys)
+    return keys[order], cnts[order], keepers[order]
+
+
+def dedup_substrings(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 32, min_count: int = 2,
+                     num_buckets: int | None = None):
+    """ExactSubstr-style repeated-substring removal (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    recipe, windowed): every stride-1 ``k``-BYTE window whose content
+    occurs ≥ ``min_count`` times across the corpus is cut from every
+    document except the keeper (minimum ``id_col``, which keeps ALL its
+    occurrences); overlapping flagged windows merge into one span
+    (interval union over a per-row diff array — one cumsum, no span
+    loop). Appends ``n_dup_windows`` / ``n_masked_chars`` per document.
+    Windowed k-grams instead of the paper's suffix array: any repeated
+    run of length ≥ k is a repeated k-window at each offset, so the
+    union of flagged windows covers exactly the repeated runs, over- or
+    under-shooting by < k bytes at run edges — the standard
+    distributed-friendly approximation.
+
+    Scale shape = :func:`dedup_paragraphs`: discovery is ONE packed
+    (hash, count, min-doc) exchange (text never shuffles); the rewrite
+    is a stateless map against the repeated-set broadcast (boilerplate
+    ≪ corpus, the documented assumption), rebuilt via flat-buffer
+    gather — no Python row loop. Identity is the 64-bit rolling
+    fingerprint (collision ε ~ n²/2⁶⁴, as everywhere). Windows are
+    BYTE-grid (UTF-8): a cut can split a multi-byte codepoint —
+    acceptable for dedup corpora, documented. Rows shorter than k are
+    single whole-row units (exact-duplicate short docs empty out,
+    keeper survives)."""
+    import ray as _ray
+
+    rep_h, _, rep_keep = repeated_window_stats(
+        ds, text_col, id_col, k, min_count, num_buckets)
+    handle = _ray.put((rep_h, rep_keep))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        hashes, keepers = _ray.get(handle)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hi, counts, pos_in_row, wlen, row_len = _window_geometry(text, k)
+        docs_row = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        docs = np.repeat(docs_row, counts)
+        if len(hashes):
+            pos = np.searchsorted(hashes, hi)
+            pos_c = np.minimum(pos, len(hashes) - 1)
+            found = hashes[pos_c] == hi
+            flag = found & (keepers[pos_c] != docs)
+        else:
+            flag = np.zeros(len(hi), dtype=bool)
+
+        # interval union over the concatenated byte buffer: +1 at each
+        # flagged start, -1 past its end, cumsum > 0 = masked
+        row_start = np.zeros(len(row_len), dtype=np.int64)
+        np.cumsum(row_len[:-1], out=row_start[1:])
+        total = int(row_len.sum())
+        starts = np.repeat(row_start, counts) + pos_in_row
+        diff = np.zeros(total + 1, dtype=np.int64)
+        sf = starts[flag]
+        np.add.at(diff, sf, 1)
+        np.add.at(diff, sf + wlen[flag], -1)
+        masked = np.cumsum(diff[:total]) > 0
+
+        text_f = pc.fill_null(text, "")
+        bufs = text_f.buffers()
+        str_off = np.frombuffer(bufs[1], dtype=np.int32)[
+            text_f.offset:text_f.offset + len(text_f) + 1] \
+            .astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8) \
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8)
+        flat = data[str_off[0]:str_off[-1]]
+        # per-row kept-byte counts via cumsum (no reduceat — its
+        # empty-segment hazard, CLAUDE.md)
+        ckeep = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(~masked, out=ckeep[1:])
+        bounds = np.zeros(len(row_len) + 1, dtype=np.int64)
+        np.cumsum(row_len, out=bounds[1:])
+        kept_per_row = ckeep[bounds[1:]] - ckeep[bounds[:-1]]
+        new_off = np.zeros(len(row_len) + 1, dtype=np.int64)
+        np.cumsum(kept_per_row, out=new_off[1:])
+        new_text = pa.Array.from_buffers(
+            pa.utf8(), len(row_len),
+            [None, pa.py_buffer(new_off.astype(np.int32).tobytes()),
+             pa.py_buffer(flat[~masked].tobytes())])
+
+        # per-row flagged-window and masked-byte counts, same cumsum
+        cflag = np.zeros(len(flag) + 1, dtype=np.int64)
+        np.cumsum(flag, out=cflag[1:])
+        wb = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=wb[1:])
+        n_dup = cflag[wb[1:]] - cflag[wb[:-1]]
+
+        out = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col, new_text)
+        out = out.append_column("n_dup_windows",
+                                pa.array(n_dup, type=pa.int64()))
+        return out.append_column(
+            "n_masked_chars",
+            pa.array(row_len - kept_per_row, type=pa.int64()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow",
+                          zero_copy_batch=True)

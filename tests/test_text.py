@@ -150,6 +150,99 @@ def test_temperature_mix_end_to_end_block_invariant():
     assert sw_share > 80 / 3480  # upweighted vs natural share
 
 
+def _substring_dedup_brute(texts, k, min_count=2):
+    """Byte-level reference: enumerate stride-1 k-byte windows (short
+    docs = one whole-doc window), count content occurrences, keeper =
+    min doc id, mask the union of flagged windows in non-keeper docs."""
+    from collections import defaultdict
+    occ = defaultdict(list)  # content -> [(doc, pos, length)]
+    for doc, t in enumerate(texts):
+        b = t.encode()
+        wins = [(i, k) for i in range(len(b) - k + 1)] if len(b) >= k \
+            else [(0, len(b))]
+        for i, ln in wins:
+            occ[bytes(b[i:i + ln])].append((doc, i, ln))
+    out = []
+    for doc, t in enumerate(texts):
+        b = bytearray(t.encode())
+        mask = [False] * len(b)
+        n_dup = 0
+        wins = [(i, k) for i in range(len(b) - k + 1)] if len(b) >= k \
+            else [(0, len(b))]
+        for i, ln in wins:
+            lst = occ[bytes(b[i:i + ln])]
+            if len(lst) >= min_count and min(d for d, _, _ in lst) != doc:
+                n_dup += 1
+                for j in range(i, i + ln):
+                    mask[j] = True
+        kept = bytes(c for c, m in zip(b, mask) if not m)
+        out.append((kept.decode(errors="surrogateescape"), n_dup,
+                    sum(mask)))
+    return out
+
+
+def test_dedup_substrings_matches_bruteforce_block_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import dedup_substrings
+    rng = np.random.default_rng(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY FOR MORE! "
+    texts = []
+    for i in range(40):
+        body = " ".join(rng.choice(words, 12))
+        if i % 3 == 0:
+            body = boiler + body          # planted repeated prefix
+        if i % 7 == 0:
+            body = body + " " + boiler    # and as a suffix elsewhere
+        texts.append(body)
+    texts += ["tiny", "tiny", "tiny"]     # short-doc whole-unit dedup
+    texts += [""]                          # empty doc survives
+    k = 16
+    ref = _substring_dedup_brute(texts, k)
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts)})
+    for nblocks in (1, 4):
+        out = dedup_substrings(ray.data.from_arrow(tbl)
+                               .repartition(nblocks), k=k) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        got = list(zip(out.text, out.n_dup_windows.astype(int),
+                       out.n_masked_chars.astype(int)))
+        assert got == ref, f"nblocks={nblocks}"
+    # semantics spot checks: keeper (doc 0) keeps its boilerplate,
+    # later carriers lose it, short-doc keeper survives, dups empty out
+    assert boiler in out.text[0]
+    assert boiler not in out.text[3] and out.n_masked_chars[3] > 0
+    assert out.text[40] == "tiny" and out.text[41] == ""
+    assert out.text[43] == ""  # empty doc passes through
+
+
+def test_dedup_substrings_multibyte_utf8_bytes_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import dedup_substrings
+    # repeated content containing multi-byte codepoints: byte-grid
+    # windows still line up because the repeat is byte-identical
+    chunk = "naïve café résumé — déjà vu! "
+    texts = [chunk * 3 + "unique tail one",
+             chunk * 3 + "different ending two",
+             "completely unrelated text body"]
+    tbl = pa.table({"doc_id": pa.array(np.arange(3), type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = dedup_substrings(ray.data.from_arrow(tbl), k=12) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = _substring_dedup_brute(texts, 12)
+    got = list(zip(out.text, out.n_dup_windows.astype(int),
+                   out.n_masked_chars.astype(int)))
+    assert got == ref
+    assert chunk in out.text[0]          # keeper intact
+    assert chunk not in out.text[1]      # repeat cut from doc 1
+    assert out.n_masked_chars[2] == 0    # unrelated doc untouched
+
+
 def test_rolling_hash_matches_bruteforce():
     import numpy as np
     import pyarrow as pa
