@@ -2959,6 +2959,29 @@ def _q_embedding_gram(sf_dir: str):
     return embedding_gram(ds, dim=64)
 
 
+def _q_embedding_cov_fixed(sf_dir: str):
+    """Exact covariance NUMERATOR n·Gram − s·sᵀ from the distributed
+    PCA fit (pipelines/similarity.py::pca_fit): the one-pass packed
+    partial (upper-triangle Gram + per-dim sums + count) merged in
+    arbitrary-precision Python ints — the integer-exact statistic the
+    float eigendecomposition then consumes. The oracle recomputes the
+    same integers relationally (HUGEINT), so the whole distributed part
+    of PCA sits under the hash-exact bar; only the driver-side dim×dim
+    eigh is float (pinned by tests against numpy)."""
+    from bigdime_ray.pipelines.similarity import pca_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    fit = pca_fit(ds, dim=64, n_components=8)
+    iu = np.triu_indices(64)
+    return pa.table({
+        "dim_a": pa.array(iu[0].astype(np.int64)),
+        "dim_b": pa.array(iu[1].astype(np.int64)),
+        "cov_num": pa.array([int(fit["cov_num"][a, b])
+                             for a, b in zip(iu[0], iu[1])],
+                            type=pa.int64()),
+    })
+
+
 def _q_label_centroid_dots(sf_dir: str):
     """Pairwise label-centroid DOT PRODUCTS over the embedding table —
     cluster-separation analytics. Exact integers end to end: per-label
@@ -4094,6 +4117,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "event_dow_chi2": _q_event_dow_chi2,
         "label_centroid_dots": _q_label_centroid_dots,
         "embedding_gram": _q_embedding_gram,
+        "embedding_cov_fixed": _q_embedding_cov_fixed,
         "kmeans_clusters": _q_kmeans_clusters,
         "pq_topk": _q_pq_topk,
         "pq_ivf_topk": _q_pq_ivf_topk,
@@ -5002,6 +5026,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n "
             "FROM e a JOIN e b ON a.vec_id = b.vec_id AND "
             "a.dim <= b.dim GROUP BY 1, 2",
+        "embedding_cov_fixed":
+            "WITH e AS (SELECT vec_id, CAST(ord - 1 AS BIGINT) AS "
+            "dim, CAST(FLOOR(CAST(val AS DOUBLE) * 10000 + 0.5) AS "
+            "BIGINT) AS v FROM (SELECT vec_id, unnest(embedding) AS "
+            "val, generate_subscripts(embedding, 1) AS ord FROM "
+            "embeddings)), "
+            "g AS (SELECT a.dim AS da, b.dim AS db, "
+            "CAST(SUM(a.v * b.v) AS HUGEINT) AS s "
+            "FROM e a JOIN e b ON a.vec_id = b.vec_id AND "
+            "a.dim <= b.dim GROUP BY 1, 2), "
+            "sv AS (SELECT dim, CAST(SUM(v) AS HUGEINT) AS sv "
+            "FROM e GROUP BY dim), "
+            "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n "
+            "FROM embeddings) "
+            "SELECT g.da AS dim_a, g.db AS dim_b, "
+            "CAST((SELECT n FROM nn) * g.s - sa.sv * sb.sv AS BIGINT) "
+            "AS cov_num FROM g "
+            "JOIN sv sa ON sa.dim = g.da JOIN sv sb ON sb.dim = g.db",
         "orders_price_ranked":
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY CAST(FLOOR("
             "o_totalprice * 100 + 0.5) AS BIGINT) DESC, o_orderkey) "

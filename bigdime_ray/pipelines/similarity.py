@@ -354,6 +354,104 @@ def embedding_gram(ds: Dataset, vec_col: str = "embedding",
         "n": pa.array(out["n"].to_numpy().astype(np.int64))})
 
 
+def pca_fit(ds: Dataset, vec_col: str = "embedding", dim: int = 64,
+            n_components: int = 8, scale: int = 10_000) -> dict:
+    """Exact distributed PCA fit — the dimensionality-reduction /
+    whitening stage of an embedding pipeline, with the repo's
+    integer-exact discipline for everything distributed.
+
+    ONE pass over the data: each block fixed-points its vectors
+    (floor(v·scale+0.5) int64) and emits a packed partial of
+    upper-triangle Gram rows (dim_a ≤ dim_b), per-dimension sum rows
+    (dim_b = −1) and a count row (−1, −1) — ≤ dim(dim+1)/2 + dim + 1
+    rows per block, never the vectors. The driver merges in PYTHON INTS
+    (arbitrary precision: n·G − s·sᵀ can exceed int64 at n ≳ 10⁵·
+    scale-dependent, so numpy int64 would silently wrap) into the exact
+    covariance NUMERATOR  cov_num = n·Gram − s·sᵀ  (covariance =
+    cov_num / (n²·scale²)); only the final eigendecomposition is float,
+    and it runs on the driver over a dim×dim matrix (trivial at any
+    data scale — dim is model width, not corpus size).
+
+    Eigenvectors are sign-canonicalized (largest-|·| element positive)
+    so results are reproducible across LAPACK builds. Returns a dict:
+    ``n, mean (dim,), cov_num (dim×dim int64-valued object ndarray),
+    eigvals (k,) descending, components (k×dim)``."""
+    iu = np.triu_indices(dim)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch[vec_col], dim)
+        fx = np.floor(x * scale + 0.5).astype(np.int64)
+        g = fx.T @ fx
+        da = np.concatenate([iu[0], np.arange(dim), [-1]])
+        db = np.concatenate([iu[1], np.full(dim, -1), [-1]])
+        v = np.concatenate([g[iu], fx.sum(axis=0),
+                            [batch.num_rows]])
+        return pa.table({"da": pa.array(da.astype(np.int64)),
+                         "db": pa.array(db.astype(np.int64)),
+                         "v": pa.array(v.astype(np.int64))})
+
+    gram = np.zeros((dim, dim), dtype=object)
+    sums = [0] * dim
+    n = 0
+    for r in (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()):
+        a, b, v = int(r["da"]), int(r["db"]), int(r["v"])
+        if a < 0:
+            n += v
+        elif b < 0:
+            sums[a] += v
+        else:
+            gram[a, b] += v
+    cov_num = np.zeros((dim, dim), dtype=object)
+    for a in range(dim):
+        for b in range(a, dim):
+            cn = n * gram[a, b] - sums[a] * sums[b]
+            cov_num[a, b] = cov_num[b, a] = cn
+    if n == 0:
+        return {"n": 0, "mean": np.zeros(dim), "cov_num": cov_num,
+                "eigvals": np.zeros(n_components),
+                "components": np.zeros((n_components, dim))}
+    denom = float(n) * n * scale * scale
+    cov = (cov_num / denom).astype(np.float64)
+    w, vmat = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = vmat[:, order].T
+    flip = comps[np.arange(len(order)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    return {"n": n,
+            "mean": np.asarray(sums, dtype=np.float64) / (n * scale),
+            "cov_num": cov_num, "eigvals": w[order],
+            "components": comps}
+
+
+def pca_project(ds: Dataset, mean: np.ndarray, components: np.ndarray,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> Dataset:
+    """Project an embedding column onto fitted PCA components: one
+    broadcast of the (k×dim) basis + mean (``ray.put`` once), one
+    float64 matmul per batch — stateless, zero shuffle. Replaces
+    ``vec_col`` with ``out_col`` (list<double>, k elements)."""
+    import ray as _ray
+
+    dim = components.shape[1]
+    handle = _ray.put((np.ascontiguousarray(mean, dtype=np.float64),
+                       np.ascontiguousarray(components.T,
+                                            dtype=np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, basis = _ray.get(handle)
+        x = _to_matrix(batch[vec_col], dim)
+        y = (x - mu) @ basis
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(y.ravel(), type=pa.float64()), y.shape[1])
+        idx = batch.schema.get_field_index(vec_col)
+        return batch.remove_column(idx).append_column(out_col, col)
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def kmeans_distributed(ds: Dataset, vec_col: str = "embedding",
                        k: int = 8, iters: int = 5, dim: int = 64,
                        scale: int = 10_000

@@ -337,3 +337,55 @@ def test_hnsw_topk_shard_parallel(ray_session):
         assert len(a) == 10
         recalls.append(len(e & a) / 10)
     assert np.mean(recalls) >= 0.9
+
+
+def test_pca_fit_exact_and_block_invariant(emb_ds):
+    from bigdime_ray.pipelines.similarity import pca_fit, pca_project
+    ds, stored = emb_ds
+    scale = 10_000
+    fx = np.floor(stored * scale + 0.5).astype(np.int64)
+    n = len(fx)
+    # arbitrary-precision reference covariance numerator
+    g_ref = fx.astype(object).T @ fx.astype(object)
+    s_ref = fx.astype(object).sum(axis=0)
+    cov_ref = n * g_ref - np.outer(s_ref, s_ref)
+    fits = []
+    for parts in (1, 4):
+        fit = pca_fit(ds.repartition(parts), dim=32, n_components=5)
+        assert fit["n"] == n
+        assert (fit["cov_num"] == cov_ref).all()  # BIT-exact, any blocks
+        fits.append(fit)
+    # identical integer covariance -> identical float eigens
+    assert np.array_equal(fits[0]["components"], fits[1]["components"])
+    assert np.array_equal(fits[0]["eigvals"], fits[1]["eigvals"])
+    fit = fits[0]
+    # matches a straight numpy PCA of the same fixed-point data
+    cov = (cov_ref / (float(n) * n * scale * scale)).astype(np.float64)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:5]
+    assert np.allclose(np.sort(fit["eigvals"])[::-1], w[order])
+    for i, j in enumerate(order):
+        ref = v[:, j]
+        if ref[np.abs(ref).argmax()] < 0:
+            ref = -ref
+        assert np.allclose(fit["components"][i], ref)
+    # eigvals descending, components orthonormal
+    assert (np.diff(fit["eigvals"]) <= 1e-12).all()
+    assert np.allclose(fit["components"] @ fit["components"].T,
+                       np.eye(5), atol=1e-10)
+    # projection: top-5 captures more variance than any other 5 dims
+    proj = pca_project(ds, fit["mean"], fit["components"],
+                       vec_col="embedding").to_pandas()
+    y = np.asarray(proj["pca"].tolist())
+    assert y.shape == (n, 5)
+    centered = stored - stored.mean(axis=0)
+    assert y.var(axis=0).sum() > 0.99 * np.sort(
+        centered.var(axis=0))[::-1][:5].sum()
+
+
+def test_pca_empty():
+    from bigdime_ray.pipelines.similarity import pca_fit
+    ds = ray.data.from_arrow(pa.table({
+        "embedding": pa.array([], type=pa.list_(pa.float32()))}))
+    fit = pca_fit(ds, dim=8, n_components=2)
+    assert fit["n"] == 0 and fit["components"].shape == (2, 8)
