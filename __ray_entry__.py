@@ -942,6 +942,26 @@ def _q_paragraph_dedup(sf_dir: str):
 _SUBSTR_K = 32
 
 
+def _q_dsir_scores(sf_dir: str):
+    """DSIR-style importance scoring (pipelines/text.py::{dsir_weights,
+    dsir_scores}; Xie et al. 2023): target domain = the 'en' documents,
+    raw = the whole corpus; per-word add-one RATIO weights (integer
+    fixed-point, not the paper's float log-ratio — documented variant)
+    broadcast once, every document scored by one searchsorted +
+    np.add.at pass. The oracle recomputes counts, weights and scores
+    from the word STRINGS, so fingerprint collisions or weight-table
+    bugs cannot hide. Same tokenization as top_words_by_source."""
+    from bigdime_ray.pipelines.text import dsir_scores, dsir_weights
+
+    raw = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    target = raw.filter(expr="lang == 'en'")
+    h, w = dsir_weights(target, raw)
+    out = dsir_scores(raw, h, w)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "dsir_score_fp"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_substring_dedup(sf_dir: str):
     """ExactSubstr-style repeated-substring masking (pipelines/text.py
     ::dedup_substrings, the Lee et al. 2022 recipe windowed): every
@@ -4058,6 +4078,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": _q_warc_ingest,
         "documents_paragraph_dedup": _q_paragraph_dedup,
         "documents_substring_dedup": _q_substring_dedup,
+        "dsir_scores": _q_dsir_scores,
         "documents_url_components": _q_url_components,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
@@ -4421,6 +4442,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 - COUNT(*) FILTER (WHERE c.cnt < 2 OR "
             "l.doc_id = c.keeper) AS BIGINT) AS n_dropped "
             "FROM l JOIN c USING (line) GROUP BY l.doc_id",
+        "dsir_scores":
+            "WITH tok AS (SELECT doc_id, lang, w FROM "
+            "(SELECT doc_id, lang, "
+            "UNNEST(string_split_regex(lower(text), '\\s+')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct "
+            "FROM tok WHERE lang = 'en' GROUP BY w), "
+            "rc AS (SELECT t.w, CAST(COUNT(*) AS BIGINT) AS cr "
+            "FROM tok t JOIN tc ON tc.w = t.w GROUP BY t.w), "
+            "wt AS (SELECT tc.w, CAST((CAST(tc.ct + 1 AS HUGEINT) * "
+            "1000000) // (rc.cr + 1) AS BIGINT) AS wgt "
+            "FROM tc JOIN rc ON rc.w = tc.w) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(SUM(wt.wgt), 0) AS BIGINT) AS dsir_score_fp "
+            "FROM documents d LEFT JOIN tok t ON t.doc_id = d.doc_id "
+            "LEFT JOIN wt ON wt.w = t.w GROUP BY d.doc_id",
         "documents_substring_dedup":
             "WITH docs AS (SELECT doc_id, text, length(text) AS l "
             "FROM documents), "

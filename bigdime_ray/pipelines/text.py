@@ -925,6 +925,108 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def _word_hash_rows(text: pa.Array | pa.ChunkedArray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 word fingerprints, source row index per word) for
+    the lowercase whitespace tokenization shared with
+    ``top_words_by_source`` (``\\s+`` split, empty artifacts dropped) —
+    one vectorized Arrow pass + one SipHash over the flat word array."""
+    from bigdime_ray.functions.hashing import hash_string_column
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+    lens = (pc.fill_null(pc.list_value_length(words), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(words)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    return (hash_string_column(flat).view(np.int64), rows[keep])
+
+
+def dsir_weights(target_ds, raw_ds, text_col: str = "text",
+                 scale: int = 1_000_000,
+                 num_buckets: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Importance weights for DSIR-style data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): per-word evidence that a document resembles the
+    TARGET domain, estimated from word frequencies in a small target
+    corpus vs the raw corpus. This variant uses the add-one RATIO
+    weight  w = ((c_target+1)·scale) // (c_raw+1)  instead of the
+    paper's log-ratio: pure integer arithmetic, so weights and scores
+    are bit-reproducible and oracle-replayable (the log variant is one
+    ``np.log`` away from the same counts; ranking by Σc·w vs
+    Σc·log-ratio differs only in weighting emphasis, documented).
+
+    Scale shape: the TARGET vocabulary is broadcast-bound (a domain
+    seed set ≪ the train corpus — the same assumption as
+    decontamination); pass 1 is one packed (word-hash, count) exchange
+    over the target, pass 2 the same exchange over the RAW corpus
+    PRE-FILTERED to target-vocabulary words inside each block (the
+    corpus-wide vocabulary never reaches the driver). Words outside
+    the target vocabulary carry zero target evidence and weight 0.
+    Returns (word hashes sorted int64, weights int64)."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    def t_extract(batch: pa.Table):
+        h, _ = _word_hash_rows(batch[text_col])
+        return h, [np.ones(len(h), dtype=np.int64)]
+
+    t_keys, (t_cnt,) = grouped_int_sums_exchange(
+        target_ds, t_extract, num_values=1, num_buckets=num_buckets)
+    order = np.argsort(t_keys)
+    t_keys, t_cnt = t_keys[order], t_cnt[order]
+    import ray as _ray
+    vocab = _ray.put(t_keys)
+
+    def r_extract(batch: pa.Table, _v=vocab):
+        tv = _ray.get(_v)
+        h, _ = _word_hash_rows(batch[text_col])
+        if len(tv):
+            pos = np.minimum(np.searchsorted(tv, h), len(tv) - 1)
+            h = h[tv[pos] == h]
+        else:
+            h = h[:0]
+        return h, [np.ones(len(h), dtype=np.int64)]
+
+    r_keys, (r_cnt,) = grouped_int_sums_exchange(
+        raw_ds, r_extract, num_values=1, num_buckets=num_buckets)
+    raw_map = dict(zip(r_keys.tolist(), r_cnt.tolist()))
+    weights = np.asarray(
+        [((int(ct) + 1) * scale) // (raw_map.get(int(hh), 0) + 1)
+         for hh, ct in zip(t_keys, t_cnt)], dtype=np.int64)
+    return t_keys, weights
+
+
+def dsir_scores(ds, hashes: np.ndarray, weights: np.ndarray,
+                text_col: str = "text",
+                score_col: str = "dsir_score_fp"):
+    """Score every document with the broadcast importance table:
+    score = Σ over word OCCURRENCES of weight[word] (fixed-point int64,
+    occurrences outside the target vocabulary contribute 0). One
+    stateless map — searchsorted membership + one np.add.at per batch,
+    zero shuffle. Select the head of the score ranking (or sample ∝
+    score) downstream to realize the DSIR selection."""
+    import ray as _ray
+
+    handle = _ray.put((hashes, weights))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, ws = _ray.get(handle)
+        h, rows = _word_hash_rows(batch[text_col])
+        s = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(hs) and len(h):
+            pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+            m = hs[pos] == h
+            np.add.at(s, rows[m], ws[pos[m]])
+        return batch.append_column(score_col,
+                                   pa.array(s, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _window_geometry(text: pa.Array, k: int
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                 np.ndarray, np.ndarray]:

@@ -150,6 +150,57 @@ def test_temperature_mix_end_to_end_block_invariant():
     assert sw_share > 80 / 3480  # upweighted vs natural share
 
 
+def _dsir_brute(target_texts, raw_texts, scale=1_000_000):
+    """Reference: word counts by CONTENT, add-one ratio weights over
+    the target vocabulary, per-doc occurrence-weighted sums."""
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", t.lower()) if w]
+
+    tc = Counter(w for t in target_texts for w in toks(t))
+    rc = Counter(w for t in raw_texts for w in toks(t) if w in tc)
+    wt = {w: ((c + 1) * scale) // (rc.get(w, 0) + 1)
+          for w, c in tc.items()}
+    return [sum(wt.get(w, 0) for w in toks(t)) for t in raw_texts]
+
+
+def test_dsir_scores_match_bruteforce_block_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import dsir_scores, dsir_weights
+    rng = np.random.default_rng(17)
+    domain = ["tensor", "gradient", "attention", "layer"]
+    generic = ["the", "a", "of", "and", "to", "in", "report", "sales"]
+    target_texts = [" ".join(rng.choice(domain + generic[:2], 20))
+                    for _ in range(6)]
+    raw_texts = [" ".join(rng.choice(
+        domain + generic, 30,
+        p=[.02] * 4 + [.115] * 8)) for _ in range(50)]
+    raw_texts += ["", "   ", "UNSEEN words only here"]
+    ref = _dsir_brute(target_texts, raw_texts)
+    t_tbl = pa.table({"text": pa.array(target_texts)})
+    r_tbl = pa.table({"doc_id": pa.array(np.arange(len(raw_texts)),
+                                         type=pa.int64()),
+                      "text": pa.array(raw_texts)})
+    for nblocks in (1, 4):
+        t_ds = ray.data.from_arrow(t_tbl).repartition(nblocks)
+        r_ds = ray.data.from_arrow(r_tbl).repartition(nblocks)
+        h, w = dsir_weights(t_ds, r_ds)
+        out = dsir_scores(r_ds, h, w).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.dsir_score_fp.tolist() == ref, f"nblocks={nblocks}"
+    # semantics: domain-dense docs outscore generic ones, no-overlap
+    # and empty docs score exactly 0
+    dom_share = np.array([sum(t.count(d) for d in domain)
+                          for t in raw_texts[:50]])
+    hi, lo = dom_share.argmax(), dom_share.argmin()
+    assert ref[hi] > ref[lo]
+    assert ref[50] == ref[51] == ref[52] == 0
+
+
 def _substring_dedup_brute(texts, k, min_count=2):
     """Byte-level reference: enumerate stride-1 k-byte windows (short
     docs = one whole-doc window), count content occurrences, keeper =
