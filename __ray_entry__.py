@@ -942,6 +942,35 @@ def _q_paragraph_dedup(sf_dir: str):
 _SUBSTR_K = 32
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher rule-set quality filter (pipelines/text.py::
+    gopher_quality, Rae et al. 2021): decorate every third/fourth/fifth
+    document with a bullet line / ellipsis teaser / symbol wall so each
+    line- and symbol-rule actually bites, then emit the per-doc
+    counters + verdict. Every rule is an integer cross-multiplication,
+    so the oracle recomputes ALL counters and the verdict relationally
+    — hash-exact."""
+    from bigdime_ray.pipelines.text import gopher_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pre = pa.array(np.where(ids % 3 == 0,
+                                "- bullet intro line\n", ""))
+        suf1 = pa.array(np.where(ids % 4 == 0,
+                                 "\nteaser ends here...", ""))
+        suf2 = pa.array(np.where(ids % 5 == 0,
+                                 "\n### symbol ... wall ...", ""))
+        t = pc.binary_join_element_wise(pre, batch["text"], suf1, suf2,
+                                        pa.scalar(""))
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = ds.map_batches(synth, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return gopher_quality(ds)
+
+
 def _q_dsir_scores(sf_dir: str):
     """DSIR-style importance scoring (pipelines/text.py::{dsir_weights,
     dsir_scores}; Xie et al. 2023): target domain = the 'en' documents,
@@ -4079,6 +4108,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_paragraph_dedup": _q_paragraph_dedup,
         "documents_substring_dedup": _q_substring_dedup,
         "dsir_scores": _q_dsir_scores,
+        "gopher_quality": _q_gopher_quality,
         "documents_url_components": _q_url_components,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
@@ -4442,6 +4472,54 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 - COUNT(*) FILTER (WHERE c.cnt < 2 OR "
             "l.doc_id = c.keeper) AS BIGINT) AS n_dropped "
             "FROM l JOIN c USING (line) GROUP BY l.doc_id",
+        "gopher_quality":
+            "WITH t2 AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN '- bullet intro line' || "
+            "chr(10) ELSE '' END || text || "
+            "CASE WHEN doc_id % 4 = 0 THEN chr(10) || "
+            "'teaser ends here...' ELSE '' END || "
+            "CASE WHEN doc_id % 5 = 0 THEN chr(10) || "
+            "'### symbol ... wall ...' ELSE '' END AS text "
+            "FROM documents), "
+            "w AS (SELECT doc_id, w FROM (SELECT doc_id, "
+            "UNNEST(string_split_regex(text, '\\s+')) AS w FROM t2) "
+            "WHERE w <> ''), "
+            "wa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw, "
+            "CAST(SUM(length(w)) AS BIGINT) AS nc, "
+            "CAST(COUNT(*) FILTER (WHERE regexp_matches(w, "
+            "'[a-zA-Z]')) AS BIGINT) AS na, "
+            "CAST(COUNT(DISTINCT CASE WHEN lower(w) IN ('the', 'be', "
+            "'to', 'of', 'and', 'that', 'have', 'with') THEN lower(w) "
+            "END) AS BIGINT) AS ns FROM w GROUP BY doc_id), "
+            "l AS (SELECT doc_id, UNNEST(string_split(text, chr(10))) "
+            "AS ln FROM t2), "
+            "la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nl, "
+            "CAST(COUNT(*) FILTER (WHERE ln LIKE '- %' OR ln LIKE "
+            "'• %' OR ln LIKE '* %') AS BIGINT) AS nb, "
+            "CAST(COUNT(*) FILTER (WHERE ln LIKE '%...' OR ln LIKE "
+            "'%…') AS BIGINT) AS ne FROM l GROUP BY doc_id), "
+            "sy AS (SELECT doc_id, CAST(length(text) - "
+            "length(replace(text, '#', '')) + (length(text) - "
+            "length(replace(text, '...', ''))) // 3 + length(text) - "
+            "length(replace(text, '…', '')) AS BIGINT) AS nsym "
+            "FROM t2) "
+            "SELECT t2.doc_id, t2.text, "
+            "COALESCE(wa.nw, 0) AS n_words, "
+            "COALESCE(wa.nc, 0) AS n_chars, "
+            "COALESCE(wa.na, 0) AS n_alpha_words, "
+            "COALESCE(wa.ns, 0) AS n_stopword_types, "
+            "la.nl AS n_lines, la.nb AS n_bullet_lines, "
+            "la.ne AS n_ellipsis_lines, sy.nsym AS n_symbols, "
+            "(COALESCE(wa.nw, 0) >= 50 AND COALESCE(wa.nw, 0) <= "
+            "100000 AND 3 * COALESCE(wa.nw, 0) <= COALESCE(wa.nc, 0) "
+            "AND COALESCE(wa.nc, 0) <= 10 * COALESCE(wa.nw, 0) AND "
+            "10 * sy.nsym <= COALESCE(wa.nw, 0) AND "
+            "10 * la.nb <= la.nl AND 10 * la.ne <= 3 * la.nl AND "
+            "10 * COALESCE(wa.na, 0) >= 8 * COALESCE(wa.nw, 0) AND "
+            "COALESCE(wa.ns, 0) >= 2) AS gopher_pass "
+            "FROM t2 LEFT JOIN wa ON wa.doc_id = t2.doc_id "
+            "JOIN la ON la.doc_id = t2.doc_id "
+            "JOIN sy ON sy.doc_id = t2.doc_id",
         "dsir_scores":
             "WITH tok AS (SELECT doc_id, lang, w FROM "
             "(SELECT doc_id, lang, "

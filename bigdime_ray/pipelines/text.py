@@ -925,6 +925,118 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality(ds, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000):
+    """The Gopher quality-filter rule set (Rae et al. 2021, App. A1.1)
+    over raw document text — the named recipe web-scale curation runs
+    before model-based scoring. Emits the per-document counters and the
+    combined verdict; every rule is an INTEGER cross-multiplication
+    (never a float ratio), so the whole filter is oracle-replayable:
+
+      - word count in [min_words, max_words]
+      - mean word length in [3, 10]          (3n ≤ chars ≤ 10n)
+      - symbol-to-word ratio ≤ 1/10          ('#', '...', '…')
+      - bullet-led lines ≤ 10% of lines      ('- ', '• ', '* ')
+      - ellipsis-ended lines ≤ 30% of lines  ('...', '…')
+      - ≥ 80% of words contain an alphabetic character
+      - ≥ 2 distinct stopwords of the paper's 8 (GOPHER_STOPWORDS)
+
+    One stateless vectorized map: the word pass is one ``\\s+`` split
+    (same grammar as top_words_by_source), counters reduce with
+    np.add.at / bitmask-popcount; the line pass is one ``\\n`` split.
+    Zero shuffle. Appends the counters plus ``gopher_pass``."""
+    stop = np.sort(np.asarray(GOPHER_STOPWORDS))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n = len(text)
+
+        words = pc.split_pattern_regex(text, r"\s+")
+        lens = (pc.fill_null(pc.list_value_length(words), 0)
+                .to_numpy(zero_copy_only=False).astype(np.int64))
+        flat = pc.list_flatten(words)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat, rows = flat.filter(pa.array(keep)), rows[keep]
+
+        n_words = np.zeros(n, dtype=np.int64)
+        np.add.at(n_words, rows, 1)
+        n_chars = np.zeros(n, dtype=np.int64)
+        np.add.at(n_chars, rows,
+                  pc.utf8_length(flat).to_numpy(zero_copy_only=False))
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]") \
+            .to_numpy(zero_copy_only=False)
+        n_alpha = np.zeros(n, dtype=np.int64)
+        np.add.at(n_alpha, rows, alpha.astype(np.int64))
+
+        low = pc.utf8_lower(flat).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(stop, low), len(stop) - 1)
+        is_stop = stop[pos] == low
+        mask = np.zeros(n, dtype=np.int64)
+        np.bitwise_or.at(mask, rows[is_stop],
+                         np.int64(1) << pos[is_stop])
+        n_stop = np.zeros(n, dtype=np.int64)
+        m = mask.copy()
+        for _ in range(len(stop)):
+            n_stop += m & 1
+            m >>= 1
+
+        lines = pc.split_pattern(text, "\n")
+        llens = (pc.fill_null(pc.list_value_length(lines), 0)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        lflat = pc.list_flatten(lines)
+        lrows = np.repeat(np.arange(n, dtype=np.int64), llens)
+        bullet = np.zeros(len(lflat), dtype=bool)
+        for p in ("- ", "• ", "* "):
+            bullet |= pc.starts_with(lflat, p) \
+                .to_numpy(zero_copy_only=False)
+        ell = pc.ends_with(lflat, "...").to_numpy(zero_copy_only=False)
+        ell |= pc.ends_with(lflat, "…").to_numpy(zero_copy_only=False)
+        n_lines, n_bullet, n_ell = (np.zeros(n, dtype=np.int64)
+                                    for _ in range(3))
+        np.add.at(n_lines, lrows, 1)
+        np.add.at(n_bullet, lrows, bullet.astype(np.int64))
+        np.add.at(n_ell, lrows, ell.astype(np.int64))
+
+        n_sym = (pc.count_substring(text, "#")
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+                 + pc.count_substring(text, "...")
+                 .to_numpy(zero_copy_only=False)
+                 + pc.count_substring(text, "…")
+                 .to_numpy(zero_copy_only=False))
+
+        ok = ((n_words >= min_words) & (n_words <= max_words)
+              & (3 * n_words <= n_chars) & (n_chars <= 10 * n_words)
+              & (10 * n_sym <= n_words)
+              & (10 * n_bullet <= n_lines)
+              & (10 * n_ell <= 3 * n_lines)
+              & (10 * n_alpha >= 8 * n_words)
+              & (n_stop >= 2))
+
+        out = batch
+        for name, col in (("n_words", n_words), ("n_chars", n_chars),
+                          ("n_alpha_words", n_alpha),
+                          ("n_stopword_types", n_stop),
+                          ("n_lines", n_lines),
+                          ("n_bullet_lines", n_bullet),
+                          ("n_ellipsis_lines", n_ell),
+                          ("n_symbols", n_sym)):
+            out = out.append_column(name, pa.array(col,
+                                                   type=pa.int64()))
+        return out.append_column("gopher_pass",
+                                 pa.array(ok, type=pa.bool_()))
+
+    return ds.map_batches(flags, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _word_hash_rows(text: pa.Array | pa.ChunkedArray
                     ) -> tuple[np.ndarray, np.ndarray]:
     """(flat int64 word fingerprints, source row index per word) for

@@ -150,6 +150,73 @@ def test_temperature_mix_end_to_end_block_invariant():
     assert sw_share > 80 / 3480  # upweighted vs natural share
 
 
+def _gopher_brute(texts, min_words=50, max_words=100_000):
+    import re
+    out = []
+    for t in texts:
+        words = [w for w in re.split(r"\s+", t) if w]
+        nw, nc = len(words), sum(len(w) for w in words)
+        na = sum(1 for w in words if re.search("[a-zA-Z]", w))
+        ns = len({w.lower() for w in words}
+                 & {"the", "be", "to", "of", "and", "that", "have",
+                    "with"})
+        lines = t.split("\n")
+        nl = len(lines)
+        nb = sum(1 for x in lines
+                 if x.startswith(("- ", "• ", "* ")))
+        ne = sum(1 for x in lines if x.endswith(("...", "…")))
+        nsym = t.count("#") + t.count("...") + t.count("…")
+        ok = (min_words <= nw <= max_words and 3 * nw <= nc <= 10 * nw
+              and 10 * nsym <= nw and 10 * nb <= nl
+              and 10 * ne <= 3 * nl and 10 * na >= 8 * nw and ns >= 2)
+        out.append((nw, nc, na, ns, nl, nb, ne, nsym, ok))
+    return out
+
+
+def test_gopher_quality_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import gopher_quality
+    rng = np.random.default_rng(3)
+    vocab = ["the", "analysis", "of", "data", "quality", "and",
+             "robust", "filtering", "12345", "#tag"]
+    texts = []
+    for i in range(30):
+        body_words = rng.choice(vocab, 60).tolist()
+        lines = [" ".join(body_words[j:j + 12]) for j in range(0, 60, 12)]
+        if i % 3 == 0:
+            lines.insert(0, "- a bullet item heads this doc")
+        if i % 4 == 0:
+            lines.append("trailing teaser line...")
+        if i % 5 == 0:
+            lines.append("#" * 10 + " symbol wall " + "..." * 8)
+        texts.append("\n".join(lines))
+    texts += ["too short", "", "• b\n• c\n• d",
+              "the be to of and that have with " * 10,   # stop-rich
+              ("zq9 " * 80).strip()]                      # no alpha≥80%? alpha yes but no stopwords
+    ref = _gopher_brute(texts)
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts)})
+    for nblocks in (1, 3):
+        out = gopher_quality(ray.data.from_arrow(tbl)
+                             .repartition(nblocks)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = list(zip(out.n_words, out.n_chars, out.n_alpha_words,
+                       out.n_stopword_types, out.n_lines,
+                       out.n_bullet_lines, out.n_ellipsis_lines,
+                       out.n_symbols, out.gopher_pass))
+        assert [tuple(map(lambda v: v if isinstance(v, bool)
+                          else int(v), g)) for g in
+                [tuple(x) for x in got]] == \
+            [tuple(list(map(int, r[:-1])) + [r[-1]]) for r in ref], \
+            f"nblocks={nblocks}"
+    # at least one passing and one failing doc in the fixture
+    passes = [r[-1] for r in ref]
+    assert any(passes) and not all(passes)
+
+
 def _dsir_brute(target_texts, raw_texts, scale=1_000_000):
     """Reference: word counts by CONTENT, add-one ratio weights over
     the target vocabulary, per-doc occurrence-weighted sums."""
