@@ -971,6 +971,42 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_quality(ds)
 
 
+def _q_c4_filters(sf_dir: str):
+    """C4 cleaning rules (pipelines/text.py::c4_filters, Raffel et al.
+    2020 §2.2): turn each word-soup document into four lines — its text
+    with a terminal period (kept), a too-short line (dropped), every
+    third doc a javascript mention (dropped), every seventh a
+    'lorem ipsum' (page dies), every eleventh a curly brace (page
+    dies) — then rewrite pages to their surviving lines. The oracle
+    replays line retention, the rebuilt text (string_agg over line
+    ordinals) and the page verdict relationally — hash-exact."""
+    from bigdime_ray.pipelines.text import c4_filters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        js = pa.array(np.where(
+            ids % 3 == 0,
+            "\nPlease enable javascript to continue reading this.", ""))
+        lorem = pa.array(np.where(
+            ids % 7 == 0, "\nClassic lorem ipsum filler appears here.",
+            ""))
+        brace = pa.array(np.where(
+            ids % 11 == 0, "\nA stray { brace lives on this page.", ""))
+        t = pc.binary_join_element_wise(
+            batch["text"],
+            pa.scalar(".\nshort line."
+                      "\nAnother perfectly fine sentence appears here."
+                      "\nIs this a well formed closing question now?"),
+            js, lorem, brace, pa.scalar(""))
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    ds = ds.map_batches(synth, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return c4_filters(ds)
+
+
 def _q_dsir_scores(sf_dir: str):
     """DSIR-style importance scoring (pipelines/text.py::{dsir_weights,
     dsir_scores}; Xie et al. 2023): target domain = the 'en' documents,
@@ -4109,6 +4145,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_substring_dedup": _q_substring_dedup,
         "dsir_scores": _q_dsir_scores,
         "gopher_quality": _q_gopher_quality,
+        "c4_filters": _q_c4_filters,
         "documents_url_components": _q_url_components,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
@@ -4472,6 +4509,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(3 - COUNT(*) FILTER (WHERE c.cnt < 2 OR "
             "l.doc_id = c.keeper) AS BIGINT) AS n_dropped "
             "FROM l JOIN c USING (line) GROUP BY l.doc_id",
+        "c4_filters":
+            "WITH t2 AS (SELECT doc_id, text || '.' || chr(10) || "
+            "'short line.' || chr(10) || "
+            "'Another perfectly fine sentence appears here.' || "
+            "chr(10) || 'Is this a well formed closing question now?' "
+            "|| "
+            "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+            "'Please enable javascript to continue reading this.' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 7 = 0 THEN chr(10) || "
+            "'Classic lorem ipsum filler appears here.' ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+            "'A stray { brace lives on this page.' ELSE '' END "
+            "AS text FROM documents), "
+            "l AS (SELECT doc_id, ln, ord, "
+            "((ln LIKE '%.' OR ln LIKE '%!' OR ln LIKE '%?' OR "
+            "ln LIKE '%\"') AND len(list_filter("
+            "string_split_regex(ln, '\\s+'), x -> x <> '')) >= 5 AND "
+            "NOT contains(lower(ln), 'javascript')) AS keep FROM "
+            "(SELECT doc_id, UNNEST(string_split(text, chr(10))) AS "
+            "ln, UNNEST(generate_series(1, len(string_split(text, "
+            "chr(10))))) AS ord FROM t2)), "
+            "ka AS (SELECT doc_id, "
+            "COALESCE(string_agg(ln, chr(10) ORDER BY ord) "
+            "FILTER (WHERE keep), '') AS text, "
+            "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS nk, "
+            "CAST(COUNT(*) AS BIGINT) AS nl FROM l GROUP BY doc_id) "
+            "SELECT t2.doc_id, ka.text, ka.nk AS n_kept_lines, "
+            "ka.nl - ka.nk AS n_dropped_lines, "
+            "(ka.nk >= 3 AND NOT contains(lower(t2.text), "
+            "'lorem ipsum') AND NOT contains(t2.text, '{')) "
+            "AS c4_keep FROM t2 JOIN ka ON ka.doc_id = t2.doc_id",
         "gopher_quality":
             "WITH t2 AS (SELECT doc_id, "
             "CASE WHEN doc_id % 3 = 0 THEN '- bullet intro line' || "

@@ -1037,6 +1037,89 @@ def gopher_quality(ds, text_col: str = "text",
                           zero_copy_batch=True)
 
 
+def c4_filters(ds, text_col: str = "text", min_words_per_line: int = 5,
+               min_lines: int = 3):
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) — the other
+    canonical pre-training scrub next to :func:`gopher_quality`:
+
+      line-level:  keep a line only if it ends in terminal punctuation
+                   (``. ! ? "``), has ≥ ``min_words_per_line`` words,
+                   and does not mention 'javascript' (case-insensitive)
+      page-level:  drop the page if < ``min_lines`` lines survive, or
+                   it contains 'lorem ipsum' (case-insensitive) or a
+                   curly brace
+
+    One vectorized pass: line split, per-line word counts via the
+    shared ``\\s+`` grammar, Arrow list rebuild + ``binary_join`` —
+    no Python row loop, zero shuffle. REWRITES ``text_col`` to the
+    kept lines and appends ``n_kept_lines`` / ``n_dropped_lines`` /
+    ``c4_keep`` (pages failing page-level rules keep their rewritten
+    text but flag False — filtering is the caller's one-liner, so
+    the operator stays a pure decorator like gopher_quality)."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n = len(text)
+
+        lines = pc.split_pattern(text, "\n")
+        llens = (pc.fill_null(pc.list_value_length(lines), 0)
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+        lflat = pc.list_flatten(lines)
+        lrows = np.repeat(np.arange(n, dtype=np.int64), llens)
+
+        term = np.zeros(len(lflat), dtype=bool)
+        for p in (".", "!", "?", '"'):
+            term |= pc.ends_with(lflat, p) \
+                .to_numpy(zero_copy_only=False)
+        # word count per line = #non-empty split tokens: count all
+        # tokens, subtract empties (same ``\s+`` grammar as everywhere)
+        words = pc.split_pattern_regex(lflat, r"\s+")
+        wl = (pc.fill_null(pc.list_value_length(words), 0)
+              .to_numpy(zero_copy_only=False).astype(np.int64))
+        wflat = pc.list_flatten(words)
+        wrow = np.repeat(np.arange(len(lflat), dtype=np.int64), wl)
+        empt = pc.equal(wflat, "").to_numpy(zero_copy_only=False)
+        n_empty = np.zeros(len(lflat), dtype=np.int64)
+        np.add.at(n_empty, wrow, empt.astype(np.int64))
+        wcount = wl - n_empty
+        js = pc.match_substring(lflat, "javascript",
+                                ignore_case=True) \
+            .to_numpy(zero_copy_only=False)
+        keep_line = term & (wcount >= min_words_per_line) & ~js
+
+        n_kept = np.zeros(n, dtype=np.int64)
+        np.add.at(n_kept, lrows, keep_line.astype(np.int64))
+        new_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=new_off[1:])
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), type=pa.int32()),
+            lflat.filter(pa.array(keep_line)))
+        joined = pc.binary_join(new_list, "\n")
+
+        lorem = pc.match_substring(text, "lorem ipsum",
+                                   ignore_case=True) \
+            .to_numpy(zero_copy_only=False)
+        brace = pc.match_substring(text, "{") \
+            .to_numpy(zero_copy_only=False)
+        keep_doc = (n_kept >= min_lines) & ~lorem & ~brace
+
+        idx = batch.schema.get_field_index(text_col)
+        out = batch.set_column(idx, text_col, joined)
+        out = out.append_column("n_kept_lines",
+                                pa.array(n_kept, type=pa.int64()))
+        out = out.append_column(
+            "n_dropped_lines",
+            pa.array(llens - n_kept, type=pa.int64()))
+        return out.append_column("c4_keep",
+                                 pa.array(keep_doc, type=pa.bool_()))
+
+    return ds.map_batches(flags, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _word_hash_rows(text: pa.Array | pa.ChunkedArray
                     ) -> tuple[np.ndarray, np.ndarray]:
     """(flat int64 word fingerprints, source row index per word) for

@@ -150,6 +150,67 @@ def test_temperature_mix_end_to_end_block_invariant():
     assert sw_share > 80 / 3480  # upweighted vs natural share
 
 
+def _c4_brute(texts, min_wpl=5, min_lines=3):
+    import re
+    out = []
+    for t in texts:
+        lines = t.split("\n")
+        kept = [x for x in lines
+                if x.endswith((".", "!", "?", '"'))
+                and len([w for w in re.split(r"\s+", x) if w]) >= min_wpl
+                and "javascript" not in x.lower()]
+        keep = (len(kept) >= min_lines
+                and "lorem ipsum" not in t.lower() and "{" not in t)
+        out.append(("\n".join(kept), len(kept), len(lines) - len(kept),
+                    keep))
+    return out
+
+
+def test_c4_filters_match_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import c4_filters
+    texts = [
+        "A good first sentence here today.\nshort one.\n"
+        "Another full sentence with plenty of words!\n"
+        "Is this a well formed question with words?\n"
+        "no terminal punctuation on this line at all",
+        "Enable JavaScript to view this page now.\n"
+        "A fine sentence that should survive the filter.\n"
+        "Second fine sentence that should also survive now.\n"
+        "Third fine sentence rounding out the page total.",  # no punct? ends '.', survives
+        "This page contains lorem ipsum filler content sadly.\n"
+        "Sentence two is perfectly reasonable and long enough.\n"
+        "Sentence three is perfectly reasonable and long enough.\n"
+        "Sentence four is perfectly reasonable and long enough.",
+        "A curly brace { lives on this page somewhere.\n"
+        "Sentence two is perfectly reasonable and long enough.\n"
+        "Sentence three is perfectly reasonable and long enough.\n"
+        "Sentence four is perfectly reasonable and long enough.",
+        "",
+        'He said "stop right there" and then "fine."\n'
+        "Quoted line endings also count as terminal marks he said.\"\n"
+        "Sentence three is perfectly reasonable and long enough.\n"
+        "Sentence four is perfectly reasonable and long enough.",
+    ]
+    ref = _c4_brute(texts)
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts)),
+                                       type=pa.int64()),
+                    "text": pa.array(texts)})
+    for nblocks in (1, 3):
+        out = c4_filters(ray.data.from_arrow(tbl)
+                         .repartition(nblocks)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = [(r.text, int(r.n_kept_lines), int(r.n_dropped_lines),
+                bool(r.c4_keep)) for r in out.itertuples()]
+        assert got == ref, f"nblocks={nblocks}"
+    keeps = [r[-1] for r in ref]
+    # doc 0 survives; javascript line dropped but page 1 survives;
+    # lorem-ipsum and curly-brace pages die; empty dies; quotes count
+    assert keeps == [True, True, False, False, False, True]
+
+
 def _gopher_brute(texts, min_words=50, max_words=100_000):
     import re
     out = []
