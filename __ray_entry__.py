@@ -1207,6 +1207,55 @@ def _hits_oracle_sql(iters: int) -> str:
                 f"JOIN a{iters - 1} ON a{iters - 1}.node = nodes.node")
 
 
+def _q_url_canonical(sf_dir: str):
+    """URL canonicalization (functions/html.py::canonicalize_urls):
+    synthesize per-doc URLs exercising every rule — mixed-case scheme
+    and host, default ports, tracking params (sometimes the WHOLE
+    query), fragments — and emit the canonical form next to the raw.
+    The oracle reimplements the normalization relationally
+    (regexp split, conditional port strip, list_filter on params,
+    piecewise rebuild) — hash-exact."""
+    from bigdime_ray.functions.html import canonicalize_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sch = pa.array(np.where(ids % 2 == 0, "HTTPS://WWW.",
+                                "http://WWW."))
+        port = pa.array(np.where(ids % 2 == 0, ":443", ":80"))
+        path = pa.array(np.where(
+            ids % 4 == 0, "",
+            np.char.add("/Articles/", ids.astype(str))))
+        fb = pa.array(np.where(ids % 3 == 0, "&fbclid=track", ""))
+        idp = pa.array(np.where(
+            ids % 6 == 0, "",
+            np.char.add("&id=", (ids % 50).astype(str))))
+        lang = batch["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        frag = pc.if_else(
+            pa.array(ids % 5 == 0),
+            pc.binary_join_element_wise(pa.scalar("#sec-"), lang,
+                                        pa.scalar("")),
+            pa.scalar("", type=pa.string()))
+        url = pc.binary_join_element_wise(
+            sch, batch["source"], pa.scalar(".Example.ORG"), port,
+            path, pa.scalar("?utm_source=feed"), fb, idp, frag,
+            pa.scalar(""))
+        return pa.table({"doc_id": batch["doc_id"], "url": url})
+
+    ds = ds.map_batches(synth, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canon", canonicalize_urls(batch["url"]))
+
+    return ds.map_batches(canon, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def _q_warc_ingest(sf_dir: str):
     """Crawl-archive round trip (sources/warc.py): synthesize the same
     deterministic HTML pages as documents_html_extracted, pack them as
@@ -4147,6 +4196,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "c4_filters": _q_c4_filters,
         "documents_url_components": _q_url_components,
+        "documents_url_canonical": _q_url_canonical,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "events_sessions": _q_sessions,
@@ -4256,6 +4306,9 @@ _CENTROID_SQL = (
 # The same URI grammar as functions/html.py::URL_RE with positional
 # groups (1=scheme 2=host 3=path 4=query) for DuckDB regexp_extract.
 URL_SQL_RE = r"^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+# mirror of functions/html.py::_CANON_URL_RE (case-tolerant scheme)
+_CANON_SQL_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+                 r"(?:\?([^#]*))?")
 
 # Shared HTML-synthesis CTE for the documents_html_* oracles — must stay
 # token-for-token the mirror of functions/html.py::synthesize_html.
@@ -4649,6 +4702,40 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = '' "
             "THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
             "END AS host_sld FROM p",
+        "documents_url_canonical":
+            "WITH u AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' "
+            "ELSE 'http://WWW.' END || source || '.Example.ORG' || "
+            "CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END || "
+            "CASE WHEN doc_id % 4 = 0 THEN '' "
+            "ELSE '/Articles/' || CAST(doc_id AS VARCHAR) END || "
+            "'?utm_source=feed' || "
+            "CASE WHEN doc_id % 3 = 0 THEN '&fbclid=track' "
+            "ELSE '' END || "
+            "CASE WHEN doc_id % 6 = 0 THEN '' "
+            "ELSE '&id=' || CAST(doc_id % 50 AS VARCHAR) END || "
+            "CASE WHEN doc_id % 5 = 0 THEN '#sec-' || lang "
+            "ELSE '' END AS url FROM documents), "
+            "p AS (SELECT doc_id, url, "
+            "lower(regexp_extract(url, '" + _CANON_SQL_RE + "', 1)) "
+            "AS scheme, "
+            "lower(regexp_extract(url, '" + _CANON_SQL_RE + "', 2)) "
+            "AS host0, "
+            "regexp_extract(url, '" + _CANON_SQL_RE + "', 3) AS path0, "
+            "regexp_extract(url, '" + _CANON_SQL_RE + "', 4) AS q0 "
+            "FROM u), "
+            "c AS (SELECT doc_id, url, scheme, "
+            "CASE WHEN scheme = 'https' THEN "
+            "regexp_replace(host0, ':443$', '') "
+            "WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', "
+            "'') ELSE host0 END AS host, "
+            "CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path, "
+            "array_to_string(list_filter(string_split(q0, '&'), "
+            "x -> x <> '' AND NOT regexp_matches(x, "
+            "'^(utm_[^=]*|fbclid|gclid)(=|$)')), '&') AS q FROM p) "
+            "SELECT doc_id, url, scheme || '://' || host || path || "
+            "CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon "
+            "FROM c",
         "host_pagerank": _pagerank_oracle_sql(_PAGERANK_ITERS),
         "host_hits": _hits_oracle_sql(_HITS_ITERS),
         "documents_html_stats":

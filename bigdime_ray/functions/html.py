@@ -180,6 +180,77 @@ def parse_url_components(col: pa.Array | pa.ChunkedArray) -> pa.Table:
     })
 
 
+_CANON_URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://"
+                 r"(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+                 r"(?:\?(?P<query>[^#]*))?")
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid)(=|$)"
+
+
+def canonicalize_urls(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical URL form for crawl-level dedup/frontier keys — the
+    normalization step before URLs become partition or dedup keys:
+
+      - scheme and host lowercased (case-insensitive per RFC 3986)
+      - fragment dropped (never reaches the server)
+      - default port stripped (``:443`` for https, ``:80`` for http)
+      - tracking query parameters removed (``utm_*``, ``fbclid``,
+        ``gclid``); an emptied query drops its ``?``
+      - empty path normalized to ``/``
+
+    One case-tolerant RE2 decomposition + vectorized piecewise rebuild
+    (query params via the flatten/mask/ListArray-rebuild pattern, no
+    row loop). Non-URL rows yield ``''`` (the parse_url_components
+    convention). Oracle-mirrored token for token by
+    ``documents_url_canonical``."""
+    import numpy as np
+    t = _as_array(col)
+    m = pc.extract_regex(t, _CANON_URL_RE)
+    valid = pc.is_valid(m)
+
+    def part(name: str) -> pa.Array:
+        v = pc.struct_field(m, name)
+        return pc.if_else(valid, pc.fill_null(v, ""),
+                          pa.scalar("", type=pa.string()))
+
+    scheme = pc.utf8_lower(part("scheme"))
+    host = pc.utf8_lower(part("host"))
+    host = pc.if_else(pc.equal(scheme, "https"),
+                      pc.replace_substring_regex(host, r":443$", ""),
+                      host)
+    host = pc.if_else(pc.equal(scheme, "http"),
+                      pc.replace_substring_regex(host, r":80$", ""),
+                      host)
+    path = part("path")
+    path = pc.if_else(pc.and_(valid, pc.equal(path, "")),
+                      pa.scalar("/", type=pa.string()), path)
+
+    params = pc.split_pattern(part("query"), "&")
+    lens = (pc.fill_null(pc.list_value_length(params), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64))
+    flat = pc.list_flatten(params)
+    rows = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    keep = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, _TRACKING_PARAM_RE))
+    ).to_numpy(zero_copy_only=False)
+    n_kept = np.zeros(len(t), dtype=np.int64)
+    np.add.at(n_kept, rows, keep.astype(np.int64))
+    offs = np.zeros(len(t) + 1, dtype=np.int64)
+    np.cumsum(n_kept, out=offs[1:])
+    qlist = pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32), type=pa.int32()),
+        flat.filter(pa.array(keep)))
+    query = pc.binary_join(qlist, "&")
+    qmark = pc.if_else(pc.not_equal(query, ""),
+                       pa.scalar("?", type=pa.string()),
+                       pa.scalar("", type=pa.string()))
+
+    canon = pc.binary_join_element_wise(
+        scheme, pa.scalar("://"), host, path, qmark, query,
+        pa.scalar(""))
+    return pc.if_else(valid, canon, pa.scalar("", type=pa.string()))
+
+
 def filter_urls_by_host(ds, url_col: str, blocked_slds: set[str],
                         keep_non_urls: bool = False):
     """Curation gate: drop rows whose URL's second-level domain is on

@@ -120,3 +120,36 @@ def test_filter_urls_by_host():
     kept = filter_urls_by_host(ds, "url", {"spam.com"},
                                keep_non_urls=True).take_all()
     assert sorted(r["v"] for r in kept) == [2, 4]
+
+
+def test_canonicalize_urls():
+    import pyarrow as pa
+    from bigdime_ray.functions.html import canonicalize_urls
+    urls = [
+        "HTTPS://WWW.Example.ORG:443/Path/One?utm_source=feed&id=7#frag",
+        "http://site.com:80",
+        "http://site.com:8080/x",                    # non-default port kept
+        "https://a.b/p?utm_campaign=x&fbclid=abc&gclid=1",  # all tracking
+        "https://a.b/p?gclid",                       # bare tracking key
+        "https://a.b/p?id=1&utm_x=2&z=3",
+        "not a url",
+        "",
+        "ftp://Host.Net/File",
+    ]
+    got = canonicalize_urls(pa.array(urls)).to_pylist()
+    assert got == [
+        "https://www.example.org/Path/One?id=7",
+        "http://site.com/",
+        "http://site.com:8080/x",
+        "https://a.b/p",
+        "https://a.b/p",
+        "https://a.b/p?id=1&z=3",
+        "",
+        "",
+        "ftp://host.net/File",
+    ]
+    # canonical forms of equivalent URLs collide (the dedup property)
+    pair = canonicalize_urls(pa.array(
+        ["HTTP://X.com:80/a?utm_source=1&q=2#f",
+         "http://x.COM/a?q=2"])).to_pylist()
+    assert pair[0] == pair[1] == "http://x.com/a?q=2"
