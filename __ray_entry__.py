@@ -1162,6 +1162,16 @@ def _pagerank_oracle_sql(iters: int) -> str:
     return s + (f" SELECT node, r AS rank_fp FROM pr{iters}")
 
 
+def _q_host_degrees(sf_dir: str):
+    """Per-node in/out degrees of the shared host link graph
+    (pipelines/graph.py::degree_stats): out-degrees ride the node
+    table, in-degrees cost one packed exchange. Oracle = two GROUP BYs
+    over the edge list, full-outer-merged per node."""
+    from bigdime_ray.pipelines.graph import degree_stats
+
+    return degree_stats(_host_link_edges(sf_dir))
+
+
 _HITS_ITERS = 4
 
 
@@ -4199,6 +4209,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "documents_url_canonical": _q_url_canonical,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "host_degrees": _q_host_degrees,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -4738,6 +4749,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM c",
         "host_pagerank": _pagerank_oracle_sql(_PAGERANK_ITERS),
         "host_hits": _hits_oracle_sql(_HITS_ITERS),
+        "host_degrees":
+            _HOST_EDGES_SQL +
+            ", od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) "
+            "AS d FROM e GROUP BY src), "
+            "id AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS d "
+            "FROM e GROUP BY dst) "
+            "SELECT nodes.node, COALESCE(od.d, 0) AS out_deg, "
+            "COALESCE(id.d, 0) AS in_deg FROM nodes "
+            "LEFT JOIN od ON od.node = nodes.node "
+            "LEFT JOIN id ON id.node = nodes.node",
         "documents_html_stats":
             _HTML_SYNTH_SQL +
             "SELECT doc_id, "

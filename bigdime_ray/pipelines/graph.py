@@ -140,6 +140,41 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
     })
 
 
+def degree_stats(edges: Dataset, src_col: str = "src",
+                 dst_col: str = "dst",
+                 num_buckets: int | None = None) -> pa.Table:
+    """Per-node in/out degrees over an edge Dataset — the first-look
+    statistic of any link graph (frontier sizing, hub/sink detection,
+    sanity bounds for the iterative algorithms above). Labels resolve
+    through the same broadcast-bound node table as pagerank/hits:
+    :func:`_collect_nodes` already returns out-degrees, and in-degrees
+    cost ONE packed (node-idx, count) exchange. Returns
+    (node, out_deg, in_deg) sorted by node."""
+    from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
+
+    labels, out_deg = _collect_nodes(edges, src_col, dst_col)
+    n = len(labels)
+    if n == 0:
+        e = pa.array([], type=pa.int64())
+        return pa.table({"node": pa.array([], type=pa.string()),
+                         "out_deg": e, "in_deg": e})
+
+    def extract(batch: pa.Table):
+        dst = batch[dst_col].to_numpy(zero_copy_only=False)
+        di = np.searchsorted(labels, dst)
+        return di, [np.ones(len(di), dtype=np.int64)]
+
+    keys, (sums,) = grouped_int_sums_exchange(
+        edges, extract, num_values=1, num_buckets=num_buckets)
+    in_deg = np.zeros(n, dtype=np.int64)
+    in_deg[keys] = sums
+    return pa.table({
+        "node": pa.array(labels.astype(str)),
+        "out_deg": pa.array(out_deg, type=pa.int64()),
+        "in_deg": pa.array(in_deg, type=pa.int64()),
+    })
+
+
 def hits(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
          iterations: int = 20,
          num_buckets: int | None = None) -> pa.Table:

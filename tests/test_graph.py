@@ -119,6 +119,22 @@ def test_hits_empty():
                                   "hub", "auth"]
 
 
+def test_degree_stats():
+    from bigdime_ray.pipelines.graph import degree_stats
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                 ("a", "b")]  # duplicate edge counts twice
+    for nblocks in (1, 3):
+        out = degree_stats(_edges_ds(edge_list, nblocks)).to_pydict()
+        got = {v: (o, i) for v, o, i in
+               zip(out["node"], out["out_deg"], out["in_deg"])}
+        assert got == {"a": (3, 1), "b": (1, 2), "c": (1, 2)}, \
+            f"nblocks={nblocks}"
+    empty = degree_stats(ray.data.from_arrow(
+        pa.table({"src": pa.array([], type=pa.string()),
+                  "dst": pa.array([], type=pa.string())})))
+    assert len(empty) == 0
+
+
 def test_empty_and_self_loop():
     out = pagerank(_edges_ds([("a", "a"), ("a", "b")]), iterations=5)
     assert set(out["node"].to_pylist()) == {"a", "b"}
