@@ -1172,6 +1172,50 @@ def _q_host_degrees(sf_dir: str):
     return degree_stats(_host_link_edges(sf_dir))
 
 
+def _q_host_pagerank_seeded(sf_dir: str):
+    """PERSONALIZED PageRank (crawl seed-expansion variant): teleport
+    and initial mass concentrate on the per-lang hub nodes; dangling
+    mass returns to the seeds. Same integer recurrence, so the oracle
+    again replays it as MATERIALIZED CTEs — hash-exact."""
+    from bigdime_ray.pipelines.graph import pagerank
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    hubs = sorted({"hub-" + r["lang"]
+                   for r in ds.groupby("lang").count().take_all()})
+    out = pagerank(_host_link_edges(sf_dir),
+                   iterations=_PAGERANK_ITERS, seed_nodes=hubs)
+    return out.select(["node", "rank_fp"])
+
+
+def _ppr_oracle_sql(iters: int) -> str:
+    """Personalized recurrence unrolled; seeds = nodes LIKE 'hub-%'."""
+    s = (_HOST_EDGES_SQL +
+         ", deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+         "FROM e GROUP BY src), "
+         "sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nodes "
+         "WHERE node LIKE 'hub-%'), "
+         "pr0 AS (SELECT node, CASE WHEN node LIKE 'hub-%' THEN "
+         "CAST(1000000000000 // (SELECT ns FROM sn) AS BIGINT) "
+         "ELSE 0 END AS r FROM nodes)")
+    for t in range(iters):
+        s += (f", pr{t + 1} AS MATERIALIZED (SELECT nodes.node, "
+              "CAST(CASE WHEN nodes.node LIKE 'hub-%' THEN "
+              "3000000000000 // (20 * (SELECT ns FROM sn)) "
+              "ELSE 0 END + "
+              "(17 * (COALESCE(c.s, 0) + "
+              "CASE WHEN nodes.node LIKE 'hub-%' THEN "
+              f"(SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) FROM pr{t} "
+              "p LEFT JOIN deg ON deg.node = p.node "
+              "WHERE deg.node IS NULL) // (SELECT ns FROM sn) "
+              "ELSE 0 END)) // 20 "
+              "AS BIGINT) AS r FROM nodes LEFT JOIN "
+              "(SELECT e.dst AS node, CAST(SUM(p.r // deg.d) AS BIGINT) "
+              f"AS s FROM e JOIN pr{t} p ON e.src = p.node "
+              "JOIN deg ON deg.node = e.src GROUP BY e.dst) c "
+              "ON c.node = nodes.node)")
+    return s + (f" SELECT node, r AS rank_fp FROM pr{iters}")
+
+
 _HITS_ITERS = 4
 
 
@@ -4210,6 +4254,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "host_degrees": _q_host_degrees,
+        "host_pagerank_seeded": _q_host_pagerank_seeded,
         "events_sessions": _q_sessions,
         "heavy_hitters": _q_heavy_hitters,
         "distinct_count": _q_distinct_count,
@@ -4749,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM c",
         "host_pagerank": _pagerank_oracle_sql(_PAGERANK_ITERS),
         "host_hits": _hits_oracle_sql(_HITS_ITERS),
+        "host_pagerank_seeded": _ppr_oracle_sql(_PAGERANK_ITERS),
         "host_degrees":
             _HOST_EDGES_SQL +
             ", od AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) "

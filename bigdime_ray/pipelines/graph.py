@@ -88,10 +88,24 @@ def _collect_nodes(edges: Dataset, src_col: str, dst_col: str
 
 def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
              iterations: int = 20,
-             num_buckets: int | None = None) -> pa.Table:
+             num_buckets: int | None = None,
+             seed_nodes: list[str] | None = None) -> pa.Table:
     """Integer-exact PageRank (module docstring). Returns a pa.Table
     (node:string, rank_fp:int64 fixed-point 1e-12 units, rank:float64)
-    sorted by node. Deterministic and block-count-invariant."""
+    sorted by node. Deterministic and block-count-invariant.
+
+    ``seed_nodes`` switches to PERSONALIZED PageRank (the crawl
+    seed-expansion / trust-propagation variant): initial mass and the
+    teleport term concentrate on the seed set instead of all nodes —
+    r₀[v] = (S // |seeds|)·[v∈seeds],  and per iteration
+
+        r'[v] = (3S // (20·|seeds|))·[v∈seeds]
+                + (17·(contrib[v] + (dang // |seeds|)·[v∈seeds])) // 20
+
+    (dangling mass returns to the seeds, like the teleport). Seeds
+    absent from the graph are ignored; ``seed_nodes=None`` is the
+    uniform case above (identical arithmetic when seeds = all
+    nodes). Still pure integers, same oracle discipline."""
     from bigdime_ray.stages.shuffle import grouped_int_sums_exchange
 
     labels, deg = _collect_nodes(edges, src_col, dst_col)
@@ -100,6 +114,13 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         return pa.table({"node": pa.array([], type=pa.string()),
                          "rank_fp": pa.array([], type=pa.int64()),
                          "rank": pa.array([], type=pa.float64())})
+    if seed_nodes is not None:
+        seed = np.isin(labels, np.asarray(seed_nodes))
+        ns = int(seed.sum())
+        if ns == 0:
+            raise ValueError("no seed_nodes present in the graph")
+    else:
+        seed, ns = np.ones(n, dtype=bool), n
 
     # index edges once into a narrow materialized dataset
     def index(batch: pa.Table) -> pa.Table:
@@ -115,8 +136,9 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
 
     deg_ref = ray.put(deg)
     dangling = deg == 0
-    r = np.full(n, RANK_SCALE // n, dtype=np.int64)
-    base = (3 * RANK_SCALE) // (20 * n)
+    seed64 = seed.astype(np.int64)
+    r = (RANK_SCALE // ns) * seed64
+    base = ((3 * RANK_SCALE) // (20 * ns)) * seed64
     for _ in range(iterations):
         r_ref = ray.put(r)
 
@@ -131,7 +153,7 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         contrib = np.zeros(n, dtype=np.int64)
         contrib[keys] = sums
         dang = int(r[dangling].sum())
-        r = base + (17 * (contrib + dang // n)) // 20
+        r = base + (17 * (contrib + (dang // ns) * seed64)) // 20
 
     return pa.table({
         "node": pa.array(labels.astype(str)),

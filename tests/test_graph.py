@@ -119,6 +119,52 @@ def test_hits_empty():
                                   "hub", "auth"]
 
 
+def _ppr_reference(edge_list, iterations, seeds):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    ni = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    for u, _ in edge_list:
+        deg[ni[u]] += 1
+    sd = [1 if v in seeds else 0 for v in nodes]
+    ns = sum(sd)
+    r = [(RANK_SCALE // ns) * s for s in sd]
+    for _ in range(iterations):
+        contrib = [0] * n
+        for u, v in edge_list:
+            contrib[ni[v]] += r[ni[u]] // int(deg[ni[u]])
+        dang = sum(r[i] for i in range(n) if deg[i] == 0)
+        r = [((3 * RANK_SCALE) // (20 * ns)) * sd[i]
+             + (17 * (contrib[i] + (dang // ns) * sd[i])) // 20
+             for i in range(n)]
+    return dict(zip(nodes, r))
+
+
+def test_personalized_pagerank():
+    import pytest
+    rng = np.random.default_rng(29)
+    names = [f"h{i:02d}" for i in range(20)]
+    edge_list = [(names[a], names[b]) for a, b in
+                 rng.integers(0, 20, (200, 2)) if a != b]
+    seeds = {"h00", "h01"}
+    ref = _ppr_reference(edge_list, 6, seeds)
+    for nblocks in (1, 4):
+        out = pagerank(_edges_ds(edge_list, nblocks), iterations=6,
+                       seed_nodes=sorted(seeds)).to_pydict()
+        got = dict(zip(out["node"], out["rank_fp"]))
+        assert got == ref, f"nblocks={nblocks}"  # BIT-exact
+    # seeds (and their neighborhoods) dominate; distant mass decays
+    top = sorted(ref, key=ref.get, reverse=True)[:4]
+    assert "h00" in top or "h01" in top
+    # seeds = ALL nodes must equal the uniform variant bit-for-bit
+    uni = pagerank(_edges_ds(edge_list), iterations=4).to_pydict()
+    per = pagerank(_edges_ds(edge_list), iterations=4,
+                   seed_nodes=names).to_pydict()
+    assert uni == per
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(edge_list), seed_nodes=["absent"])
+
+
 def test_degree_stats():
     from bigdime_ray.pipelines.graph import degree_stats
     edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
