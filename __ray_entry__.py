@@ -942,6 +942,21 @@ def _q_paragraph_dedup(sf_dir: str):
 _SUBSTR_K = 32
 
 
+def _q_compression_signals(sf_dir: str):
+    """zlib compression-ratio curation signal (pipelines/text.py::
+    compression_signals). Rows-only by design: DuckDB cannot deflate,
+    so correctness is pinned by pytest against direct zlib calls
+    (exact per-doc byte counts for the in-container zlib build)."""
+    from bigdime_ray.pipelines.text import compression_signals
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = compression_signals(ds)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "raw_len", "zlib_len",
+                            "compress_pm"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher rule-set quality filter (pipelines/text.py::
     gopher_quality, Rae et al. 2021): decorate every third/fourth/fifth
@@ -4249,6 +4264,7 @@ def _registry() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": _q_dsir_scores,
         "gopher_quality": _q_gopher_quality,
         "c4_filters": _q_c4_filters,
+        "compression_signals": _q_compression_signals,
         "documents_url_components": _q_url_components,
         "documents_url_canonical": _q_url_canonical,
         "host_pagerank": _q_host_pagerank,

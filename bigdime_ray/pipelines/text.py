@@ -925,6 +925,48 @@ def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def compression_signals(ds, text_col: str = "text", level: int = 6):
+    """Per-document zlib compression ratio — the classic
+    entropy-family curation signal (repetitive boilerplate and
+    template spam compress far below ~300‰; random gibberish sits
+    near/above 1000‰; natural prose in between). Appends ``raw_len``
+    (UTF-8 bytes), ``zlib_len`` and ``compress_pm`` (per-mille
+    fixed-point, 1000·zlib/raw; 0-length docs → 1000 = "incompressible"
+    sentinel, documented).
+
+    DEFLATE cannot be vectorized, so this is the one text stage with a
+    per-row loop — each iteration is one C call (same stance as the
+    actor-pool media decoders); state-free, zero shuffle. Determinism
+    holds for a fixed zlib build (in-container tests pin it against
+    direct zlib calls); there is deliberately no SQL oracle — DuckDB
+    cannot deflate — so this is a rows-only (○) operator."""
+    import zlib
+
+    def sig(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        raw = np.asarray(
+            pc.binary_length(pc.cast(text, pa.binary()))
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        zl = np.fromiter(
+            (len(zlib.compress(s.encode(), level))
+             for s in text.to_pylist()),
+            dtype=np.int64, count=len(text))
+        pm = np.where(raw > 0, (1000 * zl) // np.maximum(raw, 1), 1000)
+        out = batch.append_column("raw_len",
+                                  pa.array(raw, type=pa.int64()))
+        out = out.append_column("zlib_len",
+                                pa.array(zl, type=pa.int64()))
+        return out.append_column(
+            "compress_pm", pa.array(pm.astype(np.int64),
+                                    type=pa.int64()))
+
+    return ds.map_batches(sig, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 

@@ -150,6 +150,42 @@ def test_temperature_mix_end_to_end_block_invariant():
     assert sw_share > 80 / 3480  # upweighted vs natural share
 
 
+def test_compression_signals():
+    import zlib
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from bigdime_ray.pipelines.text import compression_signals
+    rng = np.random.default_rng(2)
+    rand = "".join(chr(c) for c in rng.integers(33, 127, 4000))
+    words = ("data pipeline batch stream shuffle block arrow schema "
+             "quality filter corpus token model train sample merge "
+             "exact oracle graph rank weight count window line page "
+             "the a of and to with for from into over").split()
+    prose = " ".join(rng.choice(words, 700))      # varied prose-like
+    texts = ["spam " * 800,                       # hyper-repetitive
+             rand,                                 # incompressible
+             prose,
+             ""]
+    tbl = pa.table({"doc_id": pa.array(np.arange(4), type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = compression_signals(ray.data.from_arrow(tbl)
+                              .repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # exact against direct zlib calls (fixed in-container build)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert out.raw_len[i] == len(b)
+        assert out.zlib_len[i] == len(zlib.compress(b, 6))
+        assert out.compress_pm[i] == \
+            ((1000 * out.zlib_len[i]) // max(len(b), 1)
+             if b else 1000)
+    # the signal separates the three regimes
+    assert out.compress_pm[0] < 50          # boilerplate crushes
+    assert out.compress_pm[1] > 700         # gibberish doesn't
+    assert 50 < out.compress_pm[2] < 700    # prose in between
+
+
 def _c4_brute(texts, min_wpl=5, min_lines=3):
     import re
     out = []
