@@ -192,7 +192,9 @@ QUERY_NAMES = ["pricing_summary", "duplicate_keys", "exact_dedup_groups",
                "heavy_hitters", "revenue_by_region",
                "events_rolling_sum", "events_interval_overlap",
                "documents_redacted", "shipping_priority", "doc_tfidf",
-               "customer_order_counts", "user_first_last_value"]
+               "customer_order_counts", "user_first_last_value",
+               "host_pagerank", "documents_substring_dedup",
+               "dsir_scores", "gopher_quality"]
 
 
 def run_bench(sf_dir: str, num_cpus: int, include_queries: bool = True) -> dict:
